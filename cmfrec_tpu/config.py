@@ -1,0 +1,69 @@
+"""Global configuration helpers for cmfrec-tpu.
+
+The reference library selects float32/float64 at compile time (``USE_FLOAT``,
+/root/reference/src/cmfrec.h:232-313) and exposes it per-model as
+``use_float``.  Here dtype is a per-model runtime choice; float32 is the
+TPU-native default, float64 requires ``jax.config.update("jax_enable_x64",
+True)`` (done lazily when a model requests it).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import numpy as np
+
+# Default matmul precision for solver einsums.  "highest" keeps f32 matmuls
+# in true f32 on the MXU (rather than bf16x3 passes), which is required to
+# match the reference's float64-ish RMSE trajectories.
+SOLVER_PRECISION = jax.lax.Precision.HIGHEST
+
+# Row-block granularity: padded bucket row counts are multiples of this so
+# the number of distinct compiled shapes stays small and blocks shard evenly
+# over a device mesh.
+DEFAULT_ROW_BLOCK = 8
+
+# Cap on R*L elements a single gathered [R, L, K] block may have before the
+# data layer splits a bucket into several chunks (bounds peak HBM usage of
+# the gathered opposing-factor slab).
+DEFAULT_MAX_BLOCK_ELEMS = 1 << 21
+
+
+def resolve_dtype(use_float: bool | str | np.dtype) -> np.dtype:
+    """Map the reference's ``use_float`` flag (or a dtype-ish) to a numpy dtype."""
+    if isinstance(use_float, (bool, np.bool_)):
+        dtype = np.float32 if use_float else np.float64
+    else:
+        dtype = np.dtype(use_float).type
+    if dtype == np.float64 and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    return np.dtype(dtype)
+
+
+@lru_cache(maxsize=None)
+def default_mesh() -> jax.sharding.Mesh | None:
+    """A 1-D mesh over all local devices, or None on a single device.
+
+    The single data-parallel axis ``d`` shards factor-matrix rows and their
+    aligned CSR buckets; the opposing factor matrix stays replicated (it is
+    small: n x k).  This is the TPU equivalent of the reference's OpenMP
+    row loop (/root/reference/src/common.c:2922-2930).
+    """
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    return jax.sharding.Mesh(np.array(devices), ("d",))
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
+    path = path or os.environ.get(
+        "CMFREC_TPU_CACHE", os.path.expanduser("~/.cache/cmfrec_tpu_xla")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

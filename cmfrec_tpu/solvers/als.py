@@ -1,0 +1,298 @@
+"""Batched ALS half-iteration drivers.
+
+One "half-iteration" solves every row of one factor matrix given the others
+(the reference's optimizeA / optimizeA_implicit / optimizeA_collective,
+/root/reference/src/common.c:2742,3305, /root/reference/src/collective.c:4720).
+On TPU each degree bucket of rows becomes one statically-shaped batched
+program: coefficient prep -> gather -> Gram/CG -> batched Cholesky or
+truncated CG or coordinate descent.
+
+A row system is assembled from up to two sparse *parts* (the X interactions
+and, for the collective model, a sparse side-info matrix) plus a shared Gram
+base G0 (BtB-style caches, dense side-info CtC, implicit-feature BiTBi) and a
+per-row rhs base r0 (dense side-info U @ Ce).  See ops/rowsolve.py for the
+system definition.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SOLVER_PRECISION
+from ..data.shards import BucketedRows
+from ..ops import rowsolve
+from ..ops.rowsolve import SparsePart, length_mask
+
+
+class PartData(NamedTuple):
+    """Dynamic arrays of one sparse part for one bucket (pytree)."""
+
+    idx: jax.Array  # [R, L]
+    val: jax.Array  # [R, L]
+    length: jax.Array  # [R]
+    wgt: Optional[jax.Array]  # [R, L] or None
+    opp: jax.Array  # [S, K] extended opposing matrix
+    opp_bias: Optional[jax.Array]  # [S] or None
+    w: jax.Array  # scalar part weight (w_main / w_user / ...)
+    alpha: Optional[jax.Array]  # scalar, implicit confidence slope
+    mu: Optional[jax.Array]  # scalar global mean (NA-as-zero centering)
+
+
+def _coefficients(p: PartData, mode: str):
+    """Map raw (val, wgt) to the unified (cw, cv) Gram/rhs coefficients.
+
+    explicit:  cw = w*wgt, cv = w*wgt*(val - opp_bias)
+               (/root/reference/src/common.c:546 factors_closed_form)
+    implicit:  cw = w*alpha*val, cv = w*(1 + alpha*val)
+               (/root/reference/src/common.c:2063 factors_implicit_chol)
+    na0:       NA-as-zero explicit: cw = w*(wgt-1), cv = w*wgt*val;
+               caller includes w * opp^T opp in G0
+               (/root/reference/src/common.c:3118 optimizeA case 3)
+    """
+    msk = length_mask(p.length, p.idx.shape[1]).astype(p.val.dtype)
+    if mode == "explicit":
+        vadj = p.val if p.opp_bias is None else p.val - jnp.take(p.opp_bias, p.idx)
+        cw = p.w * msk if p.wgt is None else p.w * p.wgt * msk
+        cv = cw * vadj
+    elif mode == "implicit":
+        av = p.alpha * p.val
+        cw = p.w * av * msk
+        cv = p.w * (1.0 + av) * msk
+    elif mode == "na0":
+        # NA-as-zero explicit: missing entries participate with raw value 0
+        # (i.e. centered target -mu - opp_bias).  The caller puts
+        # w * opp^T opp into G0 and w * opp^T (-mu - opp_bias) into r0; here
+        # we produce only the observed-entry corrections relative to that
+        # base (the reference's bias_BtX trick,
+        # /root/reference/src/collective.c:303-312).
+        if p.wgt is None:
+            cw = jnp.zeros_like(p.val)
+        else:
+            cw = p.w * (p.wgt - 1.0) * msk
+        ob = jnp.zeros_like(p.val) if p.opp_bias is None else jnp.take(p.opp_bias, p.idx)
+        mu = 0.0 if p.mu is None else p.mu
+        vadj = p.val - ob
+        wgt = 1.0 if p.wgt is None else p.wgt
+        cv = p.w * (wgt * vadj + mu + ob) * msk
+    else:
+        raise ValueError(mode)
+    return SparsePart(p.opp, p.idx, cw, cv)
+
+
+def _lam_multiplier(p: PartData, mode: str, n_total: int):
+    """Per-row lambda multiplier for scale_lam
+    (/root/reference/src/common.c:689-724): observation count, weight sum,
+    or the full column count under NA-as-zero."""
+    if mode == "na0":
+        return jnp.full(p.idx.shape[0], float(n_total), p.val.dtype)
+    msk = length_mask(p.length, p.idx.shape[1]).astype(p.val.dtype)
+    if p.wgt is None:
+        return p.length.astype(p.val.dtype)
+    return jnp.sum(p.wgt * msk, axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "modes",
+        "method",
+        "n_steps",
+        "nonneg",
+        "max_cd_steps",
+        "scale_lam",
+        "n_totals",
+    ),
+)
+def solve_bucket(
+    parts: tuple,  # tuple of PartData
+    a_prev: Optional[jax.Array],  # [R, K] warm start
+    G0: Optional[jax.Array],  # [K, K]
+    r0: Optional[jax.Array],  # [R, K]
+    r0_vec: Optional[jax.Array],  # [K] shared rhs base (broadcast over rows)
+    lam_vec: jax.Array,  # [K] (per-row-scaled if scale_lam)
+    lam_const_vec: Optional[jax.Array],  # [K] additional unscaled diagonal
+    l1_vec: Optional[jax.Array],  # [K] L1 penalties
+    modes: tuple,  # static, one mode string per part
+    method: str,  # "chol" | "cg"
+    n_steps: int,
+    nonneg: bool,
+    max_cd_steps: int,
+    scale_lam: bool,
+    n_totals: tuple,  # static, per part: total column count (for na0 scaling)
+):
+    sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
+
+    if r0_vec is not None:
+        R = parts[0].idx.shape[0]
+        base = jnp.broadcast_to(r0_vec[None, :], (R, r0_vec.shape[0]))
+        r0 = base if r0 is None else r0 + base
+
+    lam_mult = None
+    if scale_lam:
+        lam_mult = sum(
+            _lam_multiplier(p, m, nt) for p, m, nt in zip(parts, modes, n_totals)
+        )
+        # Empty (or padding) rows would make the system singular; they are
+        # zeroed below anyway (the reference's zero_out, common.c:676-681).
+        lam_mult = jnp.maximum(lam_mult, 1.0)
+
+    # Rows with no observations anywhere solve to exactly zero — unless an
+    # NA-as-zero part or a dense rhs base makes every row "live".
+    live = None
+    if r0 is None and r0_vec is None and "na0" not in modes:
+        for p in parts:
+            lv = p.length > 0
+            live = lv if live is None else (live | lv)
+
+    use_cd = nonneg or (l1_vec is not None)
+    if method == "chol" or use_cd:
+        G, rhs = rowsolve.assemble_system(
+            sparse_parts, lam_vec, lam_mult=lam_mult, G0=G0, r0=r0
+        )
+        if lam_const_vec is not None:
+            K = lam_vec.shape[0]
+            G = G + jnp.diag(lam_const_vec)[None, :, :]
+        if use_cd:
+            l1 = l1_vec if l1_vec is not None else jnp.zeros_like(lam_vec)
+            if lam_mult is not None:
+                # L1 scales with the same multiplier as L2 (common.c:717-722).
+                # TODO(per-row l1): solve_cd takes a [K] vector; use the mean
+                # multiplier until per-row L1 support lands.
+                l1 = l1 * jnp.mean(lam_mult)
+            a = rowsolve.solve_cd(
+                G, rhs, l1, nonneg=nonneg, max_steps=max_cd_steps, a0=None
+            )
+        else:
+            a = rowsolve.solve_chol(G, rhs)
+        if live is not None:
+            a = jnp.where(live[:, None], a, 0.0)
+        return a
+    # CG path
+    lam_eff = lam_vec
+    G0_eff = G0
+    if lam_const_vec is not None:
+        if G0 is None:
+            G0_eff = jnp.diag(lam_const_vec)
+        else:
+            G0_eff = G0 + jnp.diag(lam_const_vec)
+    a = rowsolve.solve_cg(
+        sparse_parts,
+        lam_eff,
+        a_prev,
+        n_steps=n_steps,
+        lam_mult=lam_mult,
+        G0=G0_eff,
+        r0=r0,
+    )
+    if live is not None:
+        a = jnp.where(live[:, None], a, 0.0)
+    return a
+
+
+class SidePlan(NamedTuple):
+    """Everything needed to run one half-iteration for one factor side."""
+
+    bucketed: BucketedRows  # sparse data, rows = this side
+    mode: str  # part mode for the X-part
+    n_total: int  # column count of this orientation
+
+
+def update_side(
+    plan: SidePlan,
+    blocks: list,  # current per-bucket factor blocks (warm starts)
+    opp: jax.Array,  # [S, K] extended opposing matrix
+    opp_bias: Optional[jax.Array],
+    lam_vec: jax.Array,
+    *,
+    w: float = 1.0,
+    alpha: Optional[float] = None,
+    mu: Optional[float] = None,
+    G0: Optional[jax.Array] = None,
+    r0_vec: Optional[jax.Array] = None,  # [K] shared rhs base
+    r0_blocks: Optional[list] = None,  # per-bucket [R, K] rhs bases
+    side_parts: Optional[list] = None,  # per-bucket extra PartData (collective)
+    side_mode: str = "explicit",
+    side_n_total: int = 0,
+    lam_const_vec: Optional[jax.Array] = None,
+    l1_vec: Optional[jax.Array] = None,
+    method: str = "chol",
+    n_steps: int = 3,
+    nonneg: bool = False,
+    max_cd_steps: int = 100,
+    scale_lam: bool = False,
+    dtype=jnp.float32,
+) -> list:
+    """Solve all buckets of one side; returns the new block list."""
+    new_blocks = []
+    w_arr = jnp.asarray(w, dtype)
+    alpha_arr = None if alpha is None else jnp.asarray(alpha, dtype)
+    mu_arr = None if mu is None else jnp.asarray(mu, dtype)
+    for bi, b in enumerate(plan.bucketed.buckets):
+        p_main = PartData(
+            idx=b.idx,
+            val=b.val,
+            length=b.length,
+            wgt=b.wgt,
+            opp=opp,
+            opp_bias=opp_bias,
+            w=w_arr,
+            alpha=alpha_arr,
+            mu=mu_arr,
+        )
+        parts = (p_main,)
+        modes = (plan.mode,)
+        n_totals = (plan.n_total,)
+        if side_parts is not None and side_parts[bi] is not None:
+            parts = parts + (side_parts[bi],)
+            modes = modes + (side_mode,)
+            n_totals = n_totals + (side_n_total,)
+        a_new = solve_bucket(
+            parts,
+            blocks[bi],
+            G0,
+            None if r0_blocks is None else r0_blocks[bi],
+            r0_vec,
+            lam_vec,
+            lam_const_vec,
+            l1_vec,
+            modes=modes,
+            method=method,
+            n_steps=n_steps,
+            nonneg=nonneg,
+            max_cd_steps=max_cd_steps,
+            scale_lam=scale_lam,
+            n_totals=n_totals,
+        )
+        new_blocks.append(a_new)
+    return new_blocks
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def blocks_to_orig(blocks: list, perm: jax.Array, n_rows: int) -> jax.Array:
+    """Concatenate permuted bucket blocks and re-order to original row ids."""
+    full = jnp.concatenate(blocks, axis=0)
+    return jnp.take(full, perm, axis=0)
+
+
+def init_blocks(key, bucketed: BucketedRows, k_tot: int, k_pad: int, dtype):
+    """Random normal init scaled like the reference's random_parallel
+    (/root/reference/src/helpers.c:927): N(0, 1/sqrt(k))-ish start."""
+    blocks = []
+    scale = 1.0 / np.sqrt(max(k_tot, 1))
+    for b in bucketed.buckets:
+        key, sub = jax.random.split(key)
+        blk = scale * jax.random.normal(sub, (b.n_rows, k_pad), dtype)
+        if k_pad > k_tot:
+            blk = blk.at[:, k_tot:].set(0.0)
+        blocks.append(blk)
+    return key, blocks
+
+
+def gram_matrix(mat: jax.Array) -> jax.Array:
+    """M^T M (the BtB / CtC precompute, /root/reference/src/collective.c:6276)."""
+    return jnp.einsum("nk,nm->km", mat, mat, precision=SOLVER_PRECISION)

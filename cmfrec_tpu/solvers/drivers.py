@@ -1,0 +1,352 @@
+"""End-to-end ALS fit drivers for the classic (non-collective) models.
+
+fit_explicit_als mirrors the reference's fit path for a plain X-only model
+(/root/reference/src/collective.c:7263 with no side info): center -> bias
+init -> alternating half-iterations over item/user orientations, with
+CG-until-last-iteration-then-Cholesky (finalize_chol,
+/root/reference/src/collective.c:8336-8340).
+
+fit_implicit_als mirrors fit_collective_implicit_als
+(/root/reference/src/collective.c:9375): optional log transform, alpha
+confidence scaling, adjust_weight -> w_main_multiplier = nnz/(m*n)
+(/root/reference/src/collective.c:9776-9782).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SOLVER_PRECISION, resolve_dtype
+from ..data.shards import BucketedRows, build_bucketed_rows
+from . import preprocess
+from .als import (
+    SidePlan,
+    blocks_to_orig,
+    gram_matrix,
+    init_blocks,
+    update_side,
+)
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("col",))
+def _ext_with_ones(orig: jax.Array, col: int) -> jax.Array:
+    """Set column `col` to ones (bias column trick,
+    /root/reference/src/common.c:561-565)."""
+    return orig.at[:, col].set(1.0)
+
+
+@partial(jax.jit, static_argnames=("col",))
+def _ext_with_zeros(orig: jax.Array, col: int) -> jax.Array:
+    return orig.at[:, col].set(0.0)
+
+
+def _make_lam_vec(k: int, k_pad: int, lam: float, lam_bias: float, has_bias: bool, dtype):
+    """Per-coordinate L2: [lam]*k + [lam_bias] + 1s on padding coords (a
+    positive diagonal keeps padded coordinates at exactly zero)."""
+    v = np.ones(k_pad, np.float64)
+    v[:k] = lam
+    if has_bias:
+        v[k] = lam_bias
+    return jnp.asarray(v, dtype)
+
+
+def _make_l1_vec(k: int, k_pad: int, l1: float, l1_bias: float, has_bias: bool, dtype):
+    if l1 == 0.0 and (not has_bias or l1_bias == 0.0):
+        return None
+    v = np.zeros(k_pad, np.float64)
+    v[:k] = l1
+    if has_bias:
+        v[k] = l1_bias
+    return jnp.asarray(v, dtype)
+
+
+def _resolve_lambdas(lambda_, l1_lambda):
+    """lambda_ may be a scalar or a length-6 array ordered as
+    (user_bias, item_bias, A, B, C, D) — /root/reference/src/cmfrec.h:1858."""
+
+    def expand(x):
+        x = np.asarray(x, np.float64).ravel()
+        if x.size == 1:
+            return np.full(6, float(x[0]))
+        if x.size != 6:
+            raise ValueError("lambda_ must be a scalar or have 6 entries")
+        return x
+
+    return expand(lambda_), expand(l1_lambda)
+
+
+def fit_explicit_als(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    m: int,
+    n: int,
+    *,
+    k: int = 40,
+    lambda_=10.0,
+    l1_lambda=0.0,
+    niter: int = 10,
+    use_cg: bool = True,
+    max_cg_steps: int = 3,
+    finalize_chol: bool = True,
+    user_bias: bool = True,
+    item_bias: bool = True,
+    center: bool = True,
+    scale_lam: bool = False,
+    scale_bias_const: bool = False,
+    NA_as_zero: bool = False,
+    nonneg: bool = False,
+    max_cd_steps: int = 100,
+    weights: Optional[np.ndarray] = None,
+    dtype=np.float32,
+    seed: int = 1,
+    verbose: bool = False,
+) -> dict:
+    lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    dtype = resolve_dtype(dtype)
+
+    if nonneg:
+        use_cg = False
+        center_here = False  # nonneg models don't center (common.c:3423 w/ nonneg)
+    else:
+        center_here = center
+    glob_mean = (
+        preprocess.weighted_global_mean(vals, weights) if center_here else 0.0
+    )
+    vals_c = (vals - glob_mean).astype(dtype)
+
+    biasA0 = biasB0 = None
+    if user_bias or item_bias:
+        biasA0, biasB0 = preprocess.initialize_biases(
+            rows, cols, vals_c, m, n,
+            lam_user=lam6[0], lam_item=lam6[1],
+            wgt=weights,
+            user_bias=user_bias, item_bias=item_bias,
+            scale_lam=scale_lam, nonneg=nonneg,
+        )
+
+    RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype)
+    CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype)
+
+    k_pad = round_up(k + 1, 8)
+    key = jax.random.PRNGKey(seed)
+    key, A_blocks = init_blocks(key, RB, k, k_pad, dtype)
+    key, B_blocks = init_blocks(key, CB, k, k_pad, dtype)
+
+    # Seed the bias coordinates with the closed-form initial biases.
+    if user_bias:
+        A_blocks = _set_bias_coord(A_blocks, RB, biasA0, k, dtype)
+    if item_bias:
+        B_blocks = _set_bias_coord(B_blocks, CB, biasB0, k, dtype)
+
+    lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], lam6[0], user_bias, dtype)
+    lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], lam6[1], item_bias, dtype)
+    l1_vec_A = _make_l1_vec(k, k_pad, l16[2], l16[0], user_bias, dtype)
+    l1_vec_B = _make_l1_vec(k, k_pad, l16[3], l16[1], item_bias, dtype)
+
+    # scale_bias_const: the bias coordinate's penalty scales with the AVERAGE
+    # observation count instead of the per-row count
+    # (/root/reference/src/common.c:717-722, docstring __init__.py:2579).
+    lam_const_A = lam_const_B = None
+    if scale_lam and scale_bias_const:
+        wsum_total = float(np.sum(weights)) if weights is not None else float(len(vals))
+        if user_bias:
+            v = np.zeros(k_pad)
+            v[k] = lam6[0] * (wsum_total / max(m, 1))
+            lam_const_A = jnp.asarray(v, dtype)
+            lam_vec_A = lam_vec_A.at[k].set(0.0)
+        if item_bias:
+            v = np.zeros(k_pad)
+            v[k] = lam6[1] * (wsum_total / max(n, 1))
+            lam_const_B = jnp.asarray(v, dtype)
+            lam_vec_B = lam_vec_B.at[k].set(0.0)
+
+    plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
+    plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
+
+    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
+    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+
+    mode = plan_A.mode
+    for it in range(niter):
+        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+        t0 = time.time()
+
+        # ---- A update (rows of X) ----
+        opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
+        opp_bias = B_orig[:, k] if item_bias else None
+        G0 = r0_vec = None
+        if NA_as_zero:
+            G0 = gram_matrix(opp)
+            r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
+        A_blocks = update_side(
+            plan_A, A_blocks, opp, opp_bias, lam_vec_A,
+            mu=glob_mean if NA_as_zero else None,
+            G0=G0, r0_vec=r0_vec,
+            lam_const_vec=lam_const_A,
+            l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+            dtype=dtype,
+        )
+        A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
+
+        # ---- B update (columns of X) ----
+        opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
+        opp_bias = A_orig[:, k] if user_bias else None
+        G0 = r0_vec = None
+        if NA_as_zero:
+            G0 = gram_matrix(opp)
+            r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
+        B_blocks = update_side(
+            plan_B, B_blocks, opp, opp_bias, lam_vec_B,
+            mu=glob_mean if NA_as_zero else None,
+            G0=G0, r0_vec=r0_vec,
+            lam_const_vec=lam_const_B,
+            l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+            dtype=dtype,
+        )
+        B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+
+        if verbose:
+            jax.block_until_ready(B_orig)
+            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+
+    A_final = np.asarray(A_orig)
+    B_final = np.asarray(B_orig)
+    return {
+        "A": A_final[:, :k],
+        "B": B_final[:, :k],
+        "biasA": A_final[:, k] if user_bias else None,
+        "biasB": B_final[:, k] if item_bias else None,
+        "glob_mean": float(glob_mean),
+        "k": k,
+    }
+
+
+def _set_bias_coord(blocks, bucketed: BucketedRows, bias_vec, coord, dtype):
+    """Write initial biases into each block's bias coordinate."""
+    out = []
+    ext = np.concatenate([bias_vec, [0.0]])  # padding rows map to row_of == -1
+    for b, blk in zip(bucketed.buckets, blocks):
+        sl = bucketed.row_of[b.start : b.start + b.n_rows]
+        vals = jnp.asarray(ext[sl].astype(dtype))
+        out.append(blk.at[:, coord].set(vals))
+    return out
+
+
+@jax.jit
+def _na0_rhs_base(opp, opp_bias, glob_mean):
+    """opp^T (-mu - opp_bias): rhs contribution of the all-zero entries
+    under NA-as-zero (the reference's BtXbias,
+    /root/reference/src/collective.c:303-312)."""
+    t = -glob_mean * jnp.ones(opp.shape[0], opp.dtype)
+    if opp_bias is not None:
+        t = t - opp_bias
+    return jnp.einsum("sk,s->k", opp, t, precision=SOLVER_PRECISION)
+
+
+def fit_implicit_als(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    m: int,
+    n: int,
+    *,
+    k: int = 50,
+    lambda_=1.0,
+    l1_lambda=0.0,
+    niter: int = 15,
+    use_cg: bool = True,
+    max_cg_steps: int = 3,
+    finalize_chol: bool = False,
+    alpha: float = 1.0,
+    apply_log_transf: bool = False,
+    adjust_weight: bool = False,
+    nonneg: bool = False,
+    max_cd_steps: int = 100,
+    dtype=np.float32,
+    seed: int = 1,
+    verbose: bool = False,
+) -> dict:
+    lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    dtype = resolve_dtype(dtype)
+    if nonneg:
+        use_cg = False
+
+    vals = np.asarray(vals, np.float64)
+    if apply_log_transf:
+        vals = np.log(vals)
+    vals = vals.astype(dtype)
+
+    w_main = 1.0
+    if adjust_weight:
+        w_main = len(vals) / (float(m) * float(n))
+
+    RB = build_bucketed_rows(rows, cols, vals, m, n, dtype=dtype)
+    CB = build_bucketed_rows(cols, rows, vals, n, m, dtype=dtype)
+
+    k_pad = round_up(k, 8)
+    key = jax.random.PRNGKey(seed)
+    key, A_blocks = init_blocks(key, RB, k, k_pad, dtype)
+    key, B_blocks = init_blocks(key, CB, k, k_pad, dtype)
+
+    lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], 0.0, False, dtype)
+    lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], 0.0, False, dtype)
+    l1_vec_A = _make_l1_vec(k, k_pad, l16[2], 0.0, False, dtype)
+    l1_vec_B = _make_l1_vec(k, k_pad, l16[3], 0.0, False, dtype)
+
+    plan_A = SidePlan(RB, "implicit", n)
+    plan_B = SidePlan(CB, "implicit", m)
+
+    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
+    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+
+    for it in range(niter):
+        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+        t0 = time.time()
+
+        G0 = w_main * gram_matrix(B_orig)
+        A_blocks = update_side(
+            plan_A, A_blocks, B_orig, None, lam_vec_A,
+            w=w_main, alpha=alpha, G0=G0,
+            l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
+        )
+        A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
+
+        G0 = w_main * gram_matrix(A_orig)
+        B_blocks = update_side(
+            plan_B, B_blocks, A_orig, None, lam_vec_B,
+            w=w_main, alpha=alpha, G0=G0,
+            l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
+        )
+        B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+
+        if verbose:
+            jax.block_until_ready(B_orig)
+            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+
+    A_final = np.asarray(A_orig)
+    B_final = np.asarray(B_orig)
+    return {
+        "A": A_final[:, :k],
+        "B": B_final[:, :k],
+        "biasA": None,
+        "biasB": None,
+        "glob_mean": 0.0,
+        "k": k,
+        "w_main_multiplier": w_main,
+        "alpha": alpha,
+    }

@@ -1,0 +1,222 @@
+"""End-to-end correctness of the explicit ALS driver.
+
+Strategy (SURVEY.md §4): rather than matching the reference's random
+trajectories, verify the ALS *fixed-point equations* — after the final
+Cholesky half-iteration, every row of A must equal the exact closed-form
+ridge solution given B (and vice versa for the last-updated side), which is
+exactly what the reference's per-row solver computes
+(/root/reference/src/common.c:546).
+"""
+
+import numpy as np
+import pytest
+
+from cmfrec_tpu.solvers.drivers import fit_explicit_als, fit_implicit_als
+
+
+def make_synthetic(rng, m=60, n=45, k_true=4, density=0.4, noise=0.1):
+    A = rng.normal(size=(m, k_true))
+    B = rng.normal(size=(n, k_true))
+    bA = rng.normal(size=m) * 0.5
+    bB = rng.normal(size=n) * 0.5
+    mu = 3.0
+    full = mu + bA[:, None] + bB[None, :] + A @ B.T
+    mask = rng.uniform(size=(m, n)) < density
+    rows, cols = np.nonzero(mask)
+    vals = full[rows, cols] + noise * rng.normal(size=rows.size)
+    return rows, cols, vals, m, n
+
+
+def closed_form_rows(rows, cols, vals, B_ext, opp_bias, mu, lam, lam_bias,
+                     m, has_bias, weights=None, scale_lam=False):
+    """NumPy oracle: exact per-row ridge solve."""
+    K = B_ext.shape[1]
+    out = np.zeros((m, K))
+    for i in range(m):
+        sel = rows == i
+        if not sel.any():
+            continue
+        js = cols[sel]
+        x = vals[sel] - mu - (opp_bias[js] if opp_bias is not None else 0.0)
+        Bs = B_ext[js]
+        w = weights[sel] if weights is not None else np.ones(sel.sum())
+        G = (Bs * w[:, None]).T @ Bs
+        mult = w.sum() if scale_lam else 1.0
+        lam_vec = np.full(K, lam * mult)
+        if has_bias:
+            lam_vec[-1] = lam_bias * mult
+        G += np.diag(lam_vec)
+        out[i] = np.linalg.solve(G, Bs.T @ (w * x))
+    return out
+
+
+@pytest.mark.parametrize("user_bias,item_bias", [(True, True), (False, False), (True, False)])
+def test_fixed_point_chol(rng, user_bias, item_bias):
+    rows, cols, vals, m, n = make_synthetic(rng)
+    lam = 0.5
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=5, lambda_=lam, niter=8, use_cg=False,
+        user_bias=user_bias, item_bias=item_bias, dtype=np.float64, verbose=False,
+    )
+    A, B = res["A"], res["B"]
+    mu = res["glob_mean"]
+    biasA = res["biasA"] if user_bias else None
+    biasB = res["biasB"] if item_bias else None
+
+    # B was updated last given A: check B's closed form exactly.
+    A_ext = np.concatenate([A, np.ones((m, 1))], axis=1) if item_bias else A
+    want = closed_form_rows(
+        cols, rows, vals, A_ext, biasA, mu, lam, lam, n, item_bias
+    )
+    got = np.concatenate([B, biasB[:, None]], axis=1) if item_bias else B
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_cg_matches_chol_quality(rng):
+    rows, cols, vals, m, n = make_synthetic(rng, noise=0.05)
+    common = dict(k=5, lambda_=0.5, niter=15, dtype=np.float64)
+    r1 = fit_explicit_als(rows, cols, vals, m, n, use_cg=False, **common)
+    r2 = fit_explicit_als(
+        rows, cols, vals, m, n, use_cg=True, finalize_chol=True, **common
+    )
+
+    def rmse(r):
+        pred = (
+            r["glob_mean"]
+            + r["biasA"][rows]
+            + r["biasB"][cols]
+            + np.sum(r["A"][rows] * r["B"][cols], axis=1)
+        )
+        return np.sqrt(np.mean((pred - vals) ** 2))
+
+    e1, e2 = rmse(r1), rmse(r2)
+    assert e1 < 0.1
+    assert abs(e1 - e2) < 0.02
+
+
+def test_weighted_fixed_point(rng):
+    rows, cols, vals, m, n = make_synthetic(rng)
+    wgt = rng.uniform(0.5, 2.0, size=rows.size)
+    lam = 0.7
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=4, lambda_=lam, niter=6, use_cg=False,
+        user_bias=False, item_bias=False, weights=wgt, dtype=np.float64,
+    )
+    want = closed_form_rows(
+        cols, rows, vals, res["A"], None, res["glob_mean"], lam, lam, n,
+        False, weights=wgt,
+    )
+    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+
+
+def test_scale_lam_fixed_point(rng):
+    rows, cols, vals, m, n = make_synthetic(rng)
+    lam = 0.05
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=4, lambda_=lam, niter=6, use_cg=False,
+        user_bias=False, item_bias=False, scale_lam=True, dtype=np.float64,
+    )
+    want = closed_form_rows(
+        cols, rows, vals, res["A"], None, res["glob_mean"], lam, lam, n,
+        False, scale_lam=True,
+    )
+    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+
+
+def test_na_as_zero_fixed_point(rng):
+    """NA-as-zero: every column participates with raw value 0."""
+    rows, cols, vals, m, n = make_synthetic(rng, density=0.2)
+    lam = 0.5
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=4, lambda_=lam, niter=6, use_cg=False,
+        user_bias=False, item_bias=False, center=False, NA_as_zero=True,
+        dtype=np.float64,
+    )
+    # Oracle: densify X with zeros and solve B rows exactly.
+    X = np.zeros((m, n))
+    X[rows, cols] = vals
+    A = res["A"]
+    G = A.T @ A + lam * np.eye(4)
+    want = np.linalg.solve(G, A.T @ X).T
+    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+
+
+def test_na_as_zero_with_center_and_bias(rng):
+    """NA-as-zero + centering + biases exercises the BtXbias rhs base."""
+    rows, cols, vals, m, n = make_synthetic(rng, density=0.3)
+    lam = 1.0
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=3, lambda_=lam, niter=5, use_cg=False,
+        user_bias=True, item_bias=True, center=True, NA_as_zero=True,
+        dtype=np.float64,
+    )
+    A, B = res["A"], res["B"]
+    mu, biasA, biasB = res["glob_mean"], res["biasA"], res["biasB"]
+    # Oracle for B (last updated): dense zero-filled X, bias column on A.
+    X = np.zeros((m, n))
+    X[rows, cols] = vals
+    A_ext = np.concatenate([A, np.ones((m, 1))], axis=1)
+    T = X - mu - biasA[:, None]  # target net of the opposing bias
+    G = A_ext.T @ A_ext + np.diag([lam] * 3 + [lam])
+    want = np.linalg.solve(G, A_ext.T @ T).T
+    got = np.concatenate([B, biasB[:, None]], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_nonneg_factors(rng):
+    rows, cols, vals, m, n = make_synthetic(rng)
+    vals = np.abs(vals)
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=4, lambda_=0.5, niter=6,
+        user_bias=False, item_bias=False, center=False, nonneg=True,
+        dtype=np.float64,
+    )
+    assert (res["A"] >= 0).all() and (res["B"] >= 0).all()
+    pred = np.sum(res["A"][rows] * res["B"][cols], axis=1)
+    assert np.sqrt(np.mean((pred - vals) ** 2)) < np.std(vals)
+
+
+class TestImplicit:
+    def test_fixed_point_chol(self, rng):
+        m, n, k = 50, 40, 4
+        rows, cols = np.nonzero(rng.uniform(size=(m, n)) < 0.25)
+        vals = rng.integers(1, 20, size=rows.size).astype(np.float64)
+        lam, alpha = 2.0, 0.8
+        res = fit_implicit_als(
+            rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha,
+            niter=10, use_cg=False, dtype=np.float64,
+        )
+        A, B = res["A"], res["B"]
+        # Oracle: B rows from the WRMF normal equations given A.
+        AtA = A.T @ A
+        for j in range(n):
+            sel = cols == j
+            us = rows[sel]
+            x = alpha * vals[sel]
+            G = AtA + (A[us] * x[:, None]).T @ A[us] + lam * np.eye(k)
+            rhs = A[us].T @ (1.0 + x)
+            want = np.linalg.solve(G, rhs)
+            np.testing.assert_allclose(B[j], want, rtol=1e-6, atol=1e-8)
+
+    def test_cg_matches_chol(self, rng):
+        m, n, k = 50, 40, 4
+        rows, cols = np.nonzero(rng.uniform(size=(m, n)) < 0.25)
+        vals = rng.integers(1, 20, size=rows.size).astype(np.float64)
+        r1 = fit_implicit_als(
+            rows, cols, vals, m, n, k=k, lambda_=2.0, niter=20,
+            use_cg=False, dtype=np.float64,
+        )
+        r2 = fit_implicit_als(
+            rows, cols, vals, m, n, k=k, lambda_=2.0, niter=20,
+            use_cg=True, dtype=np.float64,
+        )
+        # Same fixed point -> near-identical score matrices.
+        S1 = r1["A"] @ r1["B"].T
+        S2 = r2["A"] @ r2["B"].T
+        assert np.abs(S1 - S2).max() < 5e-2 * np.abs(S1).max()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -1,0 +1,107 @@
+"""Headline benchmark: explicit ALS-CG fit, ML10M-shaped synthetic data.
+
+Mirrors the reference's flagship benchmark (BASELINE.md: MovieLens10M,
+k=50, 15 ALS-CG iterations with biases -> 13.64 s on a Ryzen 2700 /
+OpenBLAS, RMSE 0.788).  No datasets ship in this environment, so the data
+is synthetic with ML10M's exact shape (69878 x 10677, 10**7 ratings) and a
+power-law degree profile; timing is steady-state (post-compile), matching
+how the C library's number excludes its own one-time costs (compilation at
+package build time).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+BASELINE_S = 13.64  # benchmark/README.md:25 — ALS-CG k=50 biases, Python
+
+
+def make_ml10m_shaped(seed=0, m=69878, n=10677, nnz=10_000_054):
+    rng = np.random.default_rng(seed)
+    # Power-law item popularity and user activity (ML10M-like profile).
+    item_p = (1.0 / np.arange(1, n + 1) ** 0.8)
+    item_p /= item_p.sum()
+    user_p = (1.0 / np.arange(1, m + 1) ** 0.55)
+    user_p /= user_p.sum()
+    rows = rng.choice(m, size=int(nnz * 1.25), p=user_p)
+    cols = rng.choice(n, size=int(nnz * 1.25), p=item_p)
+    pairs = rows.astype(np.int64) * n + cols
+    pairs = np.unique(pairs)
+    rng.shuffle(pairs)
+    pairs = pairs[:nnz]
+    rows = (pairs // n).astype(np.int64)
+    cols = (pairs % n).astype(np.int64)
+    k_true = 12
+    A = rng.normal(size=(m, k_true)).astype(np.float32) * 0.35
+    B = rng.normal(size=(n, k_true)).astype(np.float32) * 0.35
+    bA = (rng.normal(size=m) * 0.4).astype(np.float32)
+    bB = (rng.normal(size=n) * 0.4).astype(np.float32)
+    vals = (
+        3.5
+        + bA[rows]
+        + bB[cols]
+        + np.einsum("nk,nk->n", A[rows], B[cols])
+        + 0.7 * rng.normal(size=rows.size).astype(np.float32)
+    )
+    vals = np.clip(np.round(vals * 2) / 2, 0.5, 5.0)
+    return rows, cols, vals.astype(np.float64)
+
+
+def main():
+    t_setup = time.time()
+    from cmfrec_tpu.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    m, n = 69878, 10677
+    rows, cols, vals = make_ml10m_shaped()
+    test = np.random.default_rng(1).uniform(size=rows.size) < 0.05
+    tr = ~test
+    print(f"data ready in {time.time() - t_setup:.1f}s nnz={rows.size}",
+          file=sys.stderr)
+
+    kwargs = dict(
+        k=50, lambda_=0.05, scale_lam=True, niter=15, use_cg=True,
+        max_cg_steps=3, finalize_chol=True, user_bias=True, item_bias=True,
+        center=True, dtype=np.float32, verbose=False,
+    )
+
+    # Warm-up pass: pays all XLA compiles for this data's bucket shapes.
+    t0 = time.time()
+    fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n, **kwargs)
+    warm = time.time() - t0
+    print(f"warm-up fit (incl. compile): {warm:.2f}s", file=sys.stderr)
+
+    # Steady-state timed run.
+    t0 = time.time()
+    res = fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n, **kwargs)
+    elapsed = time.time() - t0
+
+    pred = (
+        res["glob_mean"]
+        + res["biasA"][rows[test]]
+        + res["biasB"][cols[test]]
+        + np.einsum("nk,nk->n", res["A"][rows[test]], res["B"][cols[test]])
+    )
+    rmse = float(np.sqrt(np.mean((pred - vals[test]) ** 2)))
+    print(f"fit: {elapsed:.2f}s  heldout RMSE: {rmse:.4f}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ml10m_shaped_explicit_als_cg_k50_15iter_fit_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / elapsed, 3),
+        "extra": {"heldout_rmse": round(rmse, 5), "warmup_s": round(warm, 2),
+                  "nnz": int(tr.sum())},
+    }))
+
+
+if __name__ == "__main__":
+    main()

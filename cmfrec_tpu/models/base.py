@@ -1,0 +1,325 @@
+"""Shared model-API plumbing: parameter handling, input ingestion with ID
+reindexing, and prediction/ranking entry points.
+
+Mirrors the reference's `_CMF` base (/root/reference/cmfrec/__init__.py:25):
+pandas DataFrames with arbitrary Id columns are reindexed via categorical
+codes (`_convert_ids`, __init__.py:378); SciPy sparse and dense NumPy inputs
+pass through with positional indices.  Fitted attributes use the reference's
+names (A_, B_, C_, D_, user_bias_, item_bias_, glob_mean_, user_mapping_,
+item_mapping_, is_fitted_) so downstream code can switch frameworks without
+renaming.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import resolve_dtype
+from ..ops import predict as predict_ops
+
+
+def _is_df(x):
+    try:
+        import pandas as pd
+
+        return isinstance(x, pd.DataFrame)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _is_sparse(x):
+    return hasattr(x, "tocoo") and hasattr(x, "shape")
+
+
+class _BaseModel:
+    """sklearn-style base: set_params/get_params, ingestion, prediction."""
+
+    _non_param_attrs = ("is_fitted_",)
+
+    def __repr__(self):
+        return f"{self.__class__.__name__}({'fitted' if getattr(self, 'is_fitted_', False) else 'unfitted'})"
+
+    __str__ = __repr__
+
+    def get_params(self, deep=True):
+        return {
+            k: v
+            for k, v in self.__dict__.items()
+            if not k.endswith("_") and not k.startswith("_")
+        }
+
+    def set_params(self, **params):
+        if getattr(self, "is_fitted_", False):
+            raise ValueError(
+                "Cannot change parameters after the model has been fit."
+            )
+        for k, v in params.items():
+            if not hasattr(self, k):
+                raise ValueError(f"Invalid parameter: {k}")
+            setattr(self, k, v)
+        return self
+
+    # ------------------------------------------------------------------ #
+    # input ingestion                                                     #
+    # ------------------------------------------------------------------ #
+
+    def _reset(self):
+        self.A_ = None
+        self.B_ = None
+        self.C_ = None
+        self.D_ = None
+        self.Ai_ = None
+        self.Bi_ = None
+        self.C_bias_ = None
+        self.D_bias_ = None
+        self.user_bias_ = None
+        self.item_bias_ = None
+        self.glob_mean_ = 0.0
+        self.U_colmeans_ = None
+        self.I_colmeans_ = None
+        self.user_mapping_ = np.array([], dtype=object)
+        self.item_mapping_ = np.array([], dtype=object)
+        self.reindex_ = False
+        self.is_fitted_ = False
+        self.nfev_ = None
+        self.niter_ = None
+        self._precomputed = {}
+
+    def _ingest_X(self, X, W=None):
+        """X as DataFrame(UserId, ItemId, Rating[, Weight]) / scipy sparse /
+        dense ndarray (NaN = missing) -> COO triplets + dims + mappings."""
+        if _is_df(X):
+            import pandas as pd
+
+            need = {"UserId", "ItemId"}
+            if not need.issubset(X.columns):
+                raise ValueError("X DataFrame needs UserId and ItemId columns")
+            ucodes, umap = pd.factorize(X["UserId"], use_na_sentinel=False)
+            icodes, imap = pd.factorize(X["ItemId"], use_na_sentinel=False)
+            self.user_mapping_ = np.asarray(umap)
+            self.item_mapping_ = np.asarray(imap)
+            self.reindex_ = True
+            val_col = "Rating" if "Rating" in X.columns else (
+                "Value" if "Value" in X.columns else "Count"
+            )
+            if val_col not in X.columns:
+                raise ValueError("X DataFrame needs a Rating/Value/Count column")
+            vals = X[val_col].to_numpy(np.float64)
+            wgt = (
+                X["Weight"].to_numpy(np.float64) if "Weight" in X.columns else None
+            )
+            if W is not None:
+                wgt = np.asarray(W, np.float64).ravel()
+            return (
+                ucodes.astype(np.int64),
+                icodes.astype(np.int64),
+                vals,
+                wgt,
+                len(umap),
+                len(imap),
+            )
+        if _is_sparse(X):
+            coo = X.tocoo()
+            wgt = None
+            if W is not None:
+                wgt = W.tocoo().data if _is_sparse(W) else np.asarray(W).ravel()
+            self.reindex_ = False
+            return (
+                coo.row.astype(np.int64),
+                coo.col.astype(np.int64),
+                coo.data.astype(np.float64),
+                wgt,
+                X.shape[0],
+                X.shape[1],
+            )
+        X = np.asarray(X, np.float64)
+        if X.ndim != 2:
+            raise ValueError("X must be 2-dimensional")
+        mask = ~np.isnan(X)
+        rows, cols = np.nonzero(mask)
+        vals = X[rows, cols]
+        wgt = None
+        if W is not None:
+            W = np.asarray(W, np.float64)
+            wgt = W[rows, cols] if W.ndim == 2 else W.ravel()
+        self.reindex_ = False
+        return rows, cols, vals, wgt, X.shape[0], X.shape[1]
+
+    def _ingest_side(self, U, mapping, n_main, name="U"):
+        """Side-info matrix: DataFrame with an Id column, sparse, or dense.
+
+        Returns (rows, cols, vals, n_rows, n_cols, is_dense, dense_mat).
+        Rows are aligned to the main matrix's id space; side-info may add
+        extra rows beyond n_main (cold-start entities, m_u > m in the
+        reference, /root/reference/src/collective.c:7263 signature).
+        """
+        if U is None:
+            return None
+        if _is_df(U):
+            import pandas as pd
+
+            id_col = f"{name}serId" if name == "U" else "ItemId"
+            id_col = "UserId" if name == "U" else "ItemId"
+            if id_col in U.columns:
+                if self.reindex_:
+                    codes = pd.Categorical(U[id_col], mapping).codes.astype(np.int64)
+                    if (codes < 0).any():
+                        # ids not present in X get appended after n_main
+                        raise ValueError(
+                            f"{name} contains ids not present in X; "
+                            "pass all ids in X or use positional inputs"
+                        )
+                else:
+                    codes = U[id_col].to_numpy(np.int64)
+                feat = U.drop(columns=[id_col]).to_numpy(np.float64)
+                dense = np.full((n_main, feat.shape[1]), np.nan)
+                dense[codes] = feat
+                return self._side_from_dense(dense)
+            U = U.to_numpy(np.float64)
+        if _is_sparse(U):
+            coo = U.tocoo()
+            return (
+                coo.row.astype(np.int64),
+                coo.col.astype(np.int64),
+                coo.data.astype(np.float64),
+                U.shape[0],
+                U.shape[1],
+                False,
+                None,
+            )
+        return self._side_from_dense(np.asarray(U, np.float64))
+
+    @staticmethod
+    def _side_from_dense(U):
+        if np.isnan(U).any():
+            rows, cols = np.nonzero(~np.isnan(U))
+            return rows, cols, U[rows, cols], U.shape[0], U.shape[1], False, None
+        rows, cols = None, None
+        return None, None, None, U.shape[0], U.shape[1], True, U
+
+    # ------------------------------------------------------------------ #
+    # id mapping                                                          #
+    # ------------------------------------------------------------------ #
+
+    def _map_ids(self, ids, mapping, kind="user"):
+        ids = np.asarray(ids)
+        scalar = ids.ndim == 0
+        ids = np.atleast_1d(ids)
+        if self.reindex_:
+            import pandas as pd
+
+            codes = pd.Categorical(ids, mapping).codes.astype(np.int64)
+            if (codes < 0).any():
+                raise ValueError(f"unknown {kind} id(s): {ids[codes < 0][:5]}")
+        else:
+            codes = ids.astype(np.int64)
+        return (codes[0] if scalar else codes), scalar
+
+    def _unmap_items(self, idx):
+        if self.reindex_:
+            return self.item_mapping_[idx]
+        return idx
+
+    # ------------------------------------------------------------------ #
+    # prediction surface                                                  #
+    # ------------------------------------------------------------------ #
+
+    @property
+    def _xA(self):
+        """A columns that participate in X (strips k_user)."""
+        ku = getattr(self, "k_user", 0)
+        return self.A_[:, ku:] if ku else self.A_
+
+    @property
+    def _xB(self):
+        ki = getattr(self, "k_item", 0)
+        return self.B_[:, ki:] if ki else self.B_
+
+    def predict(self, user, item):
+        """Predict X[user, item] for arrays or scalars of ids
+        (reference: /root/reference/cmfrec/__init__.py:1183)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        u, scalar_u = self._map_ids(user, self.user_mapping_, "user")
+        i, scalar_i = self._map_ids(item, self.item_mapping_, "item")
+        u = np.atleast_1d(u)
+        i = np.atleast_1d(i)
+        if u.size == 1 and i.size > 1:
+            u = np.repeat(u, i.size)
+        if i.size == 1 and u.size > 1:
+            i = np.repeat(i, u.size)
+        p = predict_ops.predict_pairs(
+            self._xA, self._xB, u, i,
+            self.user_bias_, self.item_bias_, self.glob_mean_,
+        )
+        p = np.asarray(p)
+        return float(p[0]) if (scalar_u and scalar_i) else p
+
+    def topN(self, user, n=10, include=None, exclude=None, output_score=False):
+        """Top-N highest-predicted items for an existing user
+        (reference: /root/reference/cmfrec/__init__.py:1355)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        a_vec = self._xA[int(u)]
+        a_bias = float(self.user_bias_[int(u)]) if self.user_bias_ is not None else 0.0
+        return self._topN_vec(a_vec, a_bias, n, include, exclude, output_score)
+
+    def _topN_vec(self, a_vec, a_bias, n, include, exclude, output_score):
+        if include is not None:
+            include, _ = self._map_ids(include, self.item_mapping_, "item")
+            include = np.atleast_1d(include)
+        if exclude is not None:
+            exclude, _ = self._map_ids(exclude, self.item_mapping_, "item")
+            exclude = np.atleast_1d(exclude)
+        idx, scores = predict_ops.topn(
+            a_vec, self._xB, n, self.item_bias_, self.glob_mean_, a_bias,
+            include, exclude,
+        )
+        items = self._unmap_items(idx)
+        return (items, scores) if output_score else items
+
+    # ------------------------------------------------------------------ #
+    # model-matrix utilities                                              #
+    # ------------------------------------------------------------------ #
+
+    def swap_users_and_items(self, precompute=True):
+        """Return a clone with users and items exchanged
+        (reference: /root/reference/cmfrec/__init__.py:2165)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        import copy
+
+        new = copy.deepcopy(self)
+        new.A_, new.B_ = self.B_, self.A_
+        new.C_, new.D_ = self.D_, self.C_
+        new.Ai_, new.Bi_ = self.Bi_, self.Ai_
+        new.user_bias_, new.item_bias_ = self.item_bias_, self.user_bias_
+        new.user_mapping_, new.item_mapping_ = (
+            self.item_mapping_,
+            self.user_mapping_,
+        )
+        new.U_colmeans_, new.I_colmeans_ = self.I_colmeans_, self.U_colmeans_
+        for a, b in (("k_user", "k_item"), ("w_user", "w_item"),
+                     ("user_bias", "item_bias"), ("NA_as_zero_user", "NA_as_zero_item"),
+                     ("nonneg_C", "nonneg_D"), ("center_U", "center_I")):
+            if hasattr(new, a) and hasattr(new, b):
+                va, vb = getattr(self, a), getattr(self, b)
+                setattr(new, a, vb)
+                setattr(new, b, va)
+        new._precomputed = {}
+        if precompute and hasattr(new, "force_precompute_for_predictions"):
+            try:
+                new.force_precompute_for_predictions()
+            except Exception:
+                pass
+        return new
+
+    def drop_nonessential_matrices(self, drop_precomputed=True):
+        """Free matrices not needed for predict()/topN() on existing users
+        (reference: /root/reference/cmfrec/__init__.py:2366)."""
+        if drop_precomputed:
+            self._precomputed = {}
+        return self

@@ -1,0 +1,582 @@
+"""CMF and CMF_implicit — the flagship model classes.
+
+API-compatible with the reference's classes of the same names
+(/root/reference/cmfrec/__init__.py:2446 CMF, :4358 CMF_implicit): same
+constructor hyperparameters, same fitted attributes, same
+fit/predict/topN/factors_warm/factors_cold surface.  The fitting engine is
+the TPU ALS driver (solvers/drivers.py, solvers/collective.py) rather than
+the reference's OpenMP C core.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import resolve_dtype
+from ..solvers import drivers
+from ..solvers.warm import factors_explicit_batch, factors_implicit_batch
+from .base import _BaseModel
+
+
+class CMF(_BaseModel):
+    """Collective matrix factorization with explicit feedback.
+
+    Model: X ~ A B^T (+ biases + mean), U ~ A C^T, I ~ B D^T
+    (/root/reference/cmfrec/__init__.py:2446-2881).
+    """
+
+    def __init__(self, k=40, lambda_=1e1, method="als", use_cg=True,
+                 user_bias=True, item_bias=True, center=True,
+                 add_implicit_features=False,
+                 scale_lam=False, scale_lam_sideinfo=False,
+                 scale_bias_const=False,
+                 k_user=0, k_item=0, k_main=0,
+                 w_main=1.0, w_user=1.0, w_item=1.0, w_implicit=0.5,
+                 l1_lambda=0.0, center_U=True, center_I=True,
+                 maxiter=800, niter=10, parallelize="separate", corr_pairs=4,
+                 max_cg_steps=3, precondition_cg=False, finalize_chol=True,
+                 NA_as_zero=False, NA_as_zero_user=False, NA_as_zero_item=False,
+                 nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
+                 precompute_for_predictions=True, include_all_X=True,
+                 use_float=True,
+                 random_state=1, verbose=False, print_every=10,
+                 handle_interrupt=True, produce_dicts=False,
+                 nthreads=-1, n_jobs=None):
+        self.k = k
+        self.lambda_ = lambda_
+        self.method = method
+        self.use_cg = use_cg
+        self.user_bias = user_bias
+        self.item_bias = item_bias
+        self.center = center
+        self.add_implicit_features = add_implicit_features
+        self.scale_lam = scale_lam
+        self.scale_lam_sideinfo = scale_lam_sideinfo
+        self.scale_bias_const = scale_bias_const
+        self.k_user = k_user
+        self.k_item = k_item
+        self.k_main = k_main
+        self.w_main = w_main
+        self.w_user = w_user
+        self.w_item = w_item
+        self.w_implicit = w_implicit
+        self.l1_lambda = l1_lambda
+        self.center_U = center_U
+        self.center_I = center_I
+        self.maxiter = maxiter
+        self.niter = niter
+        self.parallelize = parallelize
+        self.corr_pairs = corr_pairs
+        self.max_cg_steps = max_cg_steps
+        self.precondition_cg = precondition_cg
+        self.finalize_chol = finalize_chol
+        self.NA_as_zero = NA_as_zero
+        self.NA_as_zero_user = NA_as_zero_user
+        self.NA_as_zero_item = NA_as_zero_item
+        self.nonneg = nonneg
+        self.nonneg_C = nonneg_C
+        self.nonneg_D = nonneg_D
+        self.max_cd_steps = max_cd_steps
+        self.precompute_for_predictions = precompute_for_predictions
+        self.include_all_X = include_all_X
+        self.use_float = use_float
+        self.random_state = random_state
+        self.verbose = verbose
+        self.print_every = print_every
+        self.handle_interrupt = handle_interrupt
+        self.produce_dicts = produce_dicts
+        self.nthreads = nthreads
+        self.n_jobs = n_jobs
+        self.is_fitted_ = False
+
+    # ------------------------------------------------------------------ #
+
+    def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None):
+        """Fit to explicit-feedback data (reference:
+        /root/reference/cmfrec/__init__.py:3066)."""
+        self._reset()
+        self.dtype_ = resolve_dtype(self.use_float)
+        rows, cols, vals, wgt, m, n = self._ingest_X(X, W)
+        if (U_bin is not None or I_bin is not None) and self.method != "lbfgs":
+            raise ValueError("Binary side info requires method='lbfgs'")
+        if self.method == "lbfgs":
+            return self._fit_lbfgs(rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin)
+
+        if U is None and I is None and not self.add_implicit_features \
+                and self.k_user == 0 and self.k_item == 0 and self.k_main == 0:
+            res = drivers.fit_explicit_als(
+                rows, cols, vals, m, n,
+                k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
+                niter=self.niter, use_cg=self.use_cg,
+                max_cg_steps=self.max_cg_steps, finalize_chol=self.finalize_chol,
+                user_bias=self.user_bias, item_bias=self.item_bias,
+                center=self.center, scale_lam=self.scale_lam,
+                scale_bias_const=self.scale_bias_const,
+                NA_as_zero=self.NA_as_zero, nonneg=self.nonneg,
+                max_cd_steps=self.max_cd_steps, weights=wgt,
+                dtype=self.dtype_, seed=self.random_state,
+                verbose=self.verbose,
+            )
+        else:
+            from ..solvers.collective import fit_collective_explicit_als
+
+            side_U = self._ingest_side(U, self.user_mapping_, m, "U")
+            side_I = self._ingest_side(I, self.item_mapping_, n, "I")
+            res = fit_collective_explicit_als(
+                rows, cols, vals, m, n,
+                side_U=side_U, side_I=side_I,
+                k=self.k, k_user=self.k_user, k_item=self.k_item,
+                k_main=self.k_main,
+                lambda_=self.lambda_, l1_lambda=self.l1_lambda,
+                w_main=self.w_main, w_user=self.w_user, w_item=self.w_item,
+                w_implicit=self.w_implicit,
+                add_implicit_features=self.add_implicit_features,
+                niter=self.niter, use_cg=self.use_cg,
+                max_cg_steps=self.max_cg_steps, finalize_chol=self.finalize_chol,
+                user_bias=self.user_bias, item_bias=self.item_bias,
+                center=self.center, center_U=self.center_U,
+                center_I=self.center_I,
+                scale_lam=self.scale_lam,
+                scale_lam_sideinfo=self.scale_lam_sideinfo,
+                scale_bias_const=self.scale_bias_const,
+                NA_as_zero=self.NA_as_zero,
+                NA_as_zero_user=self.NA_as_zero_user,
+                NA_as_zero_item=self.NA_as_zero_item,
+                nonneg=self.nonneg, nonneg_C=self.nonneg_C,
+                nonneg_D=self.nonneg_D, max_cd_steps=self.max_cd_steps,
+                weights=wgt, dtype=self.dtype_, seed=self.random_state,
+                verbose=self.verbose,
+            )
+            self.C_ = res.get("C")
+            self.D_ = res.get("D")
+            self.Ai_ = res.get("Ai")
+            self.Bi_ = res.get("Bi")
+            self.U_colmeans_ = res.get("U_colmeans")
+            self.I_colmeans_ = res.get("I_colmeans")
+
+        self.A_ = res["A"]
+        self.B_ = res["B"]
+        self.user_bias_ = res["biasA"]
+        self.item_bias_ = res["biasB"]
+        self.glob_mean_ = res["glob_mean"]
+        self.is_fitted_ = True
+        self.niter_ = self.niter
+        return self
+
+    def _fit_lbfgs(self, rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin):
+        from ..solvers.lbfgs import fit_collective_explicit_lbfgs
+
+        side_U = self._ingest_side(U, self.user_mapping_, m, "U")
+        side_I = self._ingest_side(I, self.item_mapping_, n, "I")
+        side_Ub = self._ingest_side(U_bin, self.user_mapping_, m, "U")
+        side_Ib = self._ingest_side(I_bin, self.item_mapping_, n, "I")
+        res = fit_collective_explicit_lbfgs(
+            rows, cols, vals, m, n,
+            side_U=side_U, side_I=side_I, side_Ub=side_Ub, side_Ib=side_Ib,
+            k=self.k, k_user=self.k_user, k_item=self.k_item,
+            k_main=self.k_main,
+            lambda_=self.lambda_,
+            w_main=self.w_main, w_user=self.w_user, w_item=self.w_item,
+            user_bias=self.user_bias, item_bias=self.item_bias,
+            center=self.center, center_U=self.center_U, center_I=self.center_I,
+            maxiter=self.maxiter, corr_pairs=self.corr_pairs,
+            weights=wgt, dtype=self.dtype_, seed=self.random_state,
+            verbose=self.verbose, print_every=self.print_every,
+        )
+        self.A_ = res["A"]
+        self.B_ = res["B"]
+        self.C_ = res.get("C")
+        self.D_ = res.get("D")
+        self.Cb_ = res.get("Cb")
+        self.Db_ = res.get("Db")
+        self.user_bias_ = res["biasA"]
+        self.item_bias_ = res["biasB"]
+        self.glob_mean_ = res["glob_mean"]
+        self.U_colmeans_ = res.get("U_colmeans")
+        self.I_colmeans_ = res.get("I_colmeans")
+        self.nfev_ = res.get("nfev")
+        self.niter_ = res.get("niter")
+        self.is_fitted_ = True
+        return self
+
+    # ------------------------------------------------------------------ #
+    # warm / cold factors                                                 #
+    # ------------------------------------------------------------------ #
+
+    def factors_warm(self, X=None, X_col=None, X_val=None, W=None,
+                     U=None, U_bin=None, U_col=None, U_val=None,
+                     return_bias=False):
+        """Latent factors for a new user given interactions (reference:
+        /root/reference/cmfrec/__init__.py:3568)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        cols, vals, wgt = self._new_row_X(X, X_col, X_val, W)
+        a, bias = factors_explicit_batch(
+            self, cols[None, :], vals[None, :],
+            None if wgt is None else wgt[None, :],
+            np.array([len(cols)], np.int64),
+            U=self._new_row_U(U, U_col, U_val),
+        )
+        a, bias = a[0], float(bias[0])
+        return (a, bias) if return_bias else a
+
+    def factors_cold(self, U=None, U_bin=None, U_col=None, U_val=None):
+        """Factors from side info only (reference:
+        /root/reference/cmfrec/__init__.py:3398)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        if self.C_ is None:
+            raise ValueError("Model was fit without user side info")
+        u_vec = self._new_row_U(U, U_col, U_val)
+        a, _ = factors_explicit_batch(
+            self, np.zeros((1, 0), np.int64), np.zeros((1, 0)),
+            None, np.zeros(1, np.int64), U=u_vec,
+        )
+        return a[0]
+
+    def _new_row_X(self, X, X_col, X_val, W):
+        if X is not None:
+            X = np.asarray(X, np.float64).ravel()
+            cols = np.nonzero(~np.isnan(X))[0]
+            vals = X[cols]
+            wgt = None if W is None else np.asarray(W, np.float64).ravel()[cols]
+        else:
+            cols, _ = self._map_ids(np.asarray(X_col), self.item_mapping_, "item")
+            cols = np.atleast_1d(cols)
+            vals = np.asarray(X_val, np.float64).ravel()
+            wgt = None if W is None else np.asarray(W, np.float64).ravel()
+        return cols.astype(np.int64), vals, wgt
+
+    def _new_row_U(self, U, U_col, U_val):
+        if U is None and U_col is None:
+            return None
+        if U is not None:
+            return np.asarray(U, np.float64).ravel()[None, :]
+        p = self.C_.shape[0]
+        u = np.full(p, np.nan)
+        u[np.asarray(U_col, np.int64)] = np.asarray(U_val, np.float64)
+        return u[None, :]
+
+    def predict_warm(self, items, X=None, X_col=None, X_val=None, W=None,
+                     U=None, U_bin=None, U_col=None, U_val=None):
+        a, bias = self.factors_warm(
+            X=X, X_col=X_col, X_val=X_val, W=W, U=U, U_bin=U_bin,
+            U_col=U_col, U_val=U_val, return_bias=True,
+        )
+        i, _ = self._map_ids(items, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        ku = self.k_user
+        B = self._xB
+        p = B[i] @ a[ku:] + self.glob_mean_ + bias
+        if self.item_bias_ is not None:
+            p = p + self.item_bias_[i]
+        return p
+
+    def topN_warm(self, n=10, X=None, X_col=None, X_val=None, W=None,
+                  U=None, U_bin=None, U_col=None, U_val=None,
+                  include=None, exclude=None, output_score=False):
+        a, bias = self.factors_warm(
+            X=X, X_col=X_col, X_val=X_val, W=W, U=U, U_bin=U_bin,
+            U_col=U_col, U_val=U_val, return_bias=True,
+        )
+        return self._topN_vec(a[self.k_user:], bias, n, include, exclude,
+                              output_score)
+
+    def topN_cold(self, n=10, U=None, U_bin=None, U_col=None, U_val=None,
+                  include=None, exclude=None, output_score=False):
+        a = self.factors_cold(U=U, U_bin=U_bin, U_col=U_col, U_val=U_val)
+        return self._topN_vec(a[self.k_user:], 0.0, n, include, exclude,
+                              output_score)
+
+    def predict_cold(self, items, U=None, U_bin=None, U_col=None, U_val=None):
+        a = self.factors_cold(U=U, U_bin=U_bin, U_col=U_col, U_val=U_val)
+        i, _ = self._map_ids(items, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        p = self._xB[i] @ a[self.k_user:] + self.glob_mean_
+        if self.item_bias_ is not None:
+            p = p + self.item_bias_[i]
+        return p
+
+    def factors_multiple(self, X=None, U=None, U_bin=None, W=None,
+                         return_bias=False):
+        """Warm factors for many new users at once (reference:
+        /root/reference/cmfrec/__init__.py:3706)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        rows, cols, vals, wgt, m_new, _ = self._ingest_X(X, W) if X is not None \
+            else (None, None, None, None, (np.asarray(U).shape[0] if U is not None else 0), None)
+        if X is not None:
+            order = np.argsort(rows, kind="stable")
+            rows, cols, vals = rows[order], cols[order], vals[order]
+            if wgt is not None:
+                wgt = wgt[order]
+            counts = np.bincount(rows, minlength=m_new)
+            L = max(int(counts.max()), 1)
+            idx = np.zeros((m_new, L), np.int64)
+            vv = np.zeros((m_new, L))
+            ww = np.zeros((m_new, L)) if wgt is not None else None
+            pos = np.concatenate([[0], np.cumsum(counts)])
+            for r in range(m_new):
+                s, e = pos[r], pos[r + 1]
+                idx[r, : e - s] = cols[s:e]
+                vv[r, : e - s] = vals[s:e]
+                if ww is not None:
+                    ww[r, : e - s] = wgt[s:e]
+        else:
+            counts = np.zeros(m_new, np.int64)
+            idx = np.zeros((m_new, 0), np.int64)
+            vv = np.zeros((m_new, 0))
+            ww = None
+        a, bias = factors_explicit_batch(
+            self, idx, vv, ww, counts.astype(np.int64),
+            U=np.asarray(U, np.float64) if U is not None else None,
+        )
+        return (a, bias) if return_bias else a
+
+    def transform(self, X=None, y=None, U=None, U_bin=None, W=None,
+                  replace_existing=False):
+        """Impute missing X for new rows (sklearn-style; reference:
+        /root/reference/cmfrec/__init__.py:4027)."""
+        X = np.asarray(X, np.float64)
+        a, bias = self.factors_multiple(X=X, U=U, U_bin=U_bin, W=W,
+                                        return_bias=True)
+        pred = a[:, self.k_user:] @ self._xB.T + self.glob_mean_
+        pred = pred + bias[:, None]
+        if self.item_bias_ is not None:
+            pred = pred + self.item_bias_[None, :]
+        if replace_existing:
+            return pred
+        out = X.copy()
+        nanmask = np.isnan(out)
+        out[nanmask] = pred[nanmask]
+        return out
+
+    def force_precompute_for_predictions(self):
+        from ..solvers.warm import build_precomputed
+
+        self._precomputed = build_precomputed(self)
+        return self
+
+    @staticmethod
+    def from_model_matrices(A, B, glob_mean=0.0, precompute=True,
+                            user_bias=None, item_bias=None,
+                            lambda_=1e1, scale_lam=False, l1_lambda=0.0,
+                            nonneg=False, NA_as_zero=False,
+                            scaling_biasA=None, scaling_biasB=None,
+                            use_float=True, nthreads=-1, n_jobs=None):
+        """Build a predict-capable CMF from existing factor matrices
+        (reference: /root/reference/cmfrec/__init__.py:4186)."""
+        A = np.asarray(A)
+        B = np.asarray(B)
+        if A.shape[1] != B.shape[1]:
+            raise ValueError("A and B must have the same number of columns")
+        model = CMF(k=A.shape[1], lambda_=lambda_, scale_lam=scale_lam,
+                    l1_lambda=l1_lambda, nonneg=nonneg, NA_as_zero=NA_as_zero,
+                    user_bias=user_bias is not None,
+                    item_bias=item_bias is not None, use_float=use_float)
+        model._reset()
+        model.dtype_ = resolve_dtype(use_float)
+        model.A_ = A.astype(model.dtype_)
+        model.B_ = B.astype(model.dtype_)
+        model.user_bias_ = None if user_bias is None else np.asarray(user_bias)
+        model.item_bias_ = None if item_bias is None else np.asarray(item_bias)
+        model.glob_mean_ = float(glob_mean)
+        model.is_fitted_ = True
+        if precompute:
+            model.force_precompute_for_predictions()
+        return model
+
+
+class CMF_implicit(_BaseModel):
+    """Implicit-feedback WRMF/iALS with optional side info (reference:
+    /root/reference/cmfrec/__init__.py:4358)."""
+
+    def __init__(self, k=50, lambda_=1e0, alpha=1.0, use_cg=True,
+                 k_user=0, k_item=0, k_main=0,
+                 w_main=1.0, w_user=1.0, w_item=1.0,
+                 l1_lambda=0.0, center_U=True, center_I=True,
+                 niter=10, max_cg_steps=3, precondition_cg=False,
+                 finalize_chol=False,
+                 NA_as_zero_user=False, NA_as_zero_item=False,
+                 nonneg=False, nonneg_C=False, nonneg_D=False,
+                 max_cd_steps=100,
+                 apply_log_transf=False, downweight=False,
+                 precompute_for_predictions=True,
+                 use_float=True, random_state=1, verbose=False,
+                 print_every=10, handle_interrupt=True, produce_dicts=False,
+                 nthreads=-1, n_jobs=None):
+        self.k = k
+        self.lambda_ = lambda_
+        self.alpha = alpha
+        self.use_cg = use_cg
+        self.k_user = k_user
+        self.k_item = k_item
+        self.k_main = k_main
+        self.w_main = w_main
+        self.w_user = w_user
+        self.w_item = w_item
+        self.l1_lambda = l1_lambda
+        self.center_U = center_U
+        self.center_I = center_I
+        self.niter = niter
+        self.max_cg_steps = max_cg_steps
+        self.precondition_cg = precondition_cg
+        self.finalize_chol = finalize_chol
+        self.NA_as_zero_user = NA_as_zero_user
+        self.NA_as_zero_item = NA_as_zero_item
+        self.nonneg = nonneg
+        self.nonneg_C = nonneg_C
+        self.nonneg_D = nonneg_D
+        self.max_cd_steps = max_cd_steps
+        self.apply_log_transf = apply_log_transf
+        self.downweight = downweight
+        self.precompute_for_predictions = precompute_for_predictions
+        self.use_float = use_float
+        self.random_state = random_state
+        self.verbose = verbose
+        self.print_every = print_every
+        self.handle_interrupt = handle_interrupt
+        self.produce_dicts = produce_dicts
+        self.nthreads = nthreads
+        self.n_jobs = n_jobs
+        self.is_fitted_ = False
+
+    def fit(self, X, U=None, I=None):
+        """Fit to implicit-feedback data (reference:
+        /root/reference/cmfrec/__init__.py:4816)."""
+        self._reset()
+        self.dtype_ = resolve_dtype(self.use_float)
+        rows, cols, vals, _, m, n = self._ingest_X(X)
+        if U is None and I is None and self.k_user == 0 and self.k_item == 0 \
+                and self.k_main == 0:
+            res = drivers.fit_implicit_als(
+                rows, cols, vals, m, n,
+                k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
+                niter=self.niter, use_cg=self.use_cg,
+                max_cg_steps=self.max_cg_steps,
+                finalize_chol=self.finalize_chol,
+                alpha=self.alpha, apply_log_transf=self.apply_log_transf,
+                adjust_weight=self.downweight, nonneg=self.nonneg,
+                max_cd_steps=self.max_cd_steps, dtype=self.dtype_,
+                seed=self.random_state, verbose=self.verbose,
+            )
+        else:
+            from ..solvers.collective import fit_collective_implicit_als
+
+            side_U = self._ingest_side(U, self.user_mapping_, m, "U")
+            side_I = self._ingest_side(I, self.item_mapping_, n, "I")
+            res = fit_collective_implicit_als(
+                rows, cols, vals, m, n,
+                side_U=side_U, side_I=side_I,
+                k=self.k, k_user=self.k_user, k_item=self.k_item,
+                k_main=self.k_main,
+                lambda_=self.lambda_, l1_lambda=self.l1_lambda,
+                w_main=self.w_main, w_user=self.w_user, w_item=self.w_item,
+                alpha=self.alpha, apply_log_transf=self.apply_log_transf,
+                adjust_weight=self.downweight,
+                niter=self.niter, use_cg=self.use_cg,
+                max_cg_steps=self.max_cg_steps,
+                finalize_chol=self.finalize_chol,
+                center_U=self.center_U, center_I=self.center_I,
+                NA_as_zero_user=self.NA_as_zero_user,
+                NA_as_zero_item=self.NA_as_zero_item,
+                nonneg=self.nonneg, nonneg_C=self.nonneg_C,
+                nonneg_D=self.nonneg_D, max_cd_steps=self.max_cd_steps,
+                dtype=self.dtype_, seed=self.random_state,
+                verbose=self.verbose,
+            )
+            self.C_ = res.get("C")
+            self.D_ = res.get("D")
+            self.U_colmeans_ = res.get("U_colmeans")
+            self.I_colmeans_ = res.get("I_colmeans")
+        self.A_ = res["A"]
+        self.B_ = res["B"]
+        self.user_bias_ = None
+        self.item_bias_ = None
+        self.glob_mean_ = 0.0
+        self.w_main_multiplier_ = res.get("w_main_multiplier", 1.0)
+        self.is_fitted_ = True
+        return self
+
+    def factors_warm(self, X_col=None, X_val=None, U=None, U_col=None,
+                     U_val=None):
+        """WRMF factors for a new user (reference:
+        /root/reference/cmfrec/__init__.py:5231)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        cols, _ = self._map_ids(np.asarray(X_col), self.item_mapping_, "item")
+        cols = np.atleast_1d(cols).astype(np.int64)
+        vals = np.asarray(X_val, np.float64).ravel()
+        if self.apply_log_transf:
+            vals = np.log(vals)
+        a = factors_implicit_batch(
+            self, cols[None, :], vals[None, :],
+            np.array([len(cols)], np.int64),
+        )
+        return a[0]
+
+    def factors_cold(self, U=None, U_col=None, U_val=None):
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        if self.C_ is None:
+            raise ValueError("Model was fit without user side info")
+        from ..solvers.warm import factors_cold_implicit
+
+        if U is None:
+            p = self.C_.shape[0]
+            U = np.full(p, np.nan)
+            U[np.asarray(U_col, np.int64)] = np.asarray(U_val, np.float64)
+        return factors_cold_implicit(self, np.asarray(U, np.float64)[None, :])[0]
+
+    def topN_warm(self, n=10, X_col=None, X_val=None, U=None, U_col=None,
+                  U_val=None, include=None, exclude=None, output_score=False):
+        a = self.factors_warm(X_col=X_col, X_val=X_val, U=U, U_col=U_col,
+                              U_val=U_val)
+        return self._topN_vec(a[self.k_user:], 0.0, n, include, exclude,
+                              output_score)
+
+    def topN_cold(self, n=10, U=None, U_col=None, U_val=None,
+                  include=None, exclude=None, output_score=False):
+        a = self.factors_cold(U=U, U_col=U_col, U_val=U_val)
+        return self._topN_vec(a[self.k_user:], 0.0, n, include, exclude,
+                              output_score)
+
+    def predict_warm(self, items, X_col, X_val):
+        a = self.factors_warm(X_col=X_col, X_val=X_val)
+        i, _ = self._map_ids(items, self.item_mapping_, "item")
+        return self._xB[np.atleast_1d(i)] @ a[self.k_user:]
+
+    def predict_cold(self, items, U=None, U_col=None, U_val=None):
+        a = self.factors_cold(U=U, U_col=U_col, U_val=U_val)
+        i, _ = self._map_ids(items, self.item_mapping_, "item")
+        return self._xB[np.atleast_1d(i)] @ a[self.k_user:]
+
+    def force_precompute_for_predictions(self):
+        from ..solvers.warm import build_precomputed
+
+        self._precomputed = build_precomputed(self)
+        return self
+
+    @staticmethod
+    def from_model_matrices(A, B, precompute=True, lambda_=1e0,
+                            l1_lambda=0.0, nonneg=False, apply_log_transf=False,
+                            alpha=1.0, use_float=True, nthreads=-1, n_jobs=None):
+        A = np.asarray(A)
+        B = np.asarray(B)
+        if A.shape[1] != B.shape[1]:
+            raise ValueError("A and B must have the same number of columns")
+        model = CMF_implicit(k=A.shape[1], lambda_=lambda_, l1_lambda=l1_lambda,
+                             nonneg=nonneg, apply_log_transf=apply_log_transf,
+                             alpha=alpha, use_float=use_float)
+        model._reset()
+        model.dtype_ = resolve_dtype(use_float)
+        model.A_ = A.astype(model.dtype_)
+        model.B_ = B.astype(model.dtype_)
+        model.glob_mean_ = 0.0
+        model.w_main_multiplier_ = 1.0
+        model.is_fitted_ = True
+        if precompute:
+            model.force_precompute_for_predictions()
+        return model

@@ -89,7 +89,13 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
     (/root/reference/src/common.c:689-724): observation count, weight sum,
     or the full column count under NA-as-zero."""
     if mode == "na0":
-        return jnp.full(p.idx.shape[0], float(n_total), p.val.dtype)
+        if p.wgt is None:
+            return jnp.full(p.idx.shape[0], float(n_total), p.val.dtype)
+        # weighted NA-as-zero: wsum over observed + 1 per missing entry
+        # (/root/reference/src/common.c:708-710)
+        msk = length_mask(p.length, p.idx.shape[1]).astype(p.val.dtype)
+        wsum = jnp.sum(p.wgt * msk, axis=1)
+        return wsum + (float(n_total) - p.length.astype(p.val.dtype))
     msk = length_mask(p.length, p.idx.shape[1]).astype(p.val.dtype)
     if p.wgt is None:
         return p.length.astype(p.val.dtype)
@@ -124,6 +130,7 @@ def solve_bucket(
     max_cd_steps: int,
     scale_lam: bool,
     n_totals: tuple,  # static, per part: total column count (for na0 scaling)
+    scale_parts: tuple = (),  # static, per part: counts toward lam scaling
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -134,8 +141,12 @@ def solve_bucket(
 
     lam_mult = None
     if scale_lam:
+        if not scale_parts:
+            scale_parts = (True,) * len(parts)
         lam_mult = sum(
-            _lam_multiplier(p, m, nt) for p, m, nt in zip(parts, modes, n_totals)
+            _lam_multiplier(p, m, nt)
+            for p, m, nt, sc in zip(parts, modes, n_totals, scale_parts)
+            if sc
         )
         # Empty (or padding) rows would make the system singular; they are
         # zeroed below anyway (the reference's zero_out, common.c:676-681).
@@ -215,9 +226,10 @@ def update_side(
     G0: Optional[jax.Array] = None,
     r0_vec: Optional[jax.Array] = None,  # [K] shared rhs base
     r0_blocks: Optional[list] = None,  # per-bucket [R, K] rhs bases
-    side_parts: Optional[list] = None,  # per-bucket extra PartData (collective)
-    side_mode: str = "explicit",
-    side_n_total: int = 0,
+    extra_parts: Optional[list] = None,  # per bucket: list of
+    #   (PartData, mode, n_total, counts_toward_scale_lam) tuples
+    main_in_scale: bool = True,  # X part counts toward scale_lam multiplier
+    ones_val: bool = False,  # replace values with 1.0 (Xones implicit feats)
     lam_const_vec: Optional[jax.Array] = None,
     l1_vec: Optional[jax.Array] = None,
     method: str = "chol",
@@ -235,7 +247,7 @@ def update_side(
     for bi, b in enumerate(plan.bucketed.buckets):
         p_main = PartData(
             idx=b.idx,
-            val=b.val,
+            val=jnp.ones_like(b.val) if ones_val else b.val,
             length=b.length,
             wgt=b.wgt,
             opp=opp,
@@ -247,10 +259,13 @@ def update_side(
         parts = (p_main,)
         modes = (plan.mode,)
         n_totals = (plan.n_total,)
-        if side_parts is not None and side_parts[bi] is not None:
-            parts = parts + (side_parts[bi],)
-            modes = modes + (side_mode,)
-            n_totals = n_totals + (side_n_total,)
+        scale_parts = (main_in_scale,)
+        if extra_parts is not None:
+            for (pd, pmode, pn, psc) in extra_parts[bi]:
+                parts = parts + (pd,)
+                modes = modes + (pmode,)
+                n_totals = n_totals + (pn,)
+                scale_parts = scale_parts + (psc,)
         a_new = solve_bucket(
             parts,
             blocks[bi],
@@ -267,6 +282,7 @@ def update_side(
             max_cd_steps=max_cd_steps,
             scale_lam=scale_lam,
             n_totals=n_totals,
+            scale_parts=scale_parts,
         )
         new_blocks.append(a_new)
     return new_blocks

@@ -1,0 +1,792 @@
+"""Collective matrix factorization ALS drivers.
+
+The joint model (/root/reference/src/collective.c:78-355):
+
+    X[m,n]  ~  A[:, k_user:] . B[:, k_item:]^T   (+ biases + mean)
+    U[m,p]  ~  A[:, :k_user+k] . C^T             (weight w_user)
+    I[n,q]  ~  B[:, :k_item+k] . D^T             (weight w_item)
+    Xones   ~  A[:, k_user:] . Bi^T,  Xones^T ~ B[:, k_item:] . Ai^T
+                                                  (weight w_implicit)
+
+Each half-iteration solves one factor matrix against all others.  On TPU a
+row's system is assembled from sparse "parts" sharing one coordinate space
+(the reference's extended Be = [[0, Bs, Bm], [Cu, Cs, 0]] block matrix,
+/root/reference/src/collective.c:179-214): the X part occupies coords
+[k_user:], the U part coords [:k_user+k], the implicit-features part
+[k_user:], and the bias column the last coord.  Dense fully-observed side
+info contributes a shared Gram (CtC) plus a per-bucket dense rhs instead of
+a sparse part — the analog of the reference's whole-matrix fast path
+(/root/reference/src/collective.c:5118).
+
+Update order per iteration matches the reference
+(/root/reference/src/collective.c:8334-8860): C, D, Bi, Ai, B, A.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SOLVER_PRECISION
+from ..data.shards import BucketedRows, build_bucketed_rows
+from . import preprocess
+from .als import (
+    PartData,
+    SidePlan,
+    blocks_to_orig,
+    gram_matrix,
+    init_blocks,
+    update_side,
+)
+from .drivers import (
+    _ext_with_ones,
+    _ext_with_zeros,
+    _make_l1_vec,
+    _make_lam_vec,
+    _na0_rhs_base,
+    _resolve_lambdas,
+    _set_bias_coord,
+    round_up,
+)
+
+
+# --------------------------------------------------------------------- #
+# side-info preparation                                                  #
+# --------------------------------------------------------------------- #
+
+
+@dataclass
+class PreparedSide:
+    p: int  # number of features (columns of U)
+    n_ent: int  # number of entities (rows of U); may exceed the X dimension
+    na0: bool
+    colmeans: Optional[np.ndarray]
+    dense: Optional[np.ndarray]  # centered [n_ent, p] when fully observed
+    coo: Optional[tuple]  # (rows, cols, vals) — centered unless na0
+    feat_bucketed: Optional[BucketedRows]  # U^T bucketing, for the C update
+    aligned: Optional[list]  # per-main-bucket (idx, val, length) vs entities
+    mean_slices: Optional[list]  # per-feat-bucket colmean slices (na0+center)
+
+
+def prepare_side(side, center: bool, na0: bool, dtype) -> Optional[PreparedSide]:
+    """Normalize an ingested side-info matrix (see _BaseModel._ingest_side)."""
+    if side is None:
+        return None
+    rows, cols, vals, n_ent, p, is_dense, dense = side
+    colmeans = None
+    if is_dense:
+        dense = np.asarray(dense, np.float64)
+        if center:
+            colmeans = dense.mean(axis=0)
+            if na0:
+                # means count missing-as-zero entries; fully-dense => same
+                pass
+            dense = dense - colmeans[None, :]
+        return PreparedSide(
+            p=p, n_ent=n_ent, na0=na0, colmeans=colmeans,
+            dense=dense.astype(dtype), coo=None, feat_bucketed=None,
+            aligned=None, mean_slices=None,
+        )
+    vals = np.asarray(vals, np.float64)
+    if center:
+        centered, colmeans = preprocess.center_columns(
+            rows, cols, vals, p, na_as_zero=na0, n_rows=n_ent
+        )
+    else:
+        centered = vals
+    if na0:
+        # store RAW values; the na0 coefficient path subtracts colmeans via
+        # the opp_bias mechanism (see fit driver)
+        coo = (rows, cols, vals)
+    else:
+        coo = (rows, cols, centered)
+    return PreparedSide(
+        p=p, n_ent=n_ent, na0=na0, colmeans=colmeans, dense=None, coo=coo,
+        feat_bucketed=None, aligned=None, mean_slices=None,
+    )
+
+
+def build_aligned_parts(bucketed: BucketedRows, rows_s, cols_s, vals_s,
+                        n_ent: int, dtype):
+    """Pad a second sparse matrix's rows in the exact row order of an
+    existing bucketing (so the X part and the U part of one row system sit
+    in the same batch slot)."""
+    rows_s = np.asarray(rows_s, np.int64)
+    order = np.argsort(rows_s, kind="stable")
+    sc = np.asarray(cols_s, np.int64)[order]
+    sv = np.asarray(vals_s, np.float64)[order]
+    counts = np.bincount(rows_s, minlength=max(n_ent, bucketed.n_rows)).astype(np.int64)
+    indptr = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+
+    out = []
+    for b in bucketed.buckets:
+        ids = bucketed.row_of[b.start : b.start + b.n_rows]  # -1 for padding
+        valid = ids >= 0
+        ns = np.where(valid, counts[np.maximum(ids, 0)], 0)
+        L = round_up(max(int(ns.max()), 1), 8)
+        idx = np.zeros((b.n_rows, L), np.int32)
+        val = np.zeros((b.n_rows, L), dtype)
+        total = int(ns.sum())
+        if total:
+            starts = np.where(valid, indptr[np.maximum(ids, 0)], 0)
+            seg_off = np.repeat(np.cumsum(ns) - ns, ns)
+            within = np.arange(total, dtype=np.int64) - seg_off
+            src = np.repeat(starts, ns) + within
+            dest_r = np.repeat(np.arange(b.n_rows, dtype=np.int64), ns)
+            idx[dest_r, within] = sc[src]
+            val[dest_r, within] = sv[src]
+        out.append((jnp.asarray(idx), jnp.asarray(val), jnp.asarray(ns.astype(np.int32))))
+    return out
+
+
+def _bucket_dense_slices(bucketed: BucketedRows, M: np.ndarray, dtype):
+    """Per-bucket dense row slices of M (rows beyond M -> zeros)."""
+    out = []
+    n = M.shape[0]
+    for b in bucketed.buckets:
+        ids = bucketed.row_of[b.start : b.start + b.n_rows]
+        sl = np.zeros((b.n_rows, M.shape[1]), dtype)
+        valid = ids >= 0
+        in_range = valid & (ids < n)
+        sl[in_range] = M[ids[in_range]]
+        out.append(jnp.asarray(sl))
+    return out
+
+
+def _pad_cols(M, k_pad, offset, dtype):
+    """Place M's columns at [offset : offset+width] of a k_pad-wide matrix."""
+    out = jnp.zeros((M.shape[0], k_pad), dtype)
+    return out.at[:, offset : offset + M.shape[1]].set(M)
+
+
+@jax.jit
+def _dense_rhs(U_slice, Ce, w):
+    """w * U_bucket @ Ce — per-row rhs base from fully-dense side info."""
+    return w * jnp.einsum("rp,pk->rk", U_slice, Ce, precision=SOLVER_PRECISION)
+
+
+def _dense_full_solve(A1, U, lam_vec, w, nonneg, l1_vec, max_cd_steps, dtype):
+    """Whole-matrix update for C (or D) when the side matrix is fully dense:
+    (w A1^T A1 + diag(lam)) C^T = w A1^T U
+    (the reference's optimizeA case-1 fast path, common.c:2787)."""
+    G = w * gram_matrix(A1) + jnp.diag(lam_vec)
+    rhs = w * jnp.einsum("mk,mp->pk", A1, U, precision=SOLVER_PRECISION)
+    if nonneg or (l1_vec is not None):
+        from ..ops import rowsolve
+
+        p = rhs.shape[0]
+        Gb = jnp.broadcast_to(G[None], (p,) + G.shape)
+        l1 = l1_vec if l1_vec is not None else jnp.zeros_like(lam_vec)
+        return rowsolve.solve_cd(Gb, rhs, l1, nonneg=nonneg,
+                                 max_steps=max_cd_steps)
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs.T, left_side=True, lower=True)
+    out = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                          transpose_a=True)
+    return out.T
+
+
+# --------------------------------------------------------------------- #
+# explicit collective fit                                                #
+# --------------------------------------------------------------------- #
+
+
+def fit_collective_explicit_als(
+    rows, cols, vals, m, n, *,
+    side_U=None, side_I=None,
+    k=40, k_user=0, k_item=0, k_main=0,
+    lambda_=10.0, l1_lambda=0.0,
+    w_main=1.0, w_user=1.0, w_item=1.0, w_implicit=0.5,
+    add_implicit_features=False,
+    niter=10, use_cg=True, max_cg_steps=3, finalize_chol=True,
+    user_bias=True, item_bias=True, center=True,
+    center_U=True, center_I=True,
+    scale_lam=False, scale_lam_sideinfo=False, scale_bias_const=False,
+    NA_as_zero=False, NA_as_zero_user=False, NA_as_zero_item=False,
+    nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
+    weights=None, dtype=np.float32, seed=1, verbose=False,
+) -> dict:
+    dtype = np.dtype(dtype)
+    lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    scale_lam = scale_lam or scale_lam_sideinfo
+    if nonneg:
+        use_cg = False
+        center = False
+
+    U = prepare_side(side_U, center_U, NA_as_zero_user, dtype)
+    I = prepare_side(side_I, center_I, NA_as_zero_item, dtype)
+
+    m_eff = max(m, U.n_ent if U else 0)
+    n_eff = max(n, I.n_ent if I else 0)
+
+    glob_mean = preprocess.weighted_global_mean(vals, weights) if center else 0.0
+    vals_c = (np.asarray(vals, np.float64) - glob_mean).astype(dtype)
+
+    biasA0 = biasB0 = None
+    if user_bias or item_bias:
+        biasA0, biasB0 = preprocess.initialize_biases(
+            rows, cols, vals_c, m_eff, n_eff,
+            lam_user=lam6[0], lam_item=lam6[1], wgt=weights,
+            user_bias=user_bias, item_bias=item_bias,
+            scale_lam=scale_lam, nonneg=nonneg,
+        )
+
+    RB = build_bucketed_rows(rows, cols, vals_c, m_eff, n, weights, dtype=dtype)
+    CB = build_bucketed_rows(cols, rows, vals_c, n_eff, m, weights, dtype=dtype)
+
+    ka = k_user + k + k_main  # width of A rows (w/o bias)
+    kb = k_item + k + k_main
+    ka_pad = round_up(ka + 1, 8)
+    kb_pad = round_up(kb + 1, 8)
+    kc = k_user + k
+    kd = k_item + k
+    kc_pad = round_up(kc, 8)
+    kd_pad = round_up(kd, 8)
+    ki_w = k + k_main  # implicit-features width
+    ki_pad = round_up(ki_w, 8)
+
+    key = jax.random.PRNGKey(seed)
+    key, A_blocks = init_blocks(key, RB, ka, ka_pad, dtype)
+    key, B_blocks = init_blocks(key, CB, kb, kb_pad, dtype)
+    if user_bias:
+        A_blocks = _set_bias_coord(A_blocks, RB, biasA0, ka, dtype)
+    if item_bias:
+        B_blocks = _set_bias_coord(B_blocks, CB, biasB0, kb, dtype)
+
+    # --- side-info structures ---
+    def setup_side(S: Optional[PreparedSide], main_bucketed, kx_pad):
+        """feat bucketing (for C/D update) + alignment to the main bucketing."""
+        if S is None:
+            return None, None, None, None
+        if S.dense is not None:
+            dense_slices = _bucket_dense_slices(main_bucketed, S.dense, dtype)
+            return None, None, dense_slices, None
+        r_s, c_s, v_s = S.coo
+        feat_b = build_bucketed_rows(c_s, r_s, v_s.astype(np.float64), S.p,
+                                     S.n_ent, dtype=dtype)
+        aligned = build_aligned_parts(main_bucketed, r_s, c_s, v_s, S.n_ent, dtype)
+        mean_slices = None
+        if S.na0 and S.colmeans is not None:
+            mean_slices = []
+            for b in feat_b.buckets:
+                ids = feat_b.row_of[b.start : b.start + b.n_rows]
+                ms = np.zeros(b.n_rows, dtype)
+                ok = ids >= 0
+                ms[ok] = S.colmeans[ids[ok]]
+                mean_slices.append(jnp.asarray(ms))
+        return feat_b, aligned, None, mean_slices
+
+    U_featb, U_aligned, U_dense_slices, U_mean_slices = setup_side(U, RB, kc_pad)
+    I_featb, I_aligned, I_dense_slices, I_mean_slices = setup_side(I, CB, kd_pad)
+
+    key2 = jax.random.PRNGKey(seed + 1)
+    C_blocks = D_blocks = None
+    C_orig = D_orig = None
+    if U is not None:
+        if U.dense is not None:
+            C_orig = 0.01 * jax.random.normal(key2, (U.p, kc_pad), dtype)
+            C_orig = C_orig.at[:, kc:].set(0.0)
+        else:
+            key2, C_blocks = init_blocks(key2, U_featb, kc, kc_pad, dtype)
+            C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+    if I is not None:
+        if I.dense is not None:
+            key2, sub = jax.random.split(key2)
+            D_orig = 0.01 * jax.random.normal(sub, (I.p, kd_pad), dtype)
+            D_orig = D_orig.at[:, kd:].set(0.0)
+        else:
+            key2, D_blocks = init_blocks(key2, I_featb, kd, kd_pad, dtype)
+            D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+
+    Bi_blocks = Ai_blocks = None
+    Bi_orig = Ai_orig = None
+    if add_implicit_features:
+        key, Bi_blocks = init_blocks(key, CB, ki_w, ki_pad, dtype)
+        key, Ai_blocks = init_blocks(key, RB, ki_w, ki_pad, dtype)
+        Bi_orig = blocks_to_orig(Bi_blocks, jnp.asarray(CB.perm), n_eff)
+        Ai_orig = blocks_to_orig(Ai_blocks, jnp.asarray(RB.perm), m_eff)
+
+    # --- lambda vectors ---
+    lam_vec_A = _make_lam_vec(ka, ka_pad, lam6[2], lam6[0], user_bias, dtype)
+    lam_vec_B = _make_lam_vec(kb, kb_pad, lam6[3], lam6[1], item_bias, dtype)
+    lam_vec_C = _make_lam_vec(kc, kc_pad, lam6[4], 0.0, False, dtype)
+    lam_vec_D = _make_lam_vec(kd, kd_pad, lam6[5], 0.0, False, dtype)
+    lam_vec_Bi = _make_lam_vec(ki_w, ki_pad, lam6[3] / w_implicit, 0.0, False, dtype)
+    lam_vec_Ai = _make_lam_vec(ki_w, ki_pad, lam6[2] / w_implicit, 0.0, False, dtype)
+    l1_vec_A = _make_l1_vec(ka, ka_pad, l16[2], l16[0], user_bias, dtype)
+    l1_vec_B = _make_l1_vec(kb, kb_pad, l16[3], l16[1], item_bias, dtype)
+    l1_vec_C = _make_l1_vec(kc, kc_pad, l16[4], 0.0, False, dtype)
+    l1_vec_D = _make_l1_vec(kd, kd_pad, l16[5], 0.0, False, dtype)
+
+    plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
+    plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
+
+    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m_eff)
+    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n_eff)
+    w_arr = jnp.asarray
+
+    def factor_update(
+        main_blocks, plan, opp_main, opp_bias, lam_vec, l1_vec, method,
+        S: Optional[PreparedSide], S_featb, S_aligned, S_dense_slices,
+        C_mat, kx, kx_pad_side, w_side, Xones_opp, side_is_user,
+        mu_main, G0_extra=None,
+    ):
+        """One A- or B-style update with optional side-info and implicit
+        feature parts."""
+        k_off = k_user if side_is_user else k_item
+        G0 = None
+        r0_vec = None
+        r0_blocks = None
+        extra = None
+        n_buckets = len(plan.bucketed.buckets)
+
+        main_na0 = plan.mode == "na0"
+        if main_na0:
+            G0 = jnp.asarray(w_main, dtype) * gram_matrix(opp_main)
+            r0_vec = jnp.asarray(w_main, dtype) * _na0_rhs_base(
+                opp_main, opp_bias, mu_main
+            )
+
+        # side-info contributions
+        if S is not None:
+            Ce = _pad_cols(C_mat[:, :kx], lam_vec.shape[0], 0, dtype)
+            if S.dense is not None:
+                Gs = jnp.asarray(w_side, dtype) * gram_matrix(Ce)
+                G0 = Gs if G0 is None else G0 + Gs
+                r0_blocks = [
+                    _dense_rhs(sl, Ce, jnp.asarray(w_side, dtype))
+                    for sl in S_dense_slices
+                ]
+            else:
+                extra = [[] for _ in range(n_buckets)]
+                s_mode = "na0" if S.na0 else "explicit"
+                if S.na0:
+                    Gs = jnp.asarray(w_side, dtype) * gram_matrix(Ce)
+                    G0 = Gs if G0 is None else G0 + Gs
+                    cm = (
+                        jnp.asarray(S.colmeans.astype(dtype))
+                        if S.colmeans is not None
+                        else None
+                    )
+                    rv = jnp.asarray(w_side, dtype) * _na0_rhs_base(Ce, cm, 0.0)
+                    r0_vec = rv if r0_vec is None else r0_vec + rv
+                else:
+                    cm = None
+                for bi, (idx_s, val_s, len_s) in enumerate(S_aligned):
+                    pd = PartData(
+                        idx=idx_s, val=val_s, length=len_s, wgt=None,
+                        opp=Ce, opp_bias=cm,
+                        w=jnp.asarray(w_side, dtype), alpha=None,
+                        mu=jnp.asarray(0.0, dtype) if S.na0 else None,
+                    )
+                    extra[bi].append((pd, s_mode, S.p, scale_lam_sideinfo))
+
+        # implicit features: Xones ~ A[:, k_off:] . Bi^T
+        if add_implicit_features:
+            Bi_e = _pad_cols(Xones_opp[:, :ki_w], lam_vec.shape[0], k_off, dtype)
+            Gi = jnp.asarray(w_implicit, dtype) * gram_matrix(Bi_e)
+            G0 = Gi if G0 is None else G0 + Gi
+            if extra is None:
+                extra = [[] for _ in range(n_buckets)]
+            for bi, b in enumerate(plan.bucketed.buckets):
+                pd = PartData(
+                    idx=b.idx, val=jnp.ones_like(b.val), length=b.length,
+                    wgt=None, opp=Bi_e, opp_bias=None,
+                    w=jnp.asarray(w_implicit, dtype), alpha=None,
+                    mu=jnp.asarray(0.0, dtype),
+                )
+                extra[bi].append((pd, "na0", plan.n_total, False))
+
+        return update_side(
+            plan, main_blocks, opp_main, opp_bias, lam_vec,
+            w=w_main, mu=mu_main if main_na0 else None,
+            G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks, extra_parts=extra,
+            l1_vec=l1_vec, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+            dtype=dtype,
+        )
+
+    def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
+                           nonneg_s, method, mean_slices):
+        """Update C (or D): rows = side-info features, opp = A[:, :k_off+k]."""
+        plan = SidePlan(featb, "na0" if S.na0 else "explicit", S.n_ent)
+        G0 = None
+        r0_blocks = None
+        if S.na0:
+            G0 = jnp.asarray(w_side, dtype) * gram_matrix(A1)
+            if mean_slices is not None:
+                colsum = jnp.sum(A1, axis=0)
+                r0_blocks = [
+                    -jnp.asarray(w_side, dtype) * ms[:, None] * colsum[None, :]
+                    for ms in mean_slices
+                ]
+        return update_side(
+            plan, blocks, A1, None, lam_vec,
+            w=w_side, G0=G0, r0_blocks=r0_blocks,
+            l1_vec=l1_s, method=method, n_steps=max_cg_steps,
+            nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=False,
+            dtype=dtype,
+        )
+
+    perm_A = jnp.asarray(RB.perm)
+    perm_B = jnp.asarray(CB.perm)
+
+    for it in range(niter):
+        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+        t0 = time.time()
+
+        # ---- C update ----
+        if U is not None:
+            A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
+            if U.dense is not None:
+                C_orig = _dense_full_solve(
+                    A1, jnp.asarray(U.dense), lam_vec_C, w_user, nonneg_C,
+                    l1_vec_C, max_cd_steps, dtype,
+                )
+            else:
+                C_blocks = side_factor_update(
+                    U, U_featb, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
+                    nonneg_C, method, U_mean_slices,
+                )
+                C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+
+        # ---- D update ----
+        if I is not None:
+            B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
+            if I.dense is not None:
+                D_orig = _dense_full_solve(
+                    B1, jnp.asarray(I.dense), lam_vec_D, w_item, nonneg_D,
+                    l1_vec_D, max_cd_steps, dtype,
+                )
+            else:
+                D_blocks = side_factor_update(
+                    I, I_featb, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
+                    nonneg_D, method, I_mean_slices,
+                )
+                D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+
+        # ---- Bi / Ai updates (implicit features) ----
+        if add_implicit_features:
+            A_x = _pad_cols(A_orig[:, k_user : k_user + ki_w], ki_pad, 0, dtype)
+            plan_bi = SidePlan(CB, "na0", m)
+            Bi_blocks = update_side(
+                plan_bi, Bi_blocks, A_x, None, lam_vec_Bi,
+                G0=gram_matrix(A_x), ones_val=True,
+                method=method, n_steps=max_cg_steps, nonneg=nonneg,
+                max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
+            )
+            Bi_orig = blocks_to_orig(Bi_blocks, perm_B, n_eff)
+
+            B_x = _pad_cols(B_orig[:, k_item : k_item + ki_w], ki_pad, 0, dtype)
+            plan_ai = SidePlan(RB, "na0", n)
+            Ai_blocks = update_side(
+                plan_ai, Ai_blocks, B_x, None, lam_vec_Ai,
+                G0=gram_matrix(B_x), ones_val=True,
+                method=method, n_steps=max_cg_steps, nonneg=nonneg,
+                max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
+            )
+            Ai_orig = blocks_to_orig(Ai_blocks, perm_A, m_eff)
+
+        # ---- B update (items; opposing = A, D, Ai) ----
+        opp = jnp.zeros((m_eff, kb_pad), dtype)
+        opp = opp.at[:, k_item : k_item + k + k_main].set(
+            A_orig[:, k_user : k_user + k + k_main]
+        )
+        if item_bias:
+            opp = opp.at[:, kb].set(1.0)
+        opp_bias = A_orig[:, ka] if user_bias else None
+        B_blocks = factor_update(
+            B_blocks, plan_B, opp, opp_bias, lam_vec_B, l1_vec_B, method,
+            I, I_featb, I_aligned, I_dense_slices, D_orig, kd, kd_pad,
+            w_item, Ai_orig, side_is_user=False, mu_main=glob_mean,
+        )
+        B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
+
+        # ---- A update (users; opposing = B, C, Bi) ----
+        opp = jnp.zeros((n_eff, ka_pad), dtype)
+        opp = opp.at[:, k_user : k_user + k + k_main].set(
+            B_orig[:, k_item : k_item + k + k_main]
+        )
+        if user_bias:
+            opp = opp.at[:, ka].set(1.0)
+        opp_bias = B_orig[:, kb] if item_bias else None
+        A_blocks = factor_update(
+            A_blocks, plan_A, opp, opp_bias, lam_vec_A, l1_vec_A, method,
+            U, U_featb, U_aligned, U_dense_slices, C_orig, kc, kc_pad,
+            w_user, Bi_orig, side_is_user=True, mu_main=glob_mean,
+        )
+        A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+
+        if verbose:
+            jax.block_until_ready(A_orig)
+            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+
+    A_final = np.asarray(A_orig)
+    B_final = np.asarray(B_orig)
+    return {
+        "A": A_final[:, :ka],
+        "B": B_final[:, :kb],
+        "biasA": A_final[:, ka] if user_bias else None,
+        "biasB": B_final[:, kb] if item_bias else None,
+        "C": None if C_orig is None else np.asarray(C_orig)[:, :kc],
+        "D": None if D_orig is None else np.asarray(D_orig)[:, :kd],
+        "Ai": None if Ai_orig is None else np.asarray(Ai_orig)[:, :ki_w],
+        "Bi": None if Bi_orig is None else np.asarray(Bi_orig)[:, :ki_w],
+        "U_colmeans": None if U is None else U.colmeans,
+        "I_colmeans": None if I is None else I.colmeans,
+        "glob_mean": float(glob_mean),
+        "k": k,
+    }
+
+
+# --------------------------------------------------------------------- #
+# implicit collective fit                                                #
+# --------------------------------------------------------------------- #
+
+
+def fit_collective_implicit_als(
+    rows, cols, vals, m, n, *,
+    side_U=None, side_I=None,
+    k=50, k_user=0, k_item=0, k_main=0,
+    lambda_=1.0, l1_lambda=0.0,
+    w_main=1.0, w_user=1.0, w_item=1.0,
+    alpha=1.0, apply_log_transf=False, adjust_weight=False,
+    niter=10, use_cg=True, max_cg_steps=3, finalize_chol=False,
+    center_U=True, center_I=True,
+    NA_as_zero_user=False, NA_as_zero_item=False,
+    nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
+    dtype=np.float32, seed=1, verbose=False,
+) -> dict:
+    """WRMF with side info (/root/reference/src/collective.c:9375)."""
+    dtype = np.dtype(dtype)
+    lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    if nonneg:
+        use_cg = False
+
+    vals = np.asarray(vals, np.float64)
+    if apply_log_transf:
+        vals = np.log(vals)
+    w_mult = 1.0
+    if adjust_weight:
+        w_mult = len(vals) / (float(m) * float(n))
+    w_x = w_main * w_mult
+
+    U = prepare_side(side_U, center_U, NA_as_zero_user, dtype)
+    I = prepare_side(side_I, center_I, NA_as_zero_item, dtype)
+    m_eff = max(m, U.n_ent if U else 0)
+    n_eff = max(n, I.n_ent if I else 0)
+
+    RB = build_bucketed_rows(rows, cols, vals.astype(dtype), m_eff, n, dtype=dtype)
+    CB = build_bucketed_rows(cols, rows, vals.astype(dtype), n_eff, m, dtype=dtype)
+
+    ka = k_user + k + k_main
+    kb = k_item + k + k_main
+    ka_pad = round_up(ka, 8)
+    kb_pad = round_up(kb, 8)
+    kc = k_user + k
+    kd = k_item + k
+    kc_pad = round_up(kc, 8)
+    kd_pad = round_up(kd, 8)
+
+    key = jax.random.PRNGKey(seed)
+    key, A_blocks = init_blocks(key, RB, ka, ka_pad, dtype)
+    key, B_blocks = init_blocks(key, CB, kb, kb_pad, dtype)
+
+    def setup_side(S, main_bucketed):
+        if S is None:
+            return None, None, None, None
+        if S.dense is not None:
+            return None, None, _bucket_dense_slices(main_bucketed, S.dense, dtype), None
+        r_s, c_s, v_s = S.coo
+        feat_b = build_bucketed_rows(c_s, r_s, v_s.astype(np.float64), S.p,
+                                     S.n_ent, dtype=dtype)
+        aligned = build_aligned_parts(main_bucketed, r_s, c_s, v_s, S.n_ent, dtype)
+        mean_slices = None
+        if S.na0 and S.colmeans is not None:
+            mean_slices = []
+            for b in feat_b.buckets:
+                ids = feat_b.row_of[b.start : b.start + b.n_rows]
+                ms = np.zeros(b.n_rows, dtype)
+                ok = ids >= 0
+                ms[ok] = S.colmeans[ids[ok]]
+                mean_slices.append(jnp.asarray(ms))
+        return feat_b, aligned, None, mean_slices
+
+    U_featb, U_aligned, U_dense_slices, U_mean_slices = setup_side(U, RB)
+    I_featb, I_aligned, I_dense_slices, I_mean_slices = setup_side(I, CB)
+
+    key2 = jax.random.PRNGKey(seed + 1)
+    C_blocks = D_blocks = None
+    C_orig = D_orig = None
+    if U is not None:
+        if U.dense is not None:
+            C_orig = 0.01 * jax.random.normal(key2, (U.p, kc_pad), dtype)
+            C_orig = C_orig.at[:, kc:].set(0.0)
+        else:
+            key2, C_blocks = init_blocks(key2, U_featb, kc, kc_pad, dtype)
+            C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+    if I is not None:
+        if I.dense is not None:
+            key2, sub = jax.random.split(key2)
+            D_orig = 0.01 * jax.random.normal(sub, (I.p, kd_pad), dtype)
+            D_orig = D_orig.at[:, kd:].set(0.0)
+        else:
+            key2, D_blocks = init_blocks(key2, I_featb, kd, kd_pad, dtype)
+            D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+
+    lam_vec_A = _make_lam_vec(ka, ka_pad, lam6[2], 0.0, False, dtype)
+    lam_vec_B = _make_lam_vec(kb, kb_pad, lam6[3], 0.0, False, dtype)
+    lam_vec_C = _make_lam_vec(kc, kc_pad, lam6[4], 0.0, False, dtype)
+    lam_vec_D = _make_lam_vec(kd, kd_pad, lam6[5], 0.0, False, dtype)
+    l1_vec_A = _make_l1_vec(ka, ka_pad, l16[2], 0.0, False, dtype)
+    l1_vec_B = _make_l1_vec(kb, kb_pad, l16[3], 0.0, False, dtype)
+    l1_vec_C = _make_l1_vec(kc, kc_pad, l16[4], 0.0, False, dtype)
+    l1_vec_D = _make_l1_vec(kd, kd_pad, l16[5], 0.0, False, dtype)
+
+    plan_A = SidePlan(RB, "implicit", n)
+    plan_B = SidePlan(CB, "implicit", m)
+
+    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m_eff)
+    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n_eff)
+    perm_A = jnp.asarray(RB.perm)
+    perm_B = jnp.asarray(CB.perm)
+
+    def factor_update(main_blocks, plan, opp_main, lam_vec, l1_vec, method,
+                      S, S_aligned, S_dense_slices, C_mat, kx, w_side):
+        G0 = jnp.asarray(w_x, dtype) * gram_matrix(opp_main)
+        r0_vec = None
+        r0_blocks = None
+        extra = None
+        n_buckets = len(plan.bucketed.buckets)
+        if S is not None:
+            Ce = _pad_cols(C_mat[:, :kx], lam_vec.shape[0], 0, dtype)
+            if S.dense is not None:
+                G0 = G0 + jnp.asarray(w_side, dtype) * gram_matrix(Ce)
+                r0_blocks = [
+                    _dense_rhs(sl, Ce, jnp.asarray(w_side, dtype))
+                    for sl in S_dense_slices
+                ]
+            else:
+                extra = [[] for _ in range(n_buckets)]
+                s_mode = "na0" if S.na0 else "explicit"
+                cm = None
+                if S.na0:
+                    G0 = G0 + jnp.asarray(w_side, dtype) * gram_matrix(Ce)
+                    cm = (
+                        jnp.asarray(S.colmeans.astype(dtype))
+                        if S.colmeans is not None else None
+                    )
+                    rv = jnp.asarray(w_side, dtype) * _na0_rhs_base(Ce, cm, 0.0)
+                    r0_vec = rv
+                for bi, (idx_s, val_s, len_s) in enumerate(S_aligned):
+                    pd = PartData(
+                        idx=idx_s, val=val_s, length=len_s, wgt=None,
+                        opp=Ce, opp_bias=cm, w=jnp.asarray(w_side, dtype),
+                        alpha=None,
+                        mu=jnp.asarray(0.0, dtype) if S.na0 else None,
+                    )
+                    extra[bi].append((pd, s_mode, S.p, False))
+        return update_side(
+            plan, main_blocks, opp_main, None, lam_vec,
+            w=w_x, alpha=alpha, G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks,
+            extra_parts=extra, l1_vec=l1_vec, method=method,
+            n_steps=max_cg_steps, nonneg=nonneg, max_cd_steps=max_cd_steps,
+            dtype=dtype,
+        )
+
+    def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
+                           nonneg_s, method, mean_slices):
+        plan = SidePlan(featb, "na0" if S.na0 else "explicit", S.n_ent)
+        G0 = None
+        r0_blocks = None
+        if S.na0:
+            G0 = jnp.asarray(w_side, dtype) * gram_matrix(A1)
+            if mean_slices is not None:
+                colsum = jnp.sum(A1, axis=0)
+                r0_blocks = [
+                    -jnp.asarray(w_side, dtype) * ms[:, None] * colsum[None, :]
+                    for ms in mean_slices
+                ]
+        return update_side(
+            plan, blocks, A1, None, lam_vec, w=w_side, G0=G0,
+            r0_blocks=r0_blocks, l1_vec=l1_s, method=method,
+            n_steps=max_cg_steps, nonneg=nonneg_s, max_cd_steps=max_cd_steps,
+            dtype=dtype,
+        )
+
+    for it in range(niter):
+        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+        t0 = time.time()
+
+        if U is not None:
+            A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
+            if U.dense is not None:
+                C_orig = _dense_full_solve(
+                    A1, jnp.asarray(U.dense), lam_vec_C, w_user, nonneg_C,
+                    l1_vec_C, max_cd_steps, dtype,
+                )
+            else:
+                C_blocks = side_factor_update(
+                    U, U_featb, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
+                    nonneg_C, method, U_mean_slices,
+                )
+                C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+
+        if I is not None:
+            B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
+            if I.dense is not None:
+                D_orig = _dense_full_solve(
+                    B1, jnp.asarray(I.dense), lam_vec_D, w_item, nonneg_D,
+                    l1_vec_D, max_cd_steps, dtype,
+                )
+            else:
+                D_blocks = side_factor_update(
+                    I, I_featb, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
+                    nonneg_D, method, I_mean_slices,
+                )
+                D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+
+        # B update
+        opp = jnp.zeros((m_eff, kb_pad), dtype)
+        opp = opp.at[:, k_item : k_item + k + k_main].set(
+            A_orig[:, k_user : k_user + k + k_main]
+        )
+        B_blocks = factor_update(
+            B_blocks, plan_B, opp, lam_vec_B, l1_vec_B, method,
+            I, I_aligned, I_dense_slices, D_orig, kd, w_item,
+        )
+        B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
+
+        # A update
+        opp = jnp.zeros((n_eff, ka_pad), dtype)
+        opp = opp.at[:, k_user : k_user + k + k_main].set(
+            B_orig[:, k_item : k_item + k + k_main]
+        )
+        A_blocks = factor_update(
+            A_blocks, plan_A, opp, lam_vec_A, l1_vec_A, method,
+            U, U_aligned, U_dense_slices, C_orig, kc, w_user,
+        )
+        A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+
+        if verbose:
+            jax.block_until_ready(A_orig)
+            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+
+    return {
+        "A": np.asarray(A_orig)[:, :ka],
+        "B": np.asarray(B_orig)[:, :kb],
+        "C": None if C_orig is None else np.asarray(C_orig)[:, :kc],
+        "D": None if D_orig is None else np.asarray(D_orig)[:, :kd],
+        "U_colmeans": None if U is None else U.colmeans,
+        "I_colmeans": None if I is None else I.colmeans,
+        "glob_mean": 0.0,
+        "w_main_multiplier": w_mult,
+        "alpha": alpha,
+        "k": k,
+    }

@@ -5,17 +5,13 @@ multi-device parity checked by running the same programs on a simulated
 mesh (XLA_FLAGS=--xla_force_host_platform_device_count).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flags
+# are authoritative.  Tests run on an 8-device virtual CPU mesh so
+# multi-device sharding is exercised without hardware.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

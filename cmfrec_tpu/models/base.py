@@ -323,3 +323,67 @@ class _BaseModel:
         if drop_precomputed:
             self._precomputed = {}
         return self
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (SURVEY.md §5.4 — the reference relies on pickle;    #
+    # here model state is plain arrays so .npz round-trips losslessly)    #
+    # ------------------------------------------------------------------ #
+
+    _ARRAY_ATTRS = (
+        "A_", "B_", "C_", "D_", "Ai_", "Bi_", "Am_", "Bm_",
+        "C_bias_", "D_bias_", "Cb_", "Db_",
+        "user_bias_", "item_bias_", "U_colmeans_", "I_colmeans_",
+        "user_mapping_", "item_mapping_",
+    )
+
+    def save(self, path):
+        """Serialize fitted state + hyperparameters to one .npz file."""
+        import json
+
+        arrays = {}
+        for name in self._ARRAY_ATTRS:
+            v = getattr(self, name, None)
+            if v is not None:
+                v = np.asarray(v)
+                if v.dtype == object:  # string id mappings
+                    v = v.astype(str)
+                arrays[name] = v
+        meta = {
+            "class": self.__class__.__name__,
+            "params": {
+                k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                for k, v in self.get_params().items()
+            },
+            "glob_mean": float(getattr(self, "glob_mean_", 0.0)),
+            "reindex": bool(getattr(self, "reindex_", False)),
+            "is_fitted": bool(getattr(self, "is_fitted_", False)),
+            "w_main_multiplier": float(
+                getattr(self, "w_main_multiplier_", 1.0)
+            ),
+        }
+        np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+        return self
+
+    @classmethod
+    def load(cls, path):
+        """Restore a model saved with .save()."""
+        import json
+
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["__meta__"]))
+        import cmfrec_tpu
+
+        klass = getattr(cmfrec_tpu, meta["class"])
+        model = klass(**meta["params"])
+        model._reset()
+        from ..config import resolve_dtype
+
+        model.dtype_ = resolve_dtype(meta["params"].get("use_float", True))
+        for name in cls._ARRAY_ATTRS:
+            if name in data:
+                setattr(model, name, data[name])
+        model.glob_mean_ = meta["glob_mean"]
+        model.reindex_ = meta["reindex"]
+        model.is_fitted_ = meta["is_fitted"]
+        model.w_main_multiplier_ = meta["w_main_multiplier"]
+        return model

@@ -93,6 +93,17 @@ class CMF(_BaseModel):
 
     # ------------------------------------------------------------------ #
 
+    def fit_triplets(self, rows, cols, vals, m, n, W=None):
+        """Convenience: fit directly from positional COO triplets."""
+        import scipy.sparse as sp
+
+        X = sp.coo_matrix(
+            (np.asarray(vals, np.float64),
+             (np.asarray(rows, np.int64), np.asarray(cols, np.int64))),
+            shape=(m, n),
+        )
+        return self.fit(X, W=W)
+
     def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None):
         """Fit to explicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:3066)."""
@@ -298,6 +309,71 @@ class CMF(_BaseModel):
         if self.item_bias_ is not None:
             p = p + self.item_bias_[i]
         return p
+
+    def predict_cold_multiple(self, item, U=None, U_bin=None):
+        """Predict for many (new user, existing item) pairs (reference:
+        /root/reference/cmfrec/__init__.py:3291)."""
+        U = np.asarray(U, np.float64)
+        a, _ = factors_explicit_batch(
+            self, np.zeros((U.shape[0], 0), np.int64),
+            np.zeros((U.shape[0], 0)), None,
+            np.zeros(U.shape[0], np.int64), U=U,
+        )
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        p = np.sum(a[:, self.k_user:] * self._xB[i], axis=1) + self.glob_mean_
+        if self.item_bias_ is not None:
+            p = p + self.item_bias_[i]
+        return p
+
+    def item_factors_cold(self, I=None, I_bin=None, I_col=None, I_val=None):
+        """Factors for a new item from its side info (reference:
+        /root/reference/cmfrec/__init__.py:3434) — the swapped-role dual of
+        factors_cold, solved against D."""
+        if self.D_ is None:
+            raise ValueError("Model was fit without item side info")
+        return self.swap_users_and_items(precompute=False).factors_cold(
+            U=I, U_bin=I_bin, U_col=I_col, U_val=I_val
+        )
+
+    def predict_new(self, user, I=None, I_bin=None):
+        """Predict for (existing user, new item given side info) pairs
+        (reference: /root/reference/cmfrec/__init__.py:3472)."""
+        I = np.asarray(I, np.float64)
+        if I.ndim == 1:
+            I = I[None, :]
+        sw = self.swap_users_and_items(precompute=False)
+        b, _ = factors_explicit_batch(
+            sw, np.zeros((I.shape[0], 0), np.int64),
+            np.zeros((I.shape[0], 0)), None,
+            np.zeros(I.shape[0], np.int64), U=I,
+        )
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        u = np.atleast_1d(u)
+        ki = self.k_item
+        p = np.sum(self._xA[u] * b[:, ki:], axis=1) + self.glob_mean_
+        if self.user_bias_ is not None:
+            p = p + self.user_bias_[u]
+        return p
+
+    def topN_new(self, user, I=None, I_bin=None, n=10, output_score=False):
+        """Rank a pool of NEW items (given their side info) for an existing
+        user (reference: /root/reference/cmfrec/__init__.py:3511)."""
+        I = np.asarray(I, np.float64)
+        sw = self.swap_users_and_items(precompute=False)
+        b, _ = factors_explicit_batch(
+            sw, np.zeros((I.shape[0], 0), np.int64),
+            np.zeros((I.shape[0], 0)), None,
+            np.zeros(I.shape[0], np.int64), U=I,
+        )
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        scores = b[:, self.k_item:] @ self._xA[int(u)] + self.glob_mean_
+        if self.user_bias_ is not None:
+            scores = scores + float(self.user_bias_[int(u)])
+        n = min(n, scores.shape[0])
+        idx = np.argpartition(-scores, n - 1)[:n]
+        idx = idx[np.argsort(-scores[idx])]
+        return (idx, scores[idx]) if output_score else idx
 
     def factors_multiple(self, X=None, U=None, U_bin=None, W=None,
                          return_bias=False):

@@ -1,0 +1,28 @@
+"""CMF_imputer — sklearn-imputer-compatible CMF subclass
+(reference: /root/reference/cmfrec/__init__.py:8667)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cmf import CMF
+
+
+class CMF_imputer(CMF):
+    """Drop-in sklearn transformer: fit() on a dense matrix with NaNs,
+    transform() fills them with model predictions."""
+
+    def fit_transform(self, X, y=None, **fit_params):
+        X = np.asarray(X, np.float64)
+        self.fit(X)
+        pred = (
+            self.A_[:, self.k_user:] @ self._xB.T + self.glob_mean_
+        )
+        if self.user_bias_ is not None:
+            pred = pred + self.user_bias_[:, None]
+        if self.item_bias_ is not None:
+            pred = pred + self.item_bias_[None, :]
+        out = X.copy()
+        mask = np.isnan(out)
+        out[mask] = pred[mask]
+        return out

@@ -112,6 +112,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "max_cd_steps",
         "scale_lam",
         "n_totals",
+        "scale_parts",
     ),
 )
 def solve_bucket(
@@ -213,6 +214,15 @@ class SidePlan(NamedTuple):
     n_total: int  # column count of this orientation
 
 
+def bucket_arrays(bucketed: BucketedRows) -> tuple:
+    """Extract the per-bucket device arrays as a jit-traceable pytree
+    (so fused iteration functions can take the sparse data as arguments
+    rather than baking it in as constants)."""
+    return tuple(
+        (b.idx, b.val, b.length, b.wgt) for b in bucketed.buckets
+    )
+
+
 def update_side(
     plan: SidePlan,
     blocks: list,  # current per-bucket factor blocks (warm starts)
@@ -220,6 +230,9 @@ def update_side(
     opp_bias: Optional[jax.Array],
     lam_vec: jax.Array,
     *,
+    buckets_data: Optional[tuple] = None,  # overrides plan.bucketed arrays
+    # (pass when tracing under an outer jit so the sparse data stays an
+    # argument instead of an embedded constant)
     w: float = 1.0,
     alpha: Optional[float] = None,
     mu: Optional[float] = None,
@@ -244,12 +257,17 @@ def update_side(
     w_arr = jnp.asarray(w, dtype)
     alpha_arr = None if alpha is None else jnp.asarray(alpha, dtype)
     mu_arr = None if mu is None else jnp.asarray(mu, dtype)
-    for bi, b in enumerate(plan.bucketed.buckets):
+    data = (
+        buckets_data
+        if buckets_data is not None
+        else bucket_arrays(plan.bucketed)
+    )
+    for bi, (b_idx, b_val, b_len, b_wgt) in enumerate(data):
         p_main = PartData(
-            idx=b.idx,
-            val=jnp.ones_like(b.val) if ones_val else b.val,
-            length=b.length,
-            wgt=b.wgt,
+            idx=b_idx,
+            val=jnp.ones_like(b_val) if ones_val else b_val,
+            length=b_len,
+            wgt=b_wgt,
             opp=opp,
             opp_bias=opp_bias,
             w=w_arr,

@@ -239,6 +239,8 @@ def fit_collective_explicit_als(
 
     RB = build_bucketed_rows(rows, cols, vals_c, m_eff, n, weights, dtype=dtype)
     CB = build_bucketed_rows(cols, rows, vals_c, n_eff, m, weights, dtype=dtype)
+    RB.device_put()
+    CB.device_put()
 
     ka = k_user + k + k_main  # width of A rows (w/o bias)
     kb = k_item + k + k_main
@@ -584,6 +586,8 @@ def fit_collective_implicit_als(
 
     RB = build_bucketed_rows(rows, cols, vals.astype(dtype), m_eff, n, dtype=dtype)
     CB = build_bucketed_rows(cols, rows, vals.astype(dtype), n_eff, m, dtype=dtype)
+    RB.device_put()
+    CB.device_put()
 
     ka = k_user + k + k_main
     kb = k_item + k + k_main

@@ -14,6 +14,7 @@ confidence scaling, adjust_weight -> w_main_multiplier = nnz/(m*n)
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -28,6 +29,7 @@ from . import preprocess
 from .als import (
     SidePlan,
     blocks_to_orig,
+    bucket_arrays,
     gram_matrix,
     init_blocks,
     update_side,
@@ -111,6 +113,8 @@ def fit_explicit_als(
     dtype=np.float32,
     seed: int = 1,
     verbose: bool = False,
+    engine: str = "auto",  # "auto" | "sparse" | "dense"
+    dense_budget_bytes: Optional[int] = None,
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
@@ -135,8 +139,40 @@ def fit_explicit_als(
             scale_lam=scale_lam, nonneg=nonneg,
         )
 
+    # Engine selection: the dense-masked engine turns the CG half-iterations
+    # into whole-matrix MXU products (see dense_engine.py) — dramatically
+    # faster than gather-based sparse solves whenever [m, n] fits in HBM.
+    from .dense_engine import estimate_dense_bytes
+
+    budget = dense_budget_bytes or int(
+        float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
+    )
+    use_dense = engine == "dense" or (
+        engine == "auto"
+        and use_cg
+        and not nonneg
+        and not np.any(l16 > 0)
+        and not NA_as_zero
+        and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
+    )
+
+    if use_dense:
+        return _fit_explicit_dense(
+            rows, cols, vals_c, m, n, weights=weights,
+            k=k, lam6=lam6, niter=niter, max_cg_steps=max_cg_steps,
+            finalize_chol=finalize_chol, user_bias=user_bias,
+            item_bias=item_bias, glob_mean=glob_mean,
+            scale_lam=scale_lam, scale_bias_const=scale_bias_const,
+            biasA0=biasA0, biasB0=biasB0,
+            dtype=dtype, seed=seed, verbose=verbose,
+        )
+
     RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype)
     CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype)
+    RB.device_put()
+    CB.device_put()
+    perm_A = jnp.asarray(RB.perm)
+    perm_B = jnp.asarray(CB.perm)
 
     k_pad = round_up(k + 1, 8)
     key = jax.random.PRNGKey(seed)
@@ -174,15 +210,22 @@ def fit_explicit_als(
     plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
     plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
 
-    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
-    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
 
-    mode = plan_A.mode
-    for it in range(niter):
-        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
-        t0 = time.time()
+    dataA = bucket_arrays(RB)
+    dataB = bucket_arrays(CB)
 
-        # ---- A update (rows of X) ----
+    # One fused jit per full iteration (A update + B update): a single
+    # device dispatch instead of one per bucket, which matters enormously
+    # when the host<->TPU link has per-call latency.
+    @partial(
+        jax.jit,
+        static_argnames=("method",),
+        donate_argnums=(0, 1),
+    )
+    def _iteration(A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method):
+        B_orig = blocks_to_orig(B_blocks, perm_B, n)
         opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
         opp_bias = B_orig[:, k] if item_bias else None
         G0 = r0_vec = None
@@ -191,6 +234,7 @@ def fit_explicit_als(
             r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
         A_blocks = update_side(
             plan_A, A_blocks, opp, opp_bias, lam_vec_A,
+            buckets_data=dataA,
             mu=glob_mean if NA_as_zero else None,
             G0=G0, r0_vec=r0_vec,
             lam_const_vec=lam_const_A,
@@ -198,9 +242,8 @@ def fit_explicit_als(
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             dtype=dtype,
         )
-        A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
+        A_orig = blocks_to_orig(A_blocks, perm_A, m)
 
-        # ---- B update (columns of X) ----
         opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
         opp_bias = A_orig[:, k] if user_bias else None
         G0 = r0_vec = None
@@ -209,6 +252,7 @@ def fit_explicit_als(
             r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
         B_blocks = update_side(
             plan_B, B_blocks, opp, opp_bias, lam_vec_B,
+            buckets_data=dataB,
             mu=glob_mean if NA_as_zero else None,
             G0=G0, r0_vec=r0_vec,
             lam_const_vec=lam_const_B,
@@ -216,11 +260,26 @@ def fit_explicit_als(
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             dtype=dtype,
         )
-        B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+        return A_blocks, B_blocks
 
-        if verbose:
-            jax.block_until_ready(B_orig)
-            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    try:
+        for it in range(niter):
+            method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+            t0 = time.time()
+            A_blocks, B_blocks = _iteration(
+                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method
+            )
+            if verbose:
+                jax.block_until_ready(A_blocks)
+                print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    except KeyboardInterrupt:
+        # return the partially-fit model, mirroring the reference's
+        # handle_interrupt (/root/reference/src/helpers.c:1493,
+        # act_on_interrupt cmfrec.h:622)
+        print("interrupted — returning partially-fit model")
+
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
 
     A_final = np.asarray(A_orig)
     B_final = np.asarray(B_orig)
@@ -295,6 +354,10 @@ def fit_implicit_als(
 
     RB = build_bucketed_rows(rows, cols, vals, m, n, dtype=dtype)
     CB = build_bucketed_rows(cols, rows, vals, n, m, dtype=dtype)
+    RB.device_put()
+    CB.device_put()
+    perm_A = jnp.asarray(RB.perm)
+    perm_B = jnp.asarray(CB.perm)
 
     k_pad = round_up(k, 8)
     key = jax.random.PRNGKey(seed)
@@ -309,35 +372,50 @@ def fit_implicit_als(
     plan_A = SidePlan(RB, "implicit", n)
     plan_B = SidePlan(CB, "implicit", m)
 
-    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
-    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+    dataA = bucket_arrays(RB)
+    dataB = bucket_arrays(CB)
 
-    for it in range(niter):
-        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
-        t0 = time.time()
-
+    @partial(
+        jax.jit,
+        static_argnames=("method",),
+        donate_argnums=(0, 1),
+    )
+    def _iteration(A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method):
+        B_orig = blocks_to_orig(B_blocks, perm_B, n)
         G0 = w_main * gram_matrix(B_orig)
         A_blocks = update_side(
             plan_A, A_blocks, B_orig, None, lam_vec_A,
+            buckets_data=dataA,
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
         )
-        A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m)
-
+        A_orig = blocks_to_orig(A_blocks, perm_A, m)
         G0 = w_main * gram_matrix(A_orig)
         B_blocks = update_side(
             plan_B, B_blocks, A_orig, None, lam_vec_B,
+            buckets_data=dataB,
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
         )
-        B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n)
+        return A_blocks, B_blocks
 
-        if verbose:
-            jax.block_until_ready(B_orig)
-            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    try:
+        for it in range(niter):
+            method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
+            t0 = time.time()
+            A_blocks, B_blocks = _iteration(
+                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method
+            )
+            if verbose:
+                jax.block_until_ready(A_blocks)
+                print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
 
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
     A_final = np.asarray(A_orig)
     B_final = np.asarray(B_orig)
     return {
@@ -349,4 +427,90 @@ def fit_implicit_als(
         "k": k,
         "w_main_multiplier": w_main,
         "alpha": alpha,
+    }
+
+
+def _fit_explicit_dense(
+    rows, cols, vals_c, m, n, *, weights,
+    k, lam6, niter, max_cg_steps, finalize_chol, user_bias, item_bias,
+    glob_mean, scale_lam, scale_bias_const, biasA0, biasB0,
+    dtype, seed, verbose,
+) -> dict:
+    """Dense-masked CG fit (see dense_engine.py).  finalize_chol runs the
+    final iteration through the bucketed engine (per-row Cholesky)."""
+    from .dense_engine import dense_cg_update, dense_from_coo
+
+    Xd, Wd = dense_from_coo(rows, cols, vals_c, m, n, weights, dtype)
+
+    K = k + 1  # bias coordinate always allocated (zero + lam 1 when unused)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    scale = 1.0 / np.sqrt(max(k, 1))
+    A = scale * jax.random.normal(k1, (m, K), dtype)
+    B = scale * jax.random.normal(k2, (n, K), dtype)
+    A = A.at[:, k].set(
+        jnp.asarray(biasA0.astype(dtype)) if user_bias else 0.0
+    )
+    B = B.at[:, k].set(
+        jnp.asarray(biasB0.astype(dtype)) if item_bias else 0.0
+    )
+
+    lam_vec_A = _make_lam_vec(k, K, lam6[2], lam6[0], user_bias, dtype)
+    lam_vec_B = _make_lam_vec(k, K, lam6[3], lam6[1], item_bias, dtype)
+    lam_const_A = lam_const_B = None
+    lam_mult_A = lam_mult_B = None
+    if scale_lam:
+        lam_mult_A = jnp.sum(Wd.astype(jnp.float32), axis=1).astype(dtype)
+        lam_mult_B = jnp.sum(Wd.astype(jnp.float32), axis=0).astype(dtype)
+        if scale_bias_const:
+            wsum_total = float(np.sum(weights)) if weights is not None else float(len(vals_c))
+            if user_bias:
+                v = np.zeros(K)
+                v[k] = lam6[0] * (wsum_total / max(m, 1))
+                lam_const_A = jnp.asarray(v, dtype)
+                lam_vec_A = lam_vec_A.at[k].set(0.0)
+            if item_bias:
+                v = np.zeros(K)
+                v[k] = lam6[1] * (wsum_total / max(n, 1))
+                lam_const_B = jnp.asarray(v, dtype)
+                lam_vec_B = lam_vec_B.at[k].set(0.0)
+
+    # finalize_chol: the reference switches the last iteration to exact
+    # per-row Cholesky to remove CG truncation error
+    # (/root/reference/src/collective.c:8336-8340).  Here the final
+    # iteration instead runs CG to convergence (30 steps on a
+    # well-conditioned k x k ridge system reaches f32 machine precision),
+    # which solves the identical linear systems without leaving the
+    # dense MXU path.
+    try:
+        for it in range(niter):
+            final = finalize_chol and (it == niter - 1)
+            steps = 30 if final else max_cg_steps
+            t0 = time.time()
+            Be = _ext_with_ones(B, k) if user_bias else _ext_with_zeros(B, k)
+            A = dense_cg_update(
+                A, Xd, Wd, Be, B[:, k] if item_bias else None,
+                lam_vec_A, lam_mult_A, lam_const_A, steps, 0,
+            )
+            Ae = _ext_with_ones(A, k) if item_bias else _ext_with_zeros(A, k)
+            B = dense_cg_update(
+                B, Xd, Wd, Ae, A[:, k] if user_bias else None,
+                lam_vec_B, lam_mult_B, lam_const_B, steps, 1,
+            )
+            if verbose:
+                jax.block_until_ready(B)
+                tag = "dense-cg*" if final else "dense-cg"
+                print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
+
+    A_final = np.asarray(A)
+    B_final = np.asarray(B)
+    return {
+        "A": A_final[:, :k],
+        "B": B_final[:, :k],
+        "biasA": A_final[:, k] if user_bias else None,
+        "biasB": B_final[:, k] if item_bias else None,
+        "glob_mean": float(glob_mean),
+        "k": k,
     }

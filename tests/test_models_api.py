@@ -179,3 +179,16 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_save_load_roundtrip(ratings_df, tmp_path):
+    df, rows, cols, vals, m, n = ratings_df
+    model = CMF(k=4, lambda_=0.5, niter=3, use_float=False).fit(df)
+    p = model.predict("u1", "it2")
+    path = str(tmp_path / "model.npz")
+    model.save(path)
+    loaded = CMF.load(path)
+    assert np.isclose(loaded.predict("u1", "it2"), p)
+    top1 = model.topN("u1", n=5)
+    top2 = loaded.topN("u1", n=5)
+    assert list(map(str, top1)) == list(map(str, top2))

@@ -1,0 +1,199 @@
+"""Tests for the L-BFGS path, offsets models, ContentBased, MostPopular,
+and CMF_imputer."""
+
+import numpy as np
+import pytest
+
+from cmfrec_tpu import (
+    CMF,
+    CMF_implicit,
+    ContentBased,
+    MostPopular,
+    OMF_explicit,
+    OMF_implicit,
+    CMF_imputer,
+)
+
+
+@pytest.fixture
+def small_problem(rng):
+    m, n, kt = 60, 40, 3
+    A = rng.normal(size=(m, kt))
+    B = rng.normal(size=(n, kt))
+    X = 2.5 + A @ B.T + 0.1 * rng.normal(size=(m, n))
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = X[rows, cols]
+    U = A @ rng.normal(size=(kt, 7)) + 0.05 * rng.normal(size=(m, 7))
+    I = B @ rng.normal(size=(kt, 5)) + 0.05 * rng.normal(size=(n, 5))
+    Xd = np.where(mask, X, np.nan)
+    return Xd, rows, cols, vals, U, I, X, mask
+
+
+class TestLBFGS:
+    def test_cmf_lbfgs_fits(self, small_problem, rng):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = CMF(method="lbfgs", k=4, lambda_=0.5, maxiter=300,
+                    use_float=False, verbose=False).fit(Xd, U=U, I=I)
+        pred = model.predict(rows, cols)
+        rmse = np.sqrt(np.mean((pred - vals) ** 2))
+        assert rmse < 0.35 * np.std(vals)
+        assert model.C_ is not None and model.D_ is not None
+        assert model.nfev_ is not None
+
+    def test_lbfgs_gradient_is_zero_at_optimum(self, small_problem):
+        """At convergence the joint-objective gradient must be ~0 — the
+        analog of the reference's test_math numeric-gradient checks."""
+        import jax
+
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        from cmfrec_tpu.solvers.lbfgs import fit_collective_explicit_lbfgs
+
+        res = fit_collective_explicit_lbfgs(
+            rows, cols, vals, Xd.shape[0], Xd.shape[1],
+            side_U=None, side_I=None, k=3, lambda_=1.0,
+            user_bias=True, item_bias=True, maxiter=500,
+            dtype=np.float64, tol=1e-14,
+        )
+        # check stationarity of A numerically: residual projection + lam*A
+        A, B = res["A"], res["B"]
+        bA, bB, mu = res["biasA"], res["biasB"], res["glob_mean"]
+        pred = np.sum(A[rows] * B[cols], axis=1) + bA[rows] + bB[cols] + mu
+        resid = vals - pred
+        gA = np.zeros_like(A)
+        np.add.at(gA, rows, -resid[:, None] * B[cols])
+        gA += 1.0 * A
+        assert np.abs(gA).max() < 1e-3 * max(1.0, np.abs(A).max())
+
+    def test_binary_side_info(self, small_problem, rng):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        Ub = (U[:, :4] > 0).astype(np.float64)
+        model = CMF(method="lbfgs", k=3, lambda_=1.0, maxiter=150,
+                    use_float=False).fit(Xd, U_bin=Ub)
+        assert model.Cb_ is not None
+        assert model.Cb_.shape == (4, 3)
+        with pytest.raises(ValueError):
+            CMF(method="als", k=3).fit(Xd, U_bin=Ub)
+
+
+class TestOMF:
+    def test_omf_explicit_lbfgs(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=4, lambda_=0.5, method="lbfgs", maxiter=300,
+                             use_float=False).fit(Xd, U=U, I=I)
+        pred = model.predict(rows, cols)
+        assert np.sqrt(np.mean((pred - vals) ** 2)) < 0.4 * np.std(vals)
+        # cold start from attributes must correlate with the true scores
+        a = model.factors_cold(U=U[5])
+        s_cold = model.Bm_ @ a + model.glob_mean_
+        corr = np.corrcoef(s_cold, X[5] - X[5].mean())[0, 1]
+        assert corr > 0.5
+
+    def test_omf_explicit_als_mode(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=4, lambda_=0.5, method="als", niter=8,
+                             use_float=False).fit(Xd, U=U, I=I)
+        pred = model.predict(rows, cols)
+        assert np.sqrt(np.mean((pred - vals) ** 2)) < 0.4 * np.std(vals)
+        # Am decomposition consistency: Am == A + U C + C_bias
+        UC = np.nan_to_num(U - U.mean(axis=0)) @ model.C_ + model.C_bias_
+        np.testing.assert_allclose(model.Am_, model.A_ + UC, rtol=1e-4,
+                                   atol=1e-6)
+
+    def test_omf_warm_factors(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=4, lambda_=0.5, method="als", niter=8,
+                             use_float=False).fit(Xd, U=U, I=I)
+        sel = rows == 2
+        a = model.factors_warm(X_col=cols[sel], X_val=vals[sel], U=U[2])
+        s = model.Bm_ @ a + model.glob_mean_ + model.item_bias_
+        corr = np.corrcoef(s[cols[sel]], vals[sel])[0, 1]
+        assert corr > 0.6
+
+    def test_omf_implicit(self, rng):
+        m, n = 50, 30
+        A = rng.normal(size=(m, 3))
+        B = rng.normal(size=(n, 3))
+        mask = rng.uniform(size=(m, n)) < 1 / (1 + np.exp(-(A @ B.T)))
+        rows, cols = np.nonzero(mask)
+        vals = rng.integers(1, 6, rows.size).astype(float)
+        U = A @ rng.normal(size=(3, 6))
+        model = OMF_implicit(k=4, lambda_=1.0, niter=6, use_float=False).fit(
+            __import__("scipy.sparse", fromlist=["coo_matrix"]).coo_matrix(
+                (vals, (rows, cols)), shape=(m, n)
+            ),
+            U=U,
+        )
+        top = model.topN_cold(n=5, U=U[3])
+        assert len(top) == 5
+
+
+class TestContentBased:
+    def test_fit_and_new_pairs(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = ContentBased(k=3, lambda_=10.0, maxiter=400,
+                             use_float=False).fit(Xd, U, I)
+        pred = model.predict(rows, cols)
+        # content-only model: weaker fit but must beat the constant baseline
+        assert np.sqrt(np.mean((pred - vals) ** 2)) < 0.8 * np.std(vals)
+        # predictions for brand-new user/item attribute pairs
+        p = model.predict_new(U[:4], I[:4])
+        assert p.shape == (4,)
+        top = model.topN_new(n=5, U=U[0], I=I)
+        assert len(top) == 5
+
+
+class TestMostPopular:
+    def test_explicit(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = MostPopular(center=True, lambda_=2.0).fit(Xd)
+        top, scores = model.topN(n=10, output_score=True)
+        assert len(top) == 10
+        assert np.all(np.diff(scores) <= 1e-9)
+        # the top item should have a high column mean
+        col_means = np.nanmean(Xd, axis=0)
+        assert col_means[int(top[0])] >= np.nanquantile(col_means, 0.7)
+        p = model.predict(0, int(top[0]))
+        assert np.isfinite(p)
+
+    def test_explicit_with_user_bias(self, small_problem):
+        Xd, *_ = small_problem
+        model = MostPopular(center=True, user_bias=True, lambda_=2.0).fit(Xd)
+        assert model.user_bias_ is not None
+        assert np.isfinite(model.predict(3, 5))
+
+    def test_implicit(self, rng):
+        m, n = 40, 25
+        rows = rng.integers(0, m, 300)
+        cols = np.concatenate([rng.integers(0, 5, 200),
+                               rng.integers(5, n, 100)])
+        vals = rng.integers(1, 10, 300).astype(float)
+        import scipy.sparse as sp
+
+        X = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+        model = MostPopular(implicit=True, lambda_=1.0).fit(X)
+        top = model.topN(n=5)
+        # popular head items (0-4) dominate
+        assert sum(1 for t in top if int(t) < 5) >= 3
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            MostPopular(implicit=True, scale_lam=True)
+        with pytest.raises(ValueError):
+            MostPopular(implicit=False, apply_log_transf=True)
+
+
+class TestImputer:
+    def test_fit_transform(self, small_problem):
+        Xd, *_ = small_problem
+        imp = CMF_imputer(k=3, lambda_=0.5, niter=6, use_float=False)
+        out = imp.fit_transform(Xd)
+        assert not np.isnan(out).any()
+        obs = ~np.isnan(Xd)
+        np.testing.assert_allclose(out[obs], Xd[obs])
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -73,16 +73,38 @@ def main():
         center=True, dtype=np.float32, verbose=False,
     )
 
-    # Warm-up pass: pays all XLA compiles for this data's bucket shapes.
-    t0 = time.time()
-    fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n, **kwargs)
-    warm = time.time() - t0
-    print(f"warm-up fit (incl. compile): {warm:.2f}s", file=sys.stderr)
+    # Warm-up passes: pay all XLA/Mosaic compiles for this data's shapes.
+    # First-run-per-executable costs on this platform amortize over several
+    # calls, so warm adaptively until the time stabilizes, then report the
+    # best of three timed runs.  A scalar readback inside the timer forces
+    # all device work to finish (block_until_ready is unreliable over the
+    # axon tunnel); the model arrays themselves stay on device, like the C
+    # reference's arrays stay in RAM.
+    import jax.numpy as jnp
 
-    # Steady-state timed run.
-    t0 = time.time()
-    res = fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n, **kwargs)
-    elapsed = time.time() - t0
+    def one_fit():
+        t0 = time.time()
+        res = fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n, **kwargs)
+        _ = float(
+            jnp.sum(res["A"]) + jnp.sum(res["biasA"])
+            + jnp.sum(jnp.sum(res["B"], axis=0) + jnp.sum(res["biasB"]))
+        )
+        return time.time() - t0, res
+
+    warm, prev = one_fit()[0], float("inf")
+    print(f"warm-up fit (incl. compile): {warm:.2f}s", file=sys.stderr)
+    for _ in range(4):
+        prev = warm
+        warm, _r = one_fit()
+        print(f"warm-up fit: {warm:.2f}s", file=sys.stderr)
+        if warm > 0.85 * prev:
+            break
+
+    elapsed, res = one_fit()
+    for _ in range(2):
+        e2, r2 = one_fit()
+        if e2 < elapsed:
+            elapsed, res = e2, r2
 
     pred = (
         res["glob_mean"]

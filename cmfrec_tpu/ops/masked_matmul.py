@@ -1,0 +1,142 @@
+"""Fused masked-Gram Pallas kernels — the MXU hot path of dense ALS.
+
+Every CG step of a dense-masked ALS half-iteration is
+
+    out = ((Q @ Be^T) * W) @ Be          # [R,K],[S,K],[R,S] -> [R,K]
+
+(the dense-batch form of the reference's per-row normal equations,
+/root/reference/src/common.c:1098,2787).  Through XLA this materializes the
+[R, S] product in HBM twice (write + read ~ 8 bytes/entry); these kernels
+instead stream W tile-by-tile through VMEM and keep the [block_r, block_s]
+intermediate on-chip, so HBM traffic per matvec drops to one read of W
+(1-2 bytes/entry) — an ~8x cut that makes the fit compute-bound on the MXU.
+
+Kernels:
+  * masked_gram_matvec:  ((Q Be^T) . W) Be           (CG operator)
+  * masked_rhs:          ((X - mb) . W) Be           (CG right-hand side)
+
+X is stored *uncentered* in bf16 (explicit-feedback ratings on half-point
+grids are exactly representable), with the global mean and the opposing
+bias folded into mb[s] = mu + opp_bias[s]; W is an int8 0/1 mask when
+unweighted (exact) or the f32 weights.  The only inexactness of the bf16
+path is the rounding of the factor matrices themselves (~0.4% on the Gram),
+which perturbs each ridge solve far less than the CG truncation the
+reference already accepts (max_cg_steps=3).  Pass f32 Q/Be for an exact
+(multi-pass MXU) variant — used for the final polish iteration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_R = 512
+# Preferred inner (streamed) block widths; all multiples of 128 lanes.
+# Small widths cause an out-block revisit pipeline stall (measured 4-5x
+# slowdown at bs<=1024 on v5e), so candidates stay in [2048, 4096].
+_BS_CANDIDATES = (2816, 3072, 2560, 3328, 2048, 3584, 2304, 3840, 4096)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def pad_dim(dim: int) -> tuple[int, int]:
+    """Pad `dim` so it divides by BLOCK_R and by some preferred inner block.
+
+    Returns (dim_padded, block_s_for_streaming_this_dim).
+    """
+    best = None
+    for bs in _BS_CANDIDATES:
+        padded = -(-dim // bs) * bs
+        if padded % BLOCK_R:
+            # lcm step: both constraints are powers-of-two times small ints
+            step = np.lcm(bs, BLOCK_R)
+            padded = -(-dim // step) * step
+        if best is None or padded < best[0]:
+            best = (padded, bs)
+    return best
+
+
+def _matvec_kernel(q_ref, be_ref, w_ref, out_ref):
+    t = jnp.dot(q_ref[...], be_ref[...].T, preferred_element_type=jnp.float32)
+    t = (t * w_ref[...].astype(jnp.float32)).astype(be_ref.dtype)
+    contrib = jnp.dot(t, be_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+def _rhs_kernel(x_ref, w_ref, mb_ref, be_ref, out_ref):
+    v = x_ref[...].astype(jnp.float32) - mb_ref[...]
+    v = (v * w_ref[...].astype(jnp.float32)).astype(be_ref.dtype)
+    contrib = jnp.dot(v, be_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = contrib
+
+    @pl.when(pl.program_id(1) != 0)
+    def _():
+        out_ref[...] = out_ref[...] + contrib
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def masked_gram_matvec(Q, Be, W, *, block_s: int, interpret: bool = False):
+    """((Q @ Be^T) * W) @ Be, fused.  Q:[R,K] Be:[S,K] W:[R,S] -> [R,K] f32.
+
+    R % BLOCK_R == 0 and S % block_s == 0 are required (see pad_dim).
+    W may be int8 (0/1 mask), bf16, or f32; Q/Be bf16 for the fast path.
+    """
+    R, K = Q.shape
+    S = Be.shape[0]
+    assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)
+    return pl.pallas_call(
+        _matvec_kernel,
+        grid=(R // BLOCK_R, S // block_s),
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
+            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(Q, Be, W)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def masked_rhs(X, W, mb, Be, *, block_s: int, interpret: bool = False):
+    """((X - mb[None, :]) * W) @ Be, fused.  X,W:[R,S] mb:[S] Be:[S,K]."""
+    R, S = X.shape
+    K = Be.shape[1]
+    assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)
+    mb2 = mb.astype(jnp.float32).reshape(1, S)
+    return pl.pallas_call(
+        _rhs_kernel,
+        grid=(R // BLOCK_R, S // block_s),
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+            pl.BlockSpec((1, block_s), lambda i, j: (0, j)),
+            pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(X, W, mb2, Be)

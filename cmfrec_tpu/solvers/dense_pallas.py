@@ -1,0 +1,312 @@
+"""Pallas dense-masked explicit ALS — the TPU speed-of-light fit path.
+
+Same mathematics as solvers/dense_engine.py (whole-matrix masked CG on the
+per-row ridge systems of /root/reference/src/common.c:2742 optimizeA), but
+the masked products run through the fused Pallas kernels of
+ops/masked_matmul.py, so each CG matvec costs one streamed read of the
+int8/bf16 mask instead of two [m, n] f32 HBM round-trips.
+
+Numerics: X is kept raw (uncentered) in bf16 — explicit-feedback ratings on
+half-point grids are exact in bf16 — with the global mean and opposing bias
+folded into the rhs kernel's f32 `mb` vector.  The factor matrices are f32;
+they are rounded to bf16 only at the MXU input of each CG step.  The final
+`finalize_chol` iteration runs more CG steps with f32 MXU operands, landing
+the factors at the f32 fixed point just as the reference's final Cholesky
+does (/root/reference/src/collective.c:8336-8340).
+
+All jitted steps live at module level with explicit arguments (no closure
+captures) so compilations are cached across fits within a process.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.masked_matmul import BLOCK_R, masked_gram_matvec, masked_rhs, pad_dim
+
+
+def _round_up(x, mult):
+    return -(-x // mult) * mult
+
+
+@partial(jax.jit, static_argnames=("m_pad", "n_pad", "weighted"))
+def _setup(flat_idx, vals, wvals, m_pad, n_pad, weighted):
+    """Scatter COO -> padded dense [m_pad, n_pad] bf16 X + mask/weights W,
+    both orientations, plus row/col observation counts."""
+    X = (
+        jnp.zeros(m_pad * n_pad, jnp.bfloat16)
+        .at[flat_idx]
+        .set(vals.astype(jnp.bfloat16))
+        .reshape(m_pad, n_pad)
+    )
+    if weighted:
+        W = (
+            jnp.zeros(m_pad * n_pad, jnp.float32)
+            .at[flat_idx]
+            .set(wvals)
+            .reshape(m_pad, n_pad)
+        )
+        cnt_A = jnp.sum(W, axis=1)
+        cnt_B = jnp.sum(W, axis=0)
+    else:
+        W = (
+            jnp.zeros(m_pad * n_pad, jnp.int8)
+            .at[flat_idx]
+            .set(1)
+            .reshape(m_pad, n_pad)
+        )
+        cnt_A = jnp.sum(W, axis=1, dtype=jnp.float32)
+        cnt_B = jnp.sum(W, axis=0, dtype=jnp.float32)
+    return X, W, X.T, W.T, cnt_A, cnt_B
+
+
+def _cg(P, rhs, matvec, n_steps):
+    """Truncated CG with per-row early freeze (masked step size)."""
+    r = rhs - matvec(P)
+    rs0 = jnp.sum(r * r, axis=-1)
+
+    def body(carry, _):
+        a, r, p, rs = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap, axis=-1)
+        live = rs > 1e-12
+        alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
+        a = a + alpha[:, None] * p
+        r = r - alpha[:, None] * Ap
+        rs_new = jnp.sum(r * r, axis=-1)
+        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
+        p = r + beta[:, None] * p
+        return (a, r, p, jnp.where(live, rs_new, rs)), None
+
+    (a, _, _, _), _ = jax.lax.scan(body, (P, r, r, rs0), None, length=n_steps)
+    return a
+
+
+def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
+               compute_dtype, interpret):
+    """One side's update: solve (Be^T diag(W_r) Be + lam_r) a_r = rhs_r for
+    all rows r at once via fused-kernel CG."""
+    Bek = Be.astype(compute_dtype)
+    rhs = masked_rhs(X, W, mb, Bek, block_s=block_s, interpret=interpret)
+
+    def matvec(v):
+        mv = masked_gram_matvec(
+            v.astype(compute_dtype), Bek, W, block_s=block_s,
+            interpret=interpret,
+        )
+        return mv + v * lam_row
+
+    a = _cg(P, rhs, matvec, n_steps)
+    return jnp.where(live[:, None], a, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
+                     "n_steps", "compute", "interpret"),
+    donate_argnums=(0, 1),
+)
+def _iteration(
+    A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
+    *, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute, interpret,
+):
+    """One full ALS iteration: A half-step then B half-step."""
+    cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    n_pad = B.shape[0]
+    m_pad = A.shape[0]
+    Be = B.at[:, k].set(1.0 if user_bias else 0.0)
+    mbA = mu * jnp.ones(n_pad, jnp.float32)
+    if item_bias:
+        mbA = mbA + B[:, k]
+    A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
+                   block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
+                   interpret=interpret)
+    Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
+    mbB = mu * jnp.ones(m_pad, jnp.float32)
+    if user_bias:
+        mbB = mbB + A[:, k]
+    B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
+                   block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+                   interpret=interpret)
+    return A, B
+
+
+@partial(jax.jit, static_argnames=("shape", "coord", "seed_bias"))
+def _init_factors(key, live, bias0, shape, coord, seed_bias):
+    scale = 1.0 / np.sqrt(max(coord, 1))
+    M = scale * jax.random.normal(key, shape, jnp.float32)
+    coord_pad = jnp.arange(shape[1]) > coord
+    M = jnp.where(coord_pad[None, :] | ~live[:, None], 0.0, M)
+    return M.at[:, coord].set(bias0 if seed_bias else 0.0)
+
+
+@partial(jax.jit, static_argnames=("scale_lam", "user_bias", "item_bias"))
+def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
+                      scale_lam, user_bias, item_bias):
+    """One alternating closed-form bias pass computed from the dense forms
+    (device-side equivalent of preprocess.initialize_biases /
+    /root/reference/src/common.c:3733-4037): item biases from centered
+    column residuals, then user biases net of item biases."""
+    Wf = W.astype(jnp.float32)
+    Xf = X.astype(jnp.float32)
+    sB = jnp.einsum("rs,rs->s", Xf, Wf) - mu * cnt_B
+    denomB = cnt_B + lam_item * (cnt_B if scale_lam else 1.0)
+    biasB = jnp.where(denomB > 0, sB / jnp.where(denomB > 0, denomB, 1.0), 0.0)
+    if not item_bias:
+        biasB = jnp.zeros_like(biasB)
+    sA = (jnp.einsum("rs,rs->r", Xf, Wf) - mu * cnt_A - Wf @ biasB)
+    denomA = cnt_A + lam_user * (cnt_A if scale_lam else 1.0)
+    biasA = jnp.where(denomA > 0, sA / jnp.where(denomA > 0, denomA, 1.0), 0.0)
+    if not user_bias:
+        biasA = jnp.zeros_like(biasA)
+    return biasA, biasB
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
+                     "n_steps", "compute", "interpret", "n_iters"),
+    donate_argnums=(0, 1),
+)
+def _run_iterations(
+    A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
+    *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
+    interpret,
+):
+    """n_iters full ALS iterations in ONE device dispatch (the host<->TPU
+    link has per-call latency comparable to a whole iteration)."""
+
+    def body(carry, _):
+        A, B = carry
+        A, B = _iteration(
+            A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
+            k=k, user_bias=user_bias, item_bias=item_bias, bs_n=bs_n,
+            bs_m=bs_m, n_steps=n_steps, compute=compute, interpret=interpret,
+        )
+        return (A, B), None
+
+    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
+    return A, B
+
+
+def fit_explicit_dense_pallas(
+    rows, cols, vals_raw, m, n, *, weights,
+    k, lam6, niter, max_cg_steps, finalize_chol, finalize_steps,
+    user_bias, item_bias, glob_mean,
+    scale_lam, scale_bias_const, biasA0, biasB0,
+    dtype, seed, verbose, interpret=False,
+) -> dict:
+    m_pad, bs_m = pad_dim(m)  # bs_m streams the m axis (B half-step)
+    n_pad, bs_n = pad_dim(n)  # bs_n streams the n axis (A half-step)
+    Kp = max(_round_up(k + 1, 64), 64)
+
+    flat = np.asarray(rows, np.int64) * n_pad + np.asarray(cols, np.int64)
+    if m_pad * n_pad < np.iinfo(np.int32).max:
+        flat = flat.astype(np.int32)
+    weighted = weights is not None
+    w_dev = (
+        jnp.asarray(np.asarray(weights, np.float32))
+        if weighted
+        else jnp.zeros(0, jnp.float32)
+    )
+    # bf16 upload: explicit ratings are exact in bf16, and the host->device
+    # tunnel is the slowest link in the whole fit.
+    vals_dev = jnp.asarray(np.asarray(vals_raw, jnp.bfloat16))
+    X, W, XT, WT, cnt_A, cnt_B = _setup(
+        jnp.asarray(flat), vals_dev, w_dev, m_pad, n_pad, weighted
+    )
+    live_A = cnt_A > 0
+    live_B = cnt_B > 0
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    mu = jnp.float32(glob_mean)
+    if biasA0 is None and biasB0 is None and (user_bias or item_bias):
+        # compute the closed-form starting biases on device — the host
+        # bincount pass costs seconds at ML10M scale on a weak host
+        bA_dev, bB_dev = _device_bias_init(
+            X, W, cnt_A, cnt_B, mu, float(lam6[0]), float(lam6[1]),
+            scale_lam, user_bias, item_bias,
+        )
+    else:
+        bA0 = np.zeros(m_pad, np.float32)
+        bB0 = np.zeros(n_pad, np.float32)
+        if user_bias and biasA0 is not None:
+            bA0[:m] = biasA0
+        if item_bias and biasB0 is not None:
+            bB0[:n] = biasB0
+        bA_dev, bB_dev = jnp.asarray(bA0), jnp.asarray(bB0)
+    A = _init_factors(k1, live_A, bA_dev, (m_pad, Kp), k, user_bias)
+    B = _init_factors(k2, live_B, bB_dev, (n_pad, Kp), k, item_bias)
+
+    def lam_row_for(lam_f, lam_bias, has_bias, cnt, count_avg):
+        v = np.ones(Kp, np.float32)
+        v[:k] = lam_f
+        v[k] = lam_bias if has_bias else 1.0
+        vec = jnp.asarray(v)
+        if not scale_lam:
+            return vec[None, :]
+        lam_row = vec[None, :] * jnp.maximum(cnt, 1.0)[:, None]
+        if scale_bias_const and has_bias:
+            lam_row = lam_row.at[:, k].set(lam_bias * count_avg)
+        return lam_row
+
+    count_avg_A = count_avg_B = 1.0
+    if scale_lam:
+        tot = float(np.sum(weights)) if weighted else float(len(flat))
+        count_avg_A = tot / max(m, 1)
+        count_avg_B = tot / max(n, 1)
+    lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_A, count_avg_A)
+    lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B, count_avg_B)
+
+    statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
+                   bs_n=bs_n, bs_m=bs_m, interpret=interpret)
+    args = (X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu)
+
+    try:
+        if verbose:
+            for it in range(niter):
+                final = finalize_chol and (it == niter - 1)
+                t0 = time.time()
+                A, B = _iteration(
+                    A, B, *args,
+                    n_steps=finalize_steps if final else max_cg_steps,
+                    compute="f32" if final else "bf16",
+                    **statics,
+                )
+                jax.block_until_ready(B)
+                tag = "pallas-f32*" if final else "pallas-bf16"
+                print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
+        else:
+            # all bulk iterations in one dispatch, the f32 polish in another
+            n_bulk = niter - 1 if finalize_chol else niter
+            if n_bulk > 0:
+                A, B = _run_iterations(
+                    A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+                    compute="bf16", **statics,
+                )
+            if finalize_chol:
+                A, B = _iteration(
+                    A, B, *args, n_steps=finalize_steps, compute="f32",
+                    **statics,
+                )
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
+
+    # Returned as device arrays: downloading over the host link is the
+    # caller's (lazy) cost, exactly as the C reference hands back arrays
+    # that already live in RAM.
+    dtype = jnp.dtype(dtype)
+    return {
+        "A": A[:m, :k].astype(dtype),
+        "B": B[:n, :k].astype(dtype),
+        "biasA": A[:m, k].astype(dtype) if user_bias else None,
+        "biasB": B[:n, k].astype(dtype) if item_bias else None,
+        "glob_mean": float(glob_mean),
+        "k": k,
+    }

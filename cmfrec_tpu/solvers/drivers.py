@@ -129,16 +129,6 @@ def fit_explicit_als(
     )
     vals_c = (vals - glob_mean).astype(dtype)
 
-    biasA0 = biasB0 = None
-    if user_bias or item_bias:
-        biasA0, biasB0 = preprocess.initialize_biases(
-            rows, cols, vals_c, m, n,
-            lam_user=lam6[0], lam_item=lam6[1],
-            wgt=weights,
-            user_bias=user_bias, item_bias=item_bias,
-            scale_lam=scale_lam, nonneg=nonneg,
-        )
-
     # Engine selection: the dense-masked engine turns the CG half-iterations
     # into whole-matrix MXU products (see dense_engine.py) — dramatically
     # faster than gather-based sparse solves whenever [m, n] fits in HBM.
@@ -155,8 +145,42 @@ def fit_explicit_als(
         and not NA_as_zero
         and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
     )
+    # The fused-kernel engine is the TPU fast path; the XLA einsum
+    # engine remains for CPU runs and f64.
+    use_pallas = use_dense and (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
+    )
+
+    biasA0 = biasB0 = None
+    if (user_bias or item_bias) and not use_pallas:
+        # (the pallas engine computes starting biases on device)
+        biasA0, biasB0 = preprocess.initialize_biases(
+            rows, cols, vals_c, m, n,
+            lam_user=lam6[0], lam_item=lam6[1],
+            wgt=weights,
+            user_bias=user_bias, item_bias=item_bias,
+            scale_lam=scale_lam, nonneg=nonneg,
+        )
 
     if use_dense:
+        if use_pallas:
+            from .dense_pallas import fit_explicit_dense_pallas
+
+            return fit_explicit_dense_pallas(
+                rows, cols, vals, m, n, weights=weights,
+                k=k, lam6=lam6, niter=niter, max_cg_steps=max_cg_steps,
+                finalize_chol=finalize_chol,
+                finalize_steps=int(
+                    os.environ.get("CMFREC_TPU_FINALIZE_STEPS", "16")
+                ),
+                user_bias=user_bias, item_bias=item_bias,
+                glob_mean=glob_mean, scale_lam=scale_lam,
+                scale_bias_const=scale_bias_const,
+                biasA0=biasA0, biasB0=biasB0,
+                dtype=dtype, seed=seed, verbose=verbose,
+            )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,
             k=k, lam6=lam6, niter=niter, max_cg_steps=max_cg_steps,

@@ -1,0 +1,113 @@
+"""Oracle tests for the fused Pallas kernels (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmfrec_tpu.ops.masked_matmul import (
+    BLOCK_R,
+    masked_gram_matvec,
+    masked_rhs,
+    pad_dim,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_pad_dim_constraints():
+    for dim in (60, 513, 10677, 69878, 2048, 100000):
+        padded, bs = pad_dim(dim)
+        assert padded >= dim
+        assert padded % BLOCK_R == 0
+        assert padded % bs == 0
+        assert bs % 128 == 0
+
+
+def _mk(rng, R, S, K, w_int8=True):
+    Q = jnp.asarray(rng.normal(size=(R, K)), jnp.float32)
+    Be = jnp.asarray(rng.normal(size=(S, K)), jnp.float32)
+    mask = rng.uniform(size=(R, S)) < 0.3
+    if w_int8:
+        W = jnp.asarray(mask, jnp.int8)
+    else:
+        W = jnp.asarray(mask * rng.uniform(0.5, 2.0, size=(R, S)), jnp.float32)
+    return Q, Be, W
+
+
+@pytest.mark.parametrize("w_int8", [True, False])
+def test_masked_gram_matvec_matches_einsum(rng, w_int8):
+    R, S, K = 1024, 2048, 64
+    Q, Be, W = _mk(rng, R, S, K, w_int8)
+    out = masked_gram_matvec(Q, Be, W, block_s=1024, interpret=INTERP)
+    Wf = W.astype(jnp.float32)
+    big = jnp.einsum("rk,sk->rs", Q, Be) * Wf
+    ref = jnp.einsum("rs,sk->rk", big, Be)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_masked_rhs_matches_einsum(rng):
+    R, S, K = 512, 1024, 64
+    X = jnp.asarray(
+        np.round(rng.uniform(1, 10, size=(R, S))) / 2, jnp.bfloat16
+    )
+    _, Be, W = _mk(rng, R, S, K, True)
+    mb = jnp.asarray(rng.normal(size=S), jnp.float32)
+    out = masked_rhs(X, W, mb, Be, block_s=1024, interpret=INTERP)
+    V = (X.astype(jnp.float32) - mb[None, :]) * W.astype(jnp.float32)
+    ref = jnp.einsum("rs,sk->rk", V, Be)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_dense_pallas_fit_matches_xla_engine(rng):
+    """End-to-end: interpret-mode pallas fit vs the XLA dense engine on the
+    same data reaches the same predictions (same ridge fixed point)."""
+    from cmfrec_tpu.solvers.dense_pallas import fit_explicit_dense_pallas
+    from cmfrec_tpu.solvers import drivers
+
+    m, n, k = 64, 48, 4
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.5
+    X = A0 @ B0.T + 0.05 * rng.normal(size=(m, n)) + 3.0
+    ro, co = np.nonzero(mask)
+    vals = X[ro, co]
+    lam6 = np.full(6, 0.5)
+    mu = float(vals.mean())
+
+    common = dict(
+        weights=None, k=k, lam6=lam6, niter=20, max_cg_steps=3,
+        finalize_chol=True, user_bias=True, item_bias=True, glob_mean=mu,
+        scale_lam=False, scale_bias_const=False,
+        dtype=np.float32, seed=3, verbose=False,
+    )
+    from cmfrec_tpu.solvers.preprocess import initialize_biases
+
+    bA, bB = initialize_biases(ro, co, (vals - mu).astype(np.float32), m, n,
+                               lam_user=0.5, lam_item=0.5, wgt=None,
+                               user_bias=True, item_bias=True,
+                               scale_lam=False, nonneg=False)
+    res_p = fit_explicit_dense_pallas(
+        ro, co, vals, m, n, finalize_steps=30, biasA0=bA, biasB0=bB,
+        interpret=INTERP, **common,
+    )
+    res_x = drivers._fit_explicit_dense(
+        ro, co, (vals - mu).astype(np.float32), m, n,
+        biasA0=bA, biasB0=bB, **common,
+    )
+    pred_p = (res_p["glob_mean"] + res_p["biasA"][ro] + res_p["biasB"][co]
+              + np.einsum("nk,nk->n", res_p["A"][ro], res_p["B"][co]))
+    pred_x = (res_x["glob_mean"] + res_x["biasA"][ro] + res_x["biasB"][co]
+              + np.einsum("nk,nk->n", res_x["A"][ro], res_x["B"][co]))
+    # both engines solve the same ALS; predictions agree to CG/bf16 noise
+    np.testing.assert_allclose(pred_p, pred_x, rtol=0, atol=5e-2)
+    rmse_p = np.sqrt(np.mean((pred_p - vals) ** 2))
+    rmse_x = np.sqrt(np.mean((pred_x - vals) ** 2))
+    assert abs(rmse_p - rmse_x) < 5e-3

@@ -104,25 +104,36 @@ def build_bucketed_rows(
     max_block_elems: int = DEFAULT_MAX_BLOCK_ELEMS,
     min_width: int = 8,
 ) -> BucketedRows:
-    """Build the bucketed layout from COO triplets (host-side, NumPy only)."""
+    """Build the bucketed layout from COO triplets.
+
+    The CSR conversion, degree sort, and padded-block fills run through the
+    native C++ layer (cmfrec_tpu/native/bucketize.cpp — the analog of the
+    reference's helpers.c sparse preprocessing) when the toolchain is
+    available, with a pure-NumPy fallback.
+    """
+    from .. import native
+
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
-    vals = np.asarray(vals, dtype=dtype)
-    if weights is not None:
-        weights = np.asarray(weights, dtype=dtype)
 
-    counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
-
-    # CSR-ify: sort entries by row (stable to keep column order deterministic).
-    order = np.argsort(rows, kind="stable")
-    sorted_cols = cols[order]
-    sorted_vals = vals[order]
-    sorted_wgt = weights[order] if weights is not None else None
-    indptr = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-
-    # Sort rows by degree, descending, so buckets are contiguous slices.
-    row_order = np.argsort(-counts, kind="stable").astype(np.int64)
+    csr = native.csr_from_coo(rows, cols, vals, weights, n_rows, dtype)
+    if csr is not None:
+        counts, indptr, sorted_cols, sorted_vals, sorted_wgt = csr
+        row_order = native.degree_order(counts)
+    else:
+        vals = np.asarray(vals, dtype=dtype)
+        if weights is not None:
+            weights = np.asarray(weights, dtype=dtype)
+        counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+        # CSR-ify: sort entries by row (stable keeps column order).
+        order = np.argsort(rows, kind="stable")
+        sorted_cols = cols[order]
+        sorted_vals = vals[order]
+        sorted_wgt = weights[order] if weights is not None else None
+        indptr = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        # Degree-descending stable row order -> buckets are contiguous.
+        row_order = np.argsort(-counts, kind="stable").astype(np.int64)
     sorted_counts = counts[row_order]
 
     # Partition the degree-sorted rows into width classes.
@@ -160,26 +171,34 @@ def build_bucketed_rows(
             ce = min(be, cs + max_rows)
             n_real = ce - cs
             R = -(-n_real // row_block) * row_block
-            idx = np.zeros((R, w), dtype=np.int32)
-            val = np.zeros((R, w), dtype=dtype)
-            wgt = np.zeros((R, w), dtype=dtype) if weights is not None else None
-            length = np.zeros(R, dtype=np.int32)
-            # Vectorized fill: flat (row, within-row) destination coordinates
-            # for every nonzero of every row in this chunk.
             orig_rows = row_order[cs:ce]
-            ns = counts[orig_rows]
-            length[:n_real] = ns
-            total = int(ns.sum())
-            if total:
-                starts = indptr[orig_rows]
-                seg_off = np.repeat(np.cumsum(ns) - ns, ns)
-                within = np.arange(total, dtype=np.int64) - seg_off
-                src = np.repeat(starts, ns) + within
-                dest_r = np.repeat(np.arange(n_real, dtype=np.int64), ns)
-                idx[dest_r, within] = sorted_cols[src]
-                val[dest_r, within] = sorted_vals[src]
-                if wgt is not None:
-                    wgt[dest_r, within] = sorted_wgt[src]
+            filled = native.fill_bucket(
+                orig_rows, indptr, counts, sorted_cols, sorted_vals,
+                sorted_wgt, w, R, dtype,
+            ) if csr is not None else None
+            if filled is not None:
+                idx, val, wgt, length = filled
+            else:
+                idx = np.zeros((R, w), dtype=np.int32)
+                val = np.zeros((R, w), dtype=dtype)
+                wgt = (np.zeros((R, w), dtype=dtype)
+                       if weights is not None else None)
+                length = np.zeros(R, dtype=np.int32)
+                # Vectorized fill: flat (row, within-row) destination
+                # coordinates for every nonzero of every row in this chunk.
+                ns = counts[orig_rows]
+                length[:n_real] = ns
+                total = int(ns.sum())
+                if total:
+                    starts = indptr[orig_rows]
+                    seg_off = np.repeat(np.cumsum(ns) - ns, ns)
+                    within = np.arange(total, dtype=np.int64) - seg_off
+                    src = np.repeat(starts, ns) + within
+                    dest_r = np.repeat(np.arange(n_real, dtype=np.int64), ns)
+                    idx[dest_r, within] = sorted_cols[src]
+                    val[dest_r, within] = sorted_vals[src]
+                    if wgt is not None:
+                        wgt[dest_r, within] = sorted_wgt[src]
             out.buckets.append(
                 Bucket(
                     start=pos,

@@ -1,0 +1,171 @@
+"""ctypes loader for the native data layer (bucketize.cpp).
+
+Compiles the C++ source on first use with the system toolchain and caches
+the shared object under ~/.cache/cmfrec_tpu keyed by a source hash, so the
+package needs no build step (pybind11 is not assumed; the C ABI + ctypes
+is the binding layer).  Falls back to pure NumPy if no compiler is
+available — callers check ``get_lib() is not None``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "bucketize.cpp")
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_F32 = ctypes.POINTER(ctypes.c_float)
+_F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _cache_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    d = os.environ.get(
+        "CMFREC_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cmfrec_tpu"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"libbucketize-{h}.so")
+
+
+def _compile(out: str) -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", out,
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        if r.returncode != 0:
+            # retry without -march=native / -fopenmp (restricted toolchains)
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                   "-o", out]
+            r = subprocess.run(cmd, capture_output=True, timeout=120)
+        return r.returncode == 0
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _declare(lib) -> None:
+    lib.coo_csr_perm.argtypes = [_I64, ctypes.c_int64, ctypes.c_int64,
+                                 _I64, _I64, _I64]
+    for name, vt in (("gather_entries_f32", _F32),
+                     ("gather_entries_f64", _F64)):
+        fn = getattr(lib, name)
+        fn.argtypes = [_I64, ctypes.c_int64, _I64, _F64, _F64, _I32, vt, vt]
+    for name, vt in (("fill_bucket_f32", _F32), ("fill_bucket_f64", _F64)):
+        fn = getattr(lib, name)
+        fn.argtypes = [_I64, ctypes.c_int64, _I64, _I64, _I32, vt, vt,
+                       ctypes.c_int64, _I32, vt, vt, _I32]
+    lib.degree_sort.argtypes = [_I64, ctypes.c_int64, _I64]
+    lib.omp_max_threads.restype = ctypes.c_int
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("CMFREC_TPU_NO_NATIVE", "0") == "1":
+            return None
+        try:
+            path = _cache_path()
+            if not os.path.exists(path) and not _compile(path):
+                return None
+            lib = ctypes.CDLL(path)
+            _declare(lib)
+            _LIB = lib
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"cmfrec_tpu: native layer unavailable ({e})",
+                  file=sys.stderr)
+            _LIB = None
+    return _LIB
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def csr_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                 weights, n_rows: int, dtype):
+    """Native COO->CSR: returns (counts, indptr, csr_cols i32, csr_vals,
+    csr_wgt) with values downcast to `dtype`.  None if the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = rows.shape[0]
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals64 = np.ascontiguousarray(vals, np.float64)
+    wgt64 = (None if weights is None
+             else np.ascontiguousarray(weights, np.float64))
+    counts = np.empty(n_rows, np.int64)
+    indptr = np.empty(n_rows + 1, np.int64)
+    perm = np.empty(nnz, np.int64)
+    lib.coo_csr_perm(_ptr(rows, _I64), nnz, n_rows, _ptr(counts, _I64),
+                     _ptr(indptr, _I64), _ptr(perm, _I64))
+    dt = np.dtype(dtype)
+    csr_cols = np.empty(nnz, np.int32)
+    csr_vals = np.empty(nnz, dt)
+    csr_wgt = np.empty(nnz, dt) if weights is not None else None
+    if dt == np.float32:
+        fn, vt = lib.gather_entries_f32, _F32
+    else:
+        fn, vt = lib.gather_entries_f64, _F64
+    fn(_ptr(perm, _I64), nnz, _ptr(cols, _I64), _ptr(vals64, _F64),
+       _ptr(wgt64, _F64) if wgt64 is not None else None,
+       _ptr(csr_cols, _I32), _ptr(csr_vals, vt),
+       _ptr(csr_wgt, vt) if csr_wgt is not None else None)
+    return counts, indptr, csr_cols, csr_vals, csr_wgt
+
+
+def degree_order(counts: np.ndarray):
+    """Stable degree-descending row order (native), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.int64)
+    order = np.empty(counts.shape[0], np.int64)
+    lib.degree_sort(_ptr(counts, _I64), counts.shape[0], _ptr(order, _I64))
+    return order
+
+
+def fill_bucket(row_order_slice, indptr, counts, csr_cols, csr_vals, csr_wgt,
+                width: int, R: int, dtype):
+    """Fill one zero-padded [R, width] bucket natively.  Returns
+    (idx, val, wgt, length) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    n_real = row_order_slice.shape[0]
+    idx = np.zeros((R, width), np.int32)
+    val = np.zeros((R, width), dt)
+    wgt = np.zeros((R, width), dt) if csr_wgt is not None else None
+    length = np.zeros(R, np.int32)
+    row_order_slice = np.ascontiguousarray(row_order_slice, np.int64)
+    if dt == np.float32:
+        fn, vt = lib.fill_bucket_f32, _F32
+    else:
+        fn, vt = lib.fill_bucket_f64, _F64
+    fn(_ptr(row_order_slice, _I64), n_real, _ptr(indptr, _I64),
+       _ptr(counts, _I64), _ptr(csr_cols, _I32), _ptr(csr_vals, vt),
+       _ptr(csr_wgt, vt) if csr_wgt is not None else None,
+       width, _ptr(idx, _I32), _ptr(val, vt),
+       _ptr(wgt, vt) if wgt is not None else None, _ptr(length, _I32))
+    return idx, val, wgt, length

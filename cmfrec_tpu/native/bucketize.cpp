@@ -1,0 +1,108 @@
+// Native data layer: COO -> CSR -> degree-bucketed padded blocks.
+//
+// TPU-native counterpart of the reference's C sparse preprocessing
+// (/root/reference/src/helpers.c:1135-1232 coo_to_csr_and_csc,
+// /root/reference/src/collective.c:6452 convert_sparse_X): the host-side
+// hot path that feeds the device engines.  A counting sort by row is O(nnz)
+// (NumPy's argsort is O(nnz log nnz) and the vectorized fancy-index fill
+// pays several full passes); on the weak single-core hosts fronting TPU
+// pods this is the difference between milliseconds and seconds per fit.
+//
+// Exposed via a plain C ABI and loaded with ctypes (no pybind11 in the
+// image).  All buffers are allocated by the caller (NumPy arrays).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Counting-sort COO entries by row.
+//   rows[nnz]        row id of each entry
+//   counts[n_rows]   out: nnz per row
+//   indptr[n_rows+1] out: CSR row pointers
+//   perm[nnz]        out: source entry index for each CSR slot
+void coo_csr_perm(const int64_t* rows, int64_t nnz, int64_t n_rows,
+                  int64_t* counts, int64_t* indptr, int64_t* perm) {
+  std::memset(counts, 0, (size_t)n_rows * sizeof(int64_t));
+  for (int64_t i = 0; i < nnz; ++i) counts[rows[i]]++;
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + counts[r];
+  std::vector<int64_t> head(indptr, indptr + n_rows);
+  for (int64_t i = 0; i < nnz; ++i) perm[head[rows[i]]++] = i;
+}
+
+// Gather COO payloads through the CSR permutation, downcasting columns to
+// int32 and values/weights to the requested precision.
+#define DEFINE_GATHER(NAME, VT)                                            \
+  void NAME(const int64_t* perm, int64_t nnz, const int64_t* cols,         \
+            const double* vals, const double* wgt, int32_t* out_cols,      \
+            VT* out_vals, VT* out_wgt) {                                   \
+    _Pragma("omp parallel for schedule(static)")                           \
+    for (int64_t i = 0; i < nnz; ++i) {                                    \
+      const int64_t s = perm[i];                                           \
+      out_cols[i] = (int32_t)cols[s];                                      \
+      out_vals[i] = (VT)vals[s];                                           \
+      if (wgt) out_wgt[i] = (VT)wgt[s];                                    \
+    }                                                                      \
+  }
+
+DEFINE_GATHER(gather_entries_f32, float)
+DEFINE_GATHER(gather_entries_f64, double)
+
+// Fill one padded bucket: for each of n_real rows (original ids in
+// row_order), copy its CSR segment into row r of the [R, width] blocks.
+// idx/val/wgt must arrive zero-initialized (calloc'd by the caller).
+#define DEFINE_FILL(NAME, VT)                                              \
+  void NAME(const int64_t* row_order, int64_t n_real, const int64_t* indptr, \
+            const int64_t* counts, const int32_t* csr_cols,                \
+            const VT* csr_vals, const VT* csr_wgt, int64_t width,          \
+            int32_t* idx, VT* val, VT* wgt, int32_t* length) {             \
+    _Pragma("omp parallel for schedule(static)")                           \
+    for (int64_t r = 0; r < n_real; ++r) {                                 \
+      const int64_t orig = row_order[r];                                   \
+      const int64_t c = counts[orig];                                      \
+      const int64_t off = indptr[orig];                                    \
+      length[r] = (int32_t)c;                                              \
+      std::memcpy(idx + r * width, csr_cols + off, (size_t)c * 4);         \
+      std::memcpy(val + r * width, csr_vals + off, (size_t)c * sizeof(VT)); \
+      if (wgt && csr_wgt)                                                  \
+        std::memcpy(wgt + r * width, csr_wgt + off, (size_t)c * sizeof(VT)); \
+    }                                                                      \
+  }
+
+DEFINE_FILL(fill_bucket_f32, float)
+DEFINE_FILL(fill_bucket_f64, double)
+
+// Degree-descending stable row order via counting sort over nnz values
+// (keys bounded by max degree).  Equivalent to np.argsort(-counts,
+// kind="stable") in O(n_rows + max_degree).
+void degree_sort(const int64_t* counts, int64_t n_rows, int64_t* order) {
+  int64_t maxc = 0;
+  for (int64_t r = 0; r < n_rows; ++r)
+    if (counts[r] > maxc) maxc = counts[r];
+  std::vector<int64_t> hist((size_t)maxc + 2, 0);
+  for (int64_t r = 0; r < n_rows; ++r) hist[counts[r]]++;
+  // descending: position of degree d starts after all degrees > d
+  std::vector<int64_t> start((size_t)maxc + 2, 0);
+  int64_t acc = 0;
+  for (int64_t d = maxc; d >= 0; --d) {
+    start[d] = acc;
+    acc += hist[d];
+  }
+  for (int64_t r = 0; r < n_rows; ++r) order[start[counts[r]]++] = r;
+}
+
+int omp_max_threads() {
+#ifdef _OPENMP
+  return omp_get_max_threads();
+#else
+  return 1;
+#endif
+}
+
+}  // extern "C"

@@ -1,0 +1,77 @@
+"""Native C++ data layer vs the NumPy fallback — bitwise layout parity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from cmfrec_tpu import native
+from cmfrec_tpu.data.shards import build_bucketed_rows
+
+
+def _random_coo(rng, m, n, nnz, weights=False):
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.normal(size=nnz)
+    wgt = rng.uniform(0.5, 2.0, size=nnz) if weights else None
+    return rows, cols, vals, wgt
+
+
+def test_native_lib_compiles():
+    lib = native.get_lib()
+    assert lib is not None, "native layer failed to compile — g++ expected"
+    assert lib.omp_max_threads() >= 1
+
+
+@pytest.mark.parametrize("weights", [False, True])
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_csr_from_coo_matches_numpy(rng, weights, dtype):
+    m, n, nnz = 300, 120, 5000
+    rows, cols, vals, wgt = _random_coo(rng, m, n, nnz, weights)
+    out = native.csr_from_coo(rows, cols, vals, wgt, m, dtype)
+    assert out is not None
+    counts, indptr, c_cols, c_vals, c_wgt = out
+    np.testing.assert_array_equal(counts, np.bincount(rows, minlength=m))
+    np.testing.assert_array_equal(indptr, np.concatenate(
+        [[0], np.cumsum(counts)]))
+    order = np.argsort(rows, kind="stable")
+    np.testing.assert_array_equal(c_cols, cols[order].astype(np.int32))
+    np.testing.assert_allclose(c_vals, vals[order].astype(dtype), rtol=0)
+    if weights:
+        np.testing.assert_allclose(c_wgt, wgt[order].astype(dtype), rtol=0)
+
+
+def test_degree_order_matches_numpy(rng):
+    counts = rng.integers(0, 50, 1000).astype(np.int64)
+    order = native.degree_order(counts)
+    ref = np.argsort(-counts, kind="stable")
+    np.testing.assert_array_equal(order, ref)
+
+
+@pytest.mark.parametrize("weights", [False, True])
+def test_bucketed_layout_native_vs_numpy(rng, weights, monkeypatch):
+    """The full bucketed structure must be identical with and without the
+    native layer (the engines consume it blindly)."""
+    m, n, nnz = 500, 200, 8000
+    rows, cols, vals, wgt = _random_coo(rng, m, n, nnz, weights)
+    # add some empty + heavy rows
+    rows[rows == 7] = 3
+    nat = build_bucketed_rows(rows, cols, vals, m, n, wgt, dtype=np.float32)
+
+    real_get_lib = native.get_lib
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    ref = build_bucketed_rows(rows, cols, vals, m, n, wgt, dtype=np.float32)
+    monkeypatch.setattr(native, "get_lib", real_get_lib)
+
+    assert nat.n_rows_pad == ref.n_rows_pad
+    np.testing.assert_array_equal(nat.perm, ref.perm)
+    np.testing.assert_array_equal(nat.row_of, ref.row_of)
+    assert len(nat.buckets) == len(ref.buckets)
+    for bn, br in zip(nat.buckets, ref.buckets):
+        assert bn.shape_key == br.shape_key
+        np.testing.assert_array_equal(np.asarray(bn.idx), np.asarray(br.idx))
+        np.testing.assert_array_equal(np.asarray(bn.length),
+                                      np.asarray(br.length))
+        np.testing.assert_allclose(np.asarray(bn.val), np.asarray(br.val))
+        if weights:
+            np.testing.assert_allclose(np.asarray(bn.wgt), np.asarray(br.wgt))

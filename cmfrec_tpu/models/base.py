@@ -61,6 +61,19 @@ class _BaseModel:
             setattr(self, k, v)
         return self
 
+    def fit_triplets(self, rows, cols, vals, m, n, W=None, **fit_kwargs):
+        """Convenience: fit directly from positional COO triplets."""
+        import scipy.sparse as sp
+
+        X = sp.coo_matrix(
+            (np.asarray(vals, np.float64),
+             (np.asarray(rows, np.int64), np.asarray(cols, np.int64))),
+            shape=(m, n),
+        )
+        if W is not None:
+            fit_kwargs["W"] = W
+        return self.fit(X, **fit_kwargs)
+
     # ------------------------------------------------------------------ #
     # input ingestion                                                     #
     # ------------------------------------------------------------------ #

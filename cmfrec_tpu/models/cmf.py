@@ -93,17 +93,6 @@ class CMF(_BaseModel):
 
     # ------------------------------------------------------------------ #
 
-    def fit_triplets(self, rows, cols, vals, m, n, W=None):
-        """Convenience: fit directly from positional COO triplets."""
-        import scipy.sparse as sp
-
-        X = sp.coo_matrix(
-            (np.asarray(vals, np.float64),
-             (np.asarray(rows, np.int64), np.asarray(cols, np.int64))),
-            shape=(m, n),
-        )
-        return self.fit(X, W=W)
-
     def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None):
         """Fit to explicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:3066)."""
@@ -121,7 +110,9 @@ class CMF(_BaseModel):
                 rows, cols, vals, m, n,
                 k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
                 niter=self.niter, use_cg=self.use_cg,
-                max_cg_steps=self.max_cg_steps, finalize_chol=self.finalize_chol,
+                max_cg_steps=self.max_cg_steps,
+                precondition_cg=self.precondition_cg,
+                finalize_chol=self.finalize_chol,
                 user_bias=self.user_bias, item_bias=self.item_bias,
                 center=self.center, scale_lam=self.scale_lam,
                 scale_bias_const=self.scale_bias_const,
@@ -145,7 +136,9 @@ class CMF(_BaseModel):
                 w_implicit=self.w_implicit,
                 add_implicit_features=self.add_implicit_features,
                 niter=self.niter, use_cg=self.use_cg,
-                max_cg_steps=self.max_cg_steps, finalize_chol=self.finalize_chol,
+                max_cg_steps=self.max_cg_steps,
+                precondition_cg=self.precondition_cg,
+                finalize_chol=self.finalize_chol,
                 user_bias=self.user_bias, item_bias=self.item_bias,
                 center=self.center, center_U=self.center_U,
                 center_I=self.center_I,
@@ -381,35 +374,52 @@ class CMF(_BaseModel):
         /root/reference/cmfrec/__init__.py:3706)."""
         if not self.is_fitted_:
             raise RuntimeError("Model is not fitted")
-        rows, cols, vals, wgt, m_new, _ = self._ingest_X(X, W) if X is not None \
-            else (None, None, None, None, (np.asarray(U).shape[0] if U is not None else 0), None)
-        if X is not None:
-            order = np.argsort(rows, kind="stable")
-            rows, cols, vals = rows[order], cols[order], vals[order]
-            if wgt is not None:
-                wgt = wgt[order]
-            counts = np.bincount(rows, minlength=m_new)
-            L = max(int(counts.max()), 1)
-            idx = np.zeros((m_new, L), np.int64)
-            vv = np.zeros((m_new, L))
-            ww = np.zeros((m_new, L)) if wgt is not None else None
-            pos = np.concatenate([[0], np.cumsum(counts)])
-            for r in range(m_new):
-                s, e = pos[r], pos[r + 1]
-                idx[r, : e - s] = cols[s:e]
-                vv[r, : e - s] = vals[s:e]
-                if ww is not None:
-                    ww[r, : e - s] = wgt[s:e]
-        else:
-            counts = np.zeros(m_new, np.int64)
-            idx = np.zeros((m_new, 0), np.int64)
-            vv = np.zeros((m_new, 0))
-            ww = None
+        idx, vv, ww, counts = self._pack_new_rows(X, W, U)
         a, bias = factors_explicit_batch(
-            self, idx, vv, ww, counts.astype(np.int64),
+            self, idx, vv, ww, counts,
             U=np.asarray(U, np.float64) if U is not None else None,
         )
         return (a, bias) if return_bias else a
+
+    def _pack_new_rows(self, X, W, U):
+        """New-user interaction rows -> padded [R, L] idx/val/weight blocks."""
+        if X is None:
+            m_new = np.asarray(U).shape[0] if U is not None else 0
+            return (np.zeros((m_new, 0), np.int64), np.zeros((m_new, 0)),
+                    None, np.zeros(m_new, np.int64))
+        rows, cols, vals, wgt, m_new, _ = self._ingest_X(X, W)
+        order = np.argsort(rows, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        if wgt is not None:
+            wgt = wgt[order]
+        counts = np.bincount(rows, minlength=m_new)
+        L = max(int(counts.max()), 1)
+        idx = np.zeros((m_new, L), np.int64)
+        vv = np.zeros((m_new, L))
+        ww = np.zeros((m_new, L)) if wgt is not None else None
+        pos = np.concatenate([[0], np.cumsum(counts)])
+        for r in range(m_new):
+            s, e = pos[r], pos[r + 1]
+            idx[r, : e - s] = cols[s:e]
+            vv[r, : e - s] = vals[s:e]
+            if ww is not None:
+                ww[r, : e - s] = wgt[s:e]
+        return idx, vv, ww, counts.astype(np.int64)
+
+    def predict_warm_multiple(self, X, item, W=None, U=None, U_bin=None):
+        """Predict (new user row i, item[i]) for many new users at once
+        (reference: /root/reference/cmfrec/__init__.py:3654)."""
+        a, bias = self.factors_multiple(X=X, U=U, U_bin=U_bin, W=W,
+                                        return_bias=True)
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        if i.shape[0] != a.shape[0]:
+            raise ValueError("item must have one entry per row of X")
+        p = np.sum(a[:, self.k_user:] * np.asarray(self._xB)[i], axis=1)
+        p = p + self.glob_mean_ + bias
+        if self.item_bias_ is not None:
+            p = p + np.asarray(self.item_bias_)[i]
+        return p
 
     def transform(self, X=None, y=None, U=None, U_bin=None, W=None,
                   replace_existing=False):
@@ -532,6 +542,7 @@ class CMF_implicit(_BaseModel):
                 k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
                 niter=self.niter, use_cg=self.use_cg,
                 max_cg_steps=self.max_cg_steps,
+                precondition_cg=self.precondition_cg,
                 finalize_chol=self.finalize_chol,
                 alpha=self.alpha, apply_log_transf=self.apply_log_transf,
                 adjust_weight=self.downweight, nonneg=self.nonneg,
@@ -628,6 +639,78 @@ class CMF_implicit(_BaseModel):
         a = self.factors_cold(U=U, U_col=U_col, U_val=U_val)
         i, _ = self._map_ids(items, self.item_mapping_, "item")
         return self._xB[np.atleast_1d(i)] @ a[self.k_user:]
+
+    def factors_multiple(self, X=None, U=None):
+        """WRMF warm factors for many new users at once (reference:
+        /root/reference/cmfrec/__init__.py:5107)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        if X is None:
+            from ..solvers.warm import factors_cold_implicit
+
+            return factors_cold_implicit(self, np.asarray(U, np.float64))
+        idx, vv, _, counts = CMF._pack_new_rows(self, X, None, U)
+        if self.apply_log_transf:
+            vv = np.where(vv > 0, np.log(np.maximum(vv, 1e-30)), 0.0)
+        return factors_implicit_batch(self, idx, vv, counts)
+
+    def predict_warm_multiple(self, X, item, U=None):
+        """Predict (new user row i, item[i]) pairs (reference:
+        /root/reference/cmfrec/__init__.py:5306)."""
+        a = self.factors_multiple(X=X, U=U)
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        if i.shape[0] != a.shape[0]:
+            raise ValueError("item must have one entry per row of X")
+        return np.sum(a[:, self.k_user:] * np.asarray(self._xB)[i], axis=1)
+
+    def predict_cold_multiple(self, item, U=None):
+        """Predict for many (new user given side info, existing item) pairs
+        (reference: /root/reference/cmfrec/__init__.py:5221)."""
+        from ..solvers.warm import factors_cold_implicit
+
+        a = factors_cold_implicit(self, np.asarray(U, np.float64))
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        return np.sum(a[:, self.k_user:] * np.asarray(self._xB)[i], axis=1)
+
+    def item_factors_cold(self, I=None, I_col=None, I_val=None):
+        """Factors for a new item from its side info — the swapped-role
+        dual of factors_cold (reference: __init__.py:5061)."""
+        if self.D_ is None:
+            raise ValueError("Model was fit without item side info")
+        return self.swap_users_and_items(precompute=False).factors_cold(
+            U=I, U_col=I_col, U_val=I_val
+        )
+
+    def predict_new(self, user, I=None):
+        """Predict for (existing user, new item given side info) pairs
+        (reference: /root/reference/cmfrec/__init__.py:5402)."""
+        I = np.asarray(I, np.float64)
+        if I.ndim == 1:
+            I = I[None, :]
+        sw = self.swap_users_and_items(precompute=False)
+        from ..solvers.warm import factors_cold_implicit
+
+        b = factors_cold_implicit(sw, I)
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        u = np.atleast_1d(u)
+        return np.sum(np.asarray(self._xA)[u] * b[:, self.k_item:], axis=1)
+
+    def topN_new(self, user, I=None, n=10, output_score=False):
+        """Rank a pool of NEW items (given side info) for an existing user
+        (reference: /root/reference/cmfrec/__init__.py:5465)."""
+        I = np.asarray(I, np.float64)
+        sw = self.swap_users_and_items(precompute=False)
+        from ..solvers.warm import factors_cold_implicit
+
+        b = factors_cold_implicit(sw, I)
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        scores = b[:, self.k_item:] @ np.asarray(self._xA)[int(u)]
+        n = min(n, scores.shape[0])
+        idx = np.argpartition(-scores, n - 1)[:n]
+        idx = idx[np.argsort(-scores[idx])]
+        return (idx, scores[idx]) if output_score else idx
 
     def force_precompute_for_predictions(self):
         from ..solvers.warm import build_precomputed

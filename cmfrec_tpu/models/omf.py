@@ -85,6 +85,91 @@ class _OMFBase(_BaseModel):
         a = self.factors_cold(U=U, U_col=U_col, U_val=U_val)
         return self._topN_vec(a, 0.0, n, include, exclude, output_score)
 
+    def _attr_mat(self, M, colmeans, C, C_bias, w):
+        """Batch attribute projection: [R, p] -> [R, k] factor rows."""
+        M = np.asarray(M, np.float64)
+        if M.ndim == 1:
+            M = M[None, :]
+        if colmeans is not None:
+            M = M - np.asarray(colmeans)[None, :]
+        M = np.nan_to_num(M, nan=0.0)
+        out = w * (M @ np.asarray(C))
+        if C_bias is not None:
+            out = out + w * np.asarray(C_bias)[None, :]
+        return out
+
+    def factors_cold_multiple(self, U=None):
+        """Am rows for many new users from attributes
+        (/root/reference/cmfrec/__init__.py:5944 factors_cold batched)."""
+        uc = self._attr_mat(U, self.U_colmeans_, self.C_, self.C_bias_,
+                            getattr(self, "w_user", 1.0))
+        k_sec = getattr(self, "k_sec", 0)
+        out = np.zeros((uc.shape[0], self.Am_.shape[1]))
+        out[:, : k_sec + self.k] = uc
+        return out
+
+    def item_factors_cold(self, I=None, I_col=None, I_val=None):
+        """Bm row for a new item from its attributes (the D-side dual;
+        /root/reference/cmfrec/__init__.py:5965)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        if self.D_ is None:
+            raise ValueError("Model was fit without item side info")
+        if I is None:
+            i_vec = np.zeros(self.D_.shape[0])
+            i_vec[np.asarray(I_col, np.int64)] = np.asarray(I_val, np.float64)
+        else:
+            i_vec = I
+        bm = self._attr_mat(i_vec, self.I_colmeans_, self.D_, self.D_bias_,
+                            getattr(self, "w_item", 1.0))
+        k_sec = getattr(self, "k_sec", 0)
+        out = np.zeros(self.Bm_.shape[1])
+        out[: k_sec + self.k] = bm[0]
+        return out
+
+    def predict_cold_multiple(self, item, U=None):
+        """(new user attrs, existing item) pairs
+        (/root/reference/cmfrec/__init__.py:5994)."""
+        a = self.factors_cold_multiple(U=U)
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        p = np.sum(a * np.asarray(self.Bm_)[i], axis=1) + self.glob_mean_
+        if self.item_bias_ is not None:
+            p = p + np.asarray(self.item_bias_)[i]
+        return p
+
+    def predict_new(self, user, I=None):
+        """(existing user, new item attrs) pairs
+        (/root/reference/cmfrec/__init__.py:6013)."""
+        bm = self._attr_mat(I, self.I_colmeans_, self.D_, self.D_bias_,
+                            getattr(self, "w_item", 1.0))
+        k_sec = getattr(self, "k_sec", 0)
+        B_new = np.zeros((bm.shape[0], self.Bm_.shape[1]))
+        B_new[:, : k_sec + self.k] = bm
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        u = np.atleast_1d(u)
+        p = np.sum(np.asarray(self.Am_)[u] * B_new, axis=1) + self.glob_mean_
+        if self.user_bias_ is not None:
+            p = p + np.asarray(self.user_bias_)[u]
+        return p
+
+    def topN_new(self, user, I=None, n=10, output_score=False):
+        """Rank new items (attributes I) for an existing user
+        (/root/reference/cmfrec/__init__.py:5862)."""
+        bm = self._attr_mat(I, self.I_colmeans_, self.D_, self.D_bias_,
+                            getattr(self, "w_item", 1.0))
+        k_sec = getattr(self, "k_sec", 0)
+        B_new = np.zeros((bm.shape[0], self.Bm_.shape[1]))
+        B_new[:, : k_sec + self.k] = bm
+        u, _ = self._map_ids(user, self.user_mapping_, "user")
+        scores = B_new @ np.asarray(self.Am_)[int(u)] + self.glob_mean_
+        if self.user_bias_ is not None:
+            scores = scores + float(np.asarray(self.user_bias_)[int(u)])
+        n = min(n, scores.shape[0])
+        idx = np.argpartition(-scores, n - 1)[:n]
+        idx = idx[np.argsort(-scores[idx])]
+        return (idx, scores[idx]) if output_score else idx
+
     def _warm_offset(self, base, cols, vals, lam, implicit=False, alpha=1.0):
         """Free ridge offset on top of the attribute projection."""
         Bm = np.asarray(self.Bm_, np.float64)
@@ -219,6 +304,44 @@ class OMF_explicit(_OMFBase):
                               U_col=U_col, U_val=U_val)
         return self._topN_vec(a, 0.0, n, include, exclude, output_score)
 
+    def predict_warm_multiple(self, X, item, W=None, U=None):
+        """(new user row i, item[i]) for many users
+        (/root/reference/cmfrec/__init__.py:6771)."""
+        X = np.asarray(X, np.float64)
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        out = np.empty(X.shape[0])
+        for r in range(X.shape[0]):
+            u_r = None if U is None else np.asarray(U, np.float64)[r]
+            out[r] = self.predict_warm([int(i[r])], X=X[r], U=u_r,
+                                       W=None if W is None else W[r])[0]
+        return out
+
+    def transform(self, X=None, y=None, U=None, W=None,
+                  replace_existing=False):
+        """Impute missing X entries for new rows (sklearn-style;
+        /root/reference/cmfrec/__init__.py:7063)."""
+        X = np.asarray(X, np.float64)
+        Bm = np.asarray(self.Bm_)
+        pred = np.empty_like(X)
+        for r in range(X.shape[0]):
+            u_r = None if U is None else np.asarray(U, np.float64)[r]
+            has_obs = np.isfinite(X[r]).any()
+            a = (self.factors_warm(X=X[r], U=u_r,
+                                   W=None if W is None else W[r])
+                 if has_obs else
+                 (self.factors_cold(U=u_r) if u_r is not None
+                  else np.zeros(Bm.shape[1])))
+            pred[r] = Bm @ a + self.glob_mean_
+        if self.item_bias_ is not None:
+            pred = pred + np.asarray(self.item_bias_)[None, :]
+        if replace_existing:
+            return pred
+        out = X.copy()
+        nanmask = np.isnan(out)
+        out[nanmask] = pred[nanmask]
+        return out
+
 
 class OMF_implicit(_OMFBase):
     """Implicit-feedback offsets model (reference:
@@ -297,6 +420,24 @@ class OMF_implicit(_OMFBase):
                   U_val=None, include=None, exclude=None, output_score=False):
         a = self.factors_warm(X_col, X_val, U=U, U_col=U_col, U_val=U_val)
         return self._topN_vec(a, 0.0, n, include, exclude, output_score)
+
+    def predict_warm_multiple(self, X, item, U=None):
+        """(new user row i, item[i]) for many users
+        (/root/reference/cmfrec/__init__.py:7646).  X is sparse [R, n]."""
+        import scipy.sparse as sp
+
+        Xc = sp.csr_matrix(X)
+        i, _ = self._map_ids(item, self.item_mapping_, "item")
+        i = np.atleast_1d(i)
+        out = np.empty(Xc.shape[0])
+        Bm = np.asarray(self.Bm_)
+        for r in range(Xc.shape[0]):
+            s, e = Xc.indptr[r], Xc.indptr[r + 1]
+            a = self.factors_warm(Xc.indices[s:e], Xc.data[s:e],
+                                  U=None if U is None
+                                  else np.asarray(U, np.float64)[r])
+            out[r] = Bm[int(i[r])] @ a
+        return out
 
 
 class ContentBased(_OMFBase):

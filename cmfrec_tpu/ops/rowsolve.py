@@ -134,9 +134,13 @@ def solve_cg(
     G0: Optional[jax.Array] = None,
     r0: Optional[jax.Array] = None,
     rel_tol: float = 1e-12,
+    jacobi: bool = False,
 ) -> jax.Array:
     """Batched truncated CG, warm-started, matching the reference's
     ``max_cg_steps``-step truncation (/root/reference/src/common.c:1098).
+    With ``jacobi=True`` runs diagonally-preconditioned PCG instead
+    (``precondition_cg``, /root/reference/src/common.c:1190
+    factors_explicit_pcg).
 
     Early per-row termination (residual below tolerance) is realized by
     masking the step size to zero, which freezes converged rows without
@@ -163,25 +167,42 @@ def solve_cg(
     if r0 is not None:
         rhs = rhs + r0
 
+    if jacobi:
+        diag = jnp.broadcast_to(lam_row, (R, K))
+        if G0 is not None:
+            diag = diag + jnp.einsum("kk->k", G0)[None, :]
+        for ms, cw in gathered:
+            diag = diag + jnp.einsum(
+                "rlk,rl->rk", ms * ms, cw, precision=SOLVER_PRECISION
+            )
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0), 1.0)
+    else:
+        inv_diag = None
+
+    def precond(r):
+        return r if inv_diag is None else r * inv_diag
+
     r = rhs - matvec(a0)
-    rs0 = jnp.sum(r * r, axis=-1)
+    z = precond(r)
+    rz0 = jnp.sum(r * z, axis=-1)
     tol = jnp.asarray(rel_tol, dt)
 
     def body(carry, _):
-        a, r, p, rs = carry
+        a, r, p, rz = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rs > tol
-        alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
+        live = rz > tol
+        alpha = jnp.where(live, rz / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
-        rs_new = jnp.sum(r * r, axis=-1)
-        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
-        p = r + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rs_new, rs)), None
+        z = precond(r)
+        rz_new = jnp.sum(r * z, axis=-1)
+        beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1, rz), 0.0)
+        p = z + beta[:, None] * p
+        return (a, r, p, jnp.where(live, rz_new, rz)), None
 
     (a, _, _, _), _ = jax.lax.scan(
-        body, (a0, r, r, rs0), None, length=n_steps
+        body, (a0, r, z, rz0), None, length=n_steps
     )
     return a
 

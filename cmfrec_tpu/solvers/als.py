@@ -113,6 +113,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "scale_lam",
         "n_totals",
         "scale_parts",
+        "precondition",
     ),
 )
 def solve_bucket(
@@ -132,6 +133,7 @@ def solve_bucket(
     scale_lam: bool,
     n_totals: tuple,  # static, per part: total column count (for na0 scaling)
     scale_parts: tuple = (),  # static, per part: counts toward lam scaling
+    precondition: bool = False,  # Jacobi PCG (precondition_cg)
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -200,6 +202,7 @@ def solve_bucket(
         lam_mult=lam_mult,
         G0=G0_eff,
         r0=r0,
+        jacobi=precondition,
     )
     if live is not None:
         a = jnp.where(live[:, None], a, 0.0)
@@ -250,6 +253,7 @@ def update_side(
     nonneg: bool = False,
     max_cd_steps: int = 100,
     scale_lam: bool = False,
+    precondition: bool = False,
     dtype=jnp.float32,
 ) -> list:
     """Solve all buckets of one side; returns the new block list."""
@@ -301,6 +305,7 @@ def update_side(
             scale_lam=scale_lam,
             n_totals=n_totals,
             scale_parts=scale_parts,
+            precondition=precondition,
         )
         new_blocks.append(a_new)
     return new_blocks

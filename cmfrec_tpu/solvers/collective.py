@@ -204,7 +204,8 @@ def fit_collective_explicit_als(
     lambda_=10.0, l1_lambda=0.0,
     w_main=1.0, w_user=1.0, w_item=1.0, w_implicit=0.5,
     add_implicit_features=False,
-    niter=10, use_cg=True, max_cg_steps=3, finalize_chol=True,
+    niter=10, use_cg=True, max_cg_steps=3, precondition_cg=False,
+    finalize_chol=True,
     user_bias=True, item_bias=True, center=True,
     center_U=True, center_I=True,
     scale_lam=False, scale_lam_sideinfo=False, scale_bias_const=False,
@@ -411,7 +412,7 @@ def fit_collective_explicit_als(
             G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks, extra_parts=extra,
             l1_vec=l1_vec, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
 
     def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
@@ -433,7 +434,7 @@ def fit_collective_explicit_als(
             w=w_side, G0=G0, r0_blocks=r0_blocks,
             l1_vec=l1_s, method=method, n_steps=max_cg_steps,
             nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=False,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
 
     perm_A = jnp.asarray(RB.perm)
@@ -559,7 +560,8 @@ def fit_collective_implicit_als(
     lambda_=1.0, l1_lambda=0.0,
     w_main=1.0, w_user=1.0, w_item=1.0,
     alpha=1.0, apply_log_transf=False, adjust_weight=False,
-    niter=10, use_cg=True, max_cg_steps=3, finalize_chol=False,
+    niter=10, use_cg=True, max_cg_steps=3, precondition_cg=False,
+    finalize_chol=False,
     center_U=True, center_I=True,
     NA_as_zero_user=False, NA_as_zero_item=False,
     nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
@@ -701,7 +703,7 @@ def fit_collective_implicit_als(
             w=w_x, alpha=alpha, G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks,
             extra_parts=extra, l1_vec=l1_vec, method=method,
             n_steps=max_cg_steps, nonneg=nonneg, max_cd_steps=max_cd_steps,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
 
     def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
@@ -721,7 +723,7 @@ def fit_collective_implicit_als(
             plan, blocks, A1, None, lam_vec, w=w_side, G0=G0,
             r0_blocks=r0_blocks, l1_vec=l1_s, method=method,
             n_steps=max_cg_steps, nonneg=nonneg_s, max_cd_steps=max_cd_steps,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
 
     for it in range(niter):

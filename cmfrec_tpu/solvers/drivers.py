@@ -100,6 +100,7 @@ def fit_explicit_als(
     niter: int = 10,
     use_cg: bool = True,
     max_cg_steps: int = 3,
+    precondition_cg: bool = False,
     finalize_chol: bool = True,
     user_bias: bool = True,
     item_bias: bool = True,
@@ -264,7 +265,7 @@ def fit_explicit_als(
             lam_const_vec=lam_const_A,
             l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
         A_orig = blocks_to_orig(A_blocks, perm_A, m)
 
@@ -282,7 +283,7 @@ def fit_explicit_als(
             lam_const_vec=lam_const_B,
             l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            dtype=dtype,
+            precondition=precondition_cg, dtype=dtype,
         )
         return A_blocks, B_blocks
 
@@ -352,6 +353,7 @@ def fit_implicit_als(
     niter: int = 15,
     use_cg: bool = True,
     max_cg_steps: int = 3,
+    precondition_cg: bool = False,
     finalize_chol: bool = False,
     alpha: float = 1.0,
     apply_log_transf: bool = False,
@@ -412,7 +414,8 @@ def fit_implicit_als(
             buckets_data=dataA,
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
+            nonneg=nonneg, max_cd_steps=max_cd_steps,
+            precondition=precondition_cg, dtype=dtype,
         )
         A_orig = blocks_to_orig(A_blocks, perm_A, m)
         G0 = w_main * gram_matrix(A_orig)
@@ -421,7 +424,8 @@ def fit_implicit_als(
             buckets_data=dataB,
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps, dtype=dtype,
+            nonneg=nonneg, max_cd_steps=max_cd_steps,
+            precondition=precondition_cg, dtype=dtype,
         )
         return A_blocks, B_blocks
 

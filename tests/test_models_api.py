@@ -192,3 +192,128 @@ def test_save_load_roundtrip(ratings_df, tmp_path):
     top1 = model.topN("u1", n=5)
     top2 = loaded.topN("u1", n=5)
     assert list(map(str, top1)) == list(map(str, top2))
+
+
+# ---------------------------------------------------------------------- #
+# batch / new-entity prediction surface                                   #
+# ---------------------------------------------------------------------- #
+
+
+@pytest.fixture
+def sideinfo_models(rng):
+    m, n, k_true, p, q = 60, 40, 3, 6, 5
+    A = rng.normal(size=(m, k_true))
+    B = rng.normal(size=(n, k_true))
+    U = A @ rng.normal(size=(k_true, p)) + 0.05 * rng.normal(size=(m, p))
+    I = B @ rng.normal(size=(k_true, q)) + 0.05 * rng.normal(size=(n, q))
+    full = 3.0 + A @ B.T
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = full[rows, cols] + 0.1 * rng.normal(size=rows.size)
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    exp = CMF(k=5, lambda_=0.5, niter=6, use_float=False).fit(X, U=U, I=I)
+    imp_vals = np.maximum(1.0, vals - vals.min())
+    Ximp = sp.coo_matrix((imp_vals, (rows, cols)), shape=(m, n))
+    imp = CMF_implicit(k=5, lambda_=1.0, niter=6, use_float=False).fit(
+        Ximp, U=U, I=I)
+    return exp, imp, X, Ximp, U, I, m, n
+
+
+def test_predict_warm_multiple_explicit(sideinfo_models, rng):
+    exp, _, X, _, U, I, m, n = sideinfo_models
+    Xd = np.asarray(X.todense())
+    Xd[Xd == 0] = np.nan
+    items = np.array([0, 1, 2])
+    p = exp.predict_warm_multiple(Xd[:3], items, U=U[:3])
+    assert p.shape == (3,)
+    # consistency with the single-row path
+    p0 = exp.predict_warm([0], X=Xd[0], U=U[0])
+    np.testing.assert_allclose(p[0], p0[0], rtol=1e-4, atol=1e-4)
+
+
+def test_implicit_batch_and_new_item_surface(sideinfo_models):
+    _, imp, _, Ximp, U, I, m, n = sideinfo_models
+    Xc = sp.csr_matrix(Ximp)
+    a = imp.factors_multiple(X=Xc[:4])
+    assert a.shape[0] == 4 and np.isfinite(a).all()
+    p = imp.predict_warm_multiple(Xc[:4], np.arange(4))
+    assert p.shape == (4,) and np.isfinite(p).all()
+    pc = imp.predict_cold_multiple(np.arange(3), U=U[:3])
+    assert pc.shape == (3,) and np.isfinite(pc).all()
+    bf = imp.item_factors_cold(I=I[0])
+    assert np.isfinite(bf).all()
+    pn = imp.predict_new(0, I=I[:5])
+    assert pn.shape == (5,) and np.isfinite(pn).all()
+    top = imp.topN_new(0, I=I, n=5)
+    assert len(top) == 5
+    # the new-item ranking should correlate with the existing-item ranking
+    # (I are the true item attributes)
+    full_top = imp.topN(0, n=5)
+    assert len(set(np.asarray(top)) & set(np.asarray(full_top))) >= 1
+
+
+def test_omf_extended_surface(rng):
+    from cmfrec_tpu import OMF_explicit
+
+    m, n, k_true, p, q = 50, 30, 3, 5, 4
+    A = rng.normal(size=(m, k_true))
+    B = rng.normal(size=(n, k_true))
+    U = A @ rng.normal(size=(k_true, p))
+    I = B @ rng.normal(size=(k_true, q))
+    full = 3.0 + A @ B.T
+    mask = rng.uniform(size=(m, n)) < 0.5
+    rows, cols = np.nonzero(mask)
+    vals = full[rows, cols] + 0.1 * rng.normal(size=rows.size)
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    om = OMF_explicit(k=4, lambda_=0.5, method="als", niter=6).fit(X, U=U, I=I)
+
+    pc = om.predict_cold_multiple(np.arange(3), U=U[:3])
+    assert pc.shape == (3,) and np.isfinite(pc).all()
+    assert np.isfinite(om.item_factors_cold(I=I[0])).all()
+    pn = om.predict_new(0, I=I[:4])
+    assert pn.shape == (4,) and np.isfinite(pn).all()
+    assert len(om.topN_new(0, I=I, n=5)) == 5
+    Xd = np.asarray(X.todense())
+    Xd[Xd == 0] = np.nan
+    pw = om.predict_warm_multiple(Xd[:3], np.array([1, 2, 3]), U=U[:3])
+    assert pw.shape == (3,) and np.isfinite(pw).all()
+    out = om.transform(Xd[:3], U=U[:3])
+    assert out.shape == (3, n) and np.isfinite(out).all()
+
+
+def test_precondition_cg_matches_plain_cg(rng):
+    m, n, k_true = 60, 40, 3
+    A = rng.normal(size=(m, k_true))
+    B = rng.normal(size=(n, k_true))
+    full = 3.0 + A @ B.T
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = full[rows, cols] + 0.1 * rng.normal(size=rows.size)
+    X = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    kw = dict(k=5, lambda_=0.5, niter=10, use_float=False, use_cg=True)
+    import cmfrec_tpu.solvers.drivers as drv
+
+    r1 = drv.fit_explicit_als(rows, cols, vals, m, n, k=5, lambda_=0.5,
+                              niter=10, engine="sparse")
+    r2 = drv.fit_explicit_als(rows, cols, vals, m, n, k=5, lambda_=0.5,
+                              niter=10, engine="sparse", precondition_cg=True)
+    p1 = (r1["glob_mean"] + np.asarray(r1["biasA"])[rows]
+          + np.asarray(r1["biasB"])[cols]
+          + np.einsum("nk,nk->n", np.asarray(r1["A"])[rows],
+                      np.asarray(r1["B"])[cols]))
+    p2 = (r2["glob_mean"] + np.asarray(r2["biasA"])[rows]
+          + np.asarray(r2["biasB"])[cols]
+          + np.einsum("nk,nk->n", np.asarray(r2["A"])[rows],
+                      np.asarray(r2["B"])[cols]))
+    rmse1 = np.sqrt(np.mean((p1 - vals) ** 2))
+    rmse2 = np.sqrt(np.mean((p2 - vals) ** 2))
+    assert abs(rmse1 - rmse2) < 0.02  # same fixed point, PCG just converges differently
+
+
+def test_fit_triplets_on_base(rng):
+    m, n = 40, 25
+    rows = rng.integers(0, m, 300)
+    cols = rng.integers(0, n, 300)
+    vals = rng.uniform(1, 5, 300)
+    mi = CMF_implicit(k=4, niter=3).fit_triplets(rows, cols, vals, m, n)
+    assert mi.is_fitted_

@@ -43,17 +43,19 @@ _BS_CANDIDATES = (2816, 3072, 2560, 3328, 2048, 3584, 2304, 3840, 4096)
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def pad_dim(dim: int) -> tuple[int, int]:
-    """Pad `dim` so it divides by BLOCK_R and by some preferred inner block.
+def pad_dim(dim: int, row_mult: int = 1) -> tuple[int, int]:
+    """Pad `dim` so it divides by BLOCK_R * row_mult and by some preferred
+    inner block (row_mult = mesh size when the row axis is device-sharded).
 
     Returns (dim_padded, block_s_for_streaming_this_dim).
     """
+    row_req = BLOCK_R * max(row_mult, 1)
     best = None
     for bs in _BS_CANDIDATES:
+        # lcm step: both constraints are powers-of-two times small ints
+        step = int(np.lcm(bs, row_req))
         padded = -(-dim // bs) * bs
-        if padded % BLOCK_R:
-            # lcm step: both constraints are powers-of-two times small ints
-            step = np.lcm(bs, BLOCK_R)
+        if padded % row_req:
             padded = -(-dim // step) * step
         if best is None or padded < best[0]:
             best = (padded, bs)
@@ -88,13 +90,31 @@ def _rhs_kernel(x_ref, w_ref, mb_ref, be_ref, out_ref):
         out_ref[...] = out_ref[...] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
-def masked_gram_matvec(Q, Be, W, *, block_s: int, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("block_s", "interpret", "mesh", "axis")
+)
+def masked_gram_matvec(Q, Be, W, *, block_s: int, interpret: bool = False,
+                       mesh=None, axis: str = "d"):
     """((Q @ Be^T) * W) @ Be, fused.  Q:[R,K] Be:[S,K] W:[R,S] -> [R,K] f32.
 
-    R % BLOCK_R == 0 and S % block_s == 0 are required (see pad_dim).
-    W may be int8 (0/1 mask), bf16, or f32; Q/Be bf16 for the fast path.
+    R % BLOCK_R == 0 and S % block_s == 0 are required (see pad_dim; with a
+    mesh, R % (BLOCK_R * n_dev) == 0).  W may be int8 (0/1 mask), bf16, or
+    f32; Q/Be bf16 for the fast path.  With ``mesh``, Q and W are row-sharded
+    over ``axis``, Be replicated, and each device runs the kernel on its row
+    shard — zero collectives (SURVEY.md §2.4 P1: the DP axis).
     """
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        run = jax.shard_map(
+            functools.partial(masked_gram_matvec, block_s=block_s,
+                              interpret=interpret),
+            mesh=mesh,
+            in_specs=(P(axis), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        return run(Q, Be, W)
     R, K = Q.shape
     S = Be.shape[0]
     assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)
@@ -116,9 +136,25 @@ def masked_gram_matvec(Q, Be, W, *, block_s: int, interpret: bool = False):
     )(Q, Be, W)
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
-def masked_rhs(X, W, mb, Be, *, block_s: int, interpret: bool = False):
-    """((X - mb[None, :]) * W) @ Be, fused.  X,W:[R,S] mb:[S] Be:[S,K]."""
+@functools.partial(
+    jax.jit, static_argnames=("block_s", "interpret", "mesh", "axis")
+)
+def masked_rhs(X, W, mb, Be, *, block_s: int, interpret: bool = False,
+               mesh=None, axis: str = "d"):
+    """((X - mb[None, :]) * W) @ Be, fused.  X,W:[R,S] mb:[S] Be:[S,K].
+    With ``mesh``, X/W row-sharded over ``axis``, mb/Be replicated."""
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        run = jax.shard_map(
+            functools.partial(masked_rhs, block_s=block_s,
+                              interpret=interpret),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        return run(X, W, mb, Be)
     R, S = X.shape
     K = Be.shape[1]
     assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)

@@ -52,7 +52,7 @@ def score_items(
     glob_mean: float = 0.0,
     a_bias: float = 0.0,
 ) -> jax.Array:
-    s = B @ a_vec
+    s = jnp.einsum("nk,k->n", B, a_vec, precision=SOLVER_PRECISION)
     if biasB is not None:
         s = s + biasB
     return s + (glob_mean + a_bias)

@@ -88,16 +88,17 @@ def _cg(P, rhs, matvec, n_steps):
 
 
 def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
-               compute_dtype, interpret):
+               compute_dtype, interpret, mesh=None):
     """One side's update: solve (Be^T diag(W_r) Be + lam_r) a_r = rhs_r for
     all rows r at once via fused-kernel CG."""
     Bek = Be.astype(compute_dtype)
-    rhs = masked_rhs(X, W, mb, Bek, block_s=block_s, interpret=interpret)
+    rhs = masked_rhs(X, W, mb, Bek, block_s=block_s, interpret=interpret,
+                     mesh=mesh)
 
     def matvec(v):
         mv = masked_gram_matvec(
             v.astype(compute_dtype), Bek, W, block_s=block_s,
-            interpret=interpret,
+            interpret=interpret, mesh=mesh,
         )
         return mv + v * lam_row
 
@@ -108,12 +109,13 @@ def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
-                     "n_steps", "compute", "interpret"),
+                     "n_steps", "compute", "interpret", "mesh"),
     donate_argnums=(0, 1),
 )
 def _iteration(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute, interpret,
+    mesh=None,
 ):
     """One full ALS iteration: A half-step then B half-step."""
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
@@ -125,14 +127,14 @@ def _iteration(
         mbA = mbA + B[:, k]
     A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
                    block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                   interpret=interpret)
+                   interpret=interpret, mesh=mesh)
     Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
     mbB = mu * jnp.ones(m_pad, jnp.float32)
     if user_bias:
         mbB = mbB + A[:, k]
     B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
                    block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
-                   interpret=interpret)
+                   interpret=interpret, mesh=mesh)
     return A, B
 
 
@@ -170,13 +172,13 @@ def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
-                     "n_steps", "compute", "interpret", "n_iters"),
+                     "n_steps", "compute", "interpret", "n_iters", "mesh"),
     donate_argnums=(0, 1),
 )
 def _run_iterations(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
-    interpret,
+    interpret, mesh=None,
 ):
     """n_iters full ALS iterations in ONE device dispatch (the host<->TPU
     link has per-call latency comparable to a whole iteration)."""
@@ -187,6 +189,7 @@ def _run_iterations(
             A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
             k=k, user_bias=user_bias, item_bias=item_bias, bs_n=bs_n,
             bs_m=bs_m, n_steps=n_steps, compute=compute, interpret=interpret,
+            mesh=mesh,
         )
         return (A, B), None
 
@@ -199,10 +202,11 @@ def fit_explicit_dense_pallas(
     k, lam6, niter, max_cg_steps, finalize_chol, finalize_steps,
     user_bias, item_bias, glob_mean,
     scale_lam, scale_bias_const, biasA0, biasB0,
-    dtype, seed, verbose, interpret=False,
+    dtype, seed, verbose, interpret=False, mesh=None,
 ) -> dict:
-    m_pad, bs_m = pad_dim(m)  # bs_m streams the m axis (B half-step)
-    n_pad, bs_n = pad_dim(n)  # bs_n streams the n axis (A half-step)
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    m_pad, bs_m = pad_dim(m, row_mult=n_dev)  # bs_m streams m (B half-step)
+    n_pad, bs_n = pad_dim(n, row_mult=n_dev)  # bs_n streams n (A half-step)
     Kp = max(_round_up(k + 1, 64), 64)
 
     flat = np.asarray(rows, np.int64) * n_pad + np.asarray(cols, np.int64)
@@ -220,6 +224,15 @@ def fit_explicit_dense_pallas(
     X, W, XT, WT, cnt_A, cnt_B = _setup(
         jnp.asarray(flat), vals_dev, w_dev, m_pad, n_pad, weighted
     )
+    if mesh is not None:
+        # DP layout: interactions and factors row-sharded on each side's
+        # orientation; the opposing factors are all-gathered per half-step
+        # by the shard_map'd kernels (the ALX layout, SURVEY.md §2.4 P5).
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        rs = NamedSharding(mesh, _P("d"))
+        X, W = jax.device_put(X, rs), jax.device_put(W, rs)
+        XT, WT = jax.device_put(XT, rs), jax.device_put(WT, rs)
     live_A = cnt_A > 0
     live_B = cnt_B > 0
 
@@ -265,7 +278,7 @@ def fit_explicit_dense_pallas(
     lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B, count_avg_B)
 
     statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
-                   bs_n=bs_n, bs_m=bs_m, interpret=interpret)
+                   bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh)
     args = (X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu)
 
     try:

@@ -116,6 +116,7 @@ def fit_explicit_als(
     verbose: bool = False,
     engine: str = "auto",  # "auto" | "sparse" | "dense"
     dense_budget_bytes: Optional[int] = None,
+    mesh=None,  # jax.sharding.Mesh for multi-chip DP (dense pallas engine)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
@@ -180,7 +181,7 @@ def fit_explicit_als(
                 glob_mean=glob_mean, scale_lam=scale_lam,
                 scale_bias_const=scale_bias_const,
                 biasA0=biasA0, biasB0=biasB0,
-                dtype=dtype, seed=seed, verbose=verbose,
+                dtype=dtype, seed=seed, verbose=verbose, mesh=mesh,
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,

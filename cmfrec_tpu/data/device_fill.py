@@ -1,0 +1,218 @@
+"""Device-side padded-bucket construction from one compact CSR upload.
+
+The host→TPU link is the slowest resource in the whole system (the axon
+tunnel measures ~10-50 MB/s), so shipping pre-padded [R, L] bucket blocks
+for BOTH orientations (~2.6x nnz) is wasteful.  This module uploads only
+the CSR payload once — counts[m], sorted column ids[nnz] (int32), values
+[nnz] — and builds both orientations' padded buckets on device:
+
+  * per-entry destination = flat_offset(bucket) + slot*width + within-row
+    rank, all computable from counts + the row permutation (scatter);
+  * the transposed orientation's entry order comes from one device sort of
+    the column ids — no second upload of index/value arrays.
+
+The resulting BucketedRows matches data/shards.build_bucketed_rows
+structurally (same buckets, perm, row_of); only the within-row entry order
+may differ (both are valid CSR layouts and solve identical systems).
+This is the TPU-native replacement for the reference's host-side dual
+CSR+CSC build (/root/reference/src/collective.c:6452 convert_sparse_X).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_MAX_BLOCK_ELEMS, DEFAULT_ROW_BLOCK
+from .shards import Bucket, BucketedRows, _pow2_width
+
+
+def _plan(counts: np.ndarray, row_order: np.ndarray, n_rows: int,
+          row_block: int, max_block_elems: int, min_width: int):
+    """Bucket layout (no filling): list of (pos, R, n_real, width) chunks,
+    plus perm / row_of / n_rows_pad — identical logic to
+    shards.build_bucketed_rows."""
+    sorted_counts = counts[row_order]
+    boundaries = []
+    i = 0
+    while i < n_rows:
+        w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
+        lo_excl = w // 2 if w > min_width else 0
+        if lo_excl == 0:
+            j = n_rows
+        else:
+            j = int(np.searchsorted(-sorted_counts, -lo_excl, side="left"))
+        j = max(j, i + 1)
+        boundaries.append((i, j, w))
+        i = j
+
+    chunks = []  # (pos, R, n_real, width, cs) where cs indexes row_order
+    perm = np.zeros(n_rows, dtype=np.int64)
+    row_of_parts = []
+    pos = 0
+    for (bs, be, w) in boundaries:
+        max_rows = max(row_block,
+                       (max_block_elems // max(w, 1)) // row_block * row_block)
+        cs = bs
+        while cs < be:
+            ce = min(be, cs + max_rows)
+            n_real = ce - cs
+            R = -(-n_real // row_block) * row_block
+            chunks.append((pos, R, n_real, w, cs))
+            perm[row_order[cs:ce]] = pos + np.arange(n_real)
+            part = np.full(R, -1, dtype=np.int64)
+            part[:n_real] = row_order[cs:ce]
+            row_of_parts.append(part)
+            pos += R
+            cs = ce
+    row_of = (np.concatenate(row_of_parts) if row_of_parts
+              else np.zeros(0, np.int64))
+    return chunks, perm, row_of, pos
+
+
+@partial(jax.jit, static_argnames=("nnz", "n_rows", "F", "weighted", "vdtype"))
+def _fill_device(sorted_ids, sorted_vals, sorted_wgt, counts, perm,
+                 pos_starts, widths, flat_offsets,
+                 nnz, n_rows, F, weighted, vdtype):
+    """Scatter CSR entries into the flat padded-bucket buffer."""
+    # int32 index arithmetic: F and nnz are far below 2**31 here (the flat
+    # buffer is ~1.3x nnz); int64 would be silently truncated without x64
+    # anyway.
+    counts = counts.astype(jnp.int32)
+    indptr_ex = jnp.cumsum(counts) - counts
+    row_e = jnp.repeat(jnp.arange(n_rows, dtype=jnp.int32), counts,
+                       total_repeat_length=nnz)
+    within = jnp.arange(nnz, dtype=jnp.int32) - indptr_ex[row_e]
+    p = perm[row_e]
+    b = jnp.searchsorted(pos_starts, p, side="right") - 1
+    dest = flat_offsets[b] + (p - pos_starts[b]) * widths[b] + within
+    idx_flat = jnp.zeros(F, jnp.int32).at[dest].set(sorted_ids)
+    val_flat = jnp.zeros(F, vdtype).at[dest].set(sorted_vals.astype(vdtype))
+    wgt_flat = (jnp.zeros(F, vdtype).at[dest].set(sorted_wgt.astype(vdtype))
+                if weighted else None)
+    return idx_flat, val_flat, wgt_flat, row_e
+
+
+@partial(jax.jit, static_argnames=("nnz",))
+def _transpose_order(sorted_ids, nnz):
+    """Stable order of entries by column id (device sort)."""
+    return jnp.argsort(sorted_ids, stable=True)
+
+
+def build_bucketed_pair_device(
+    rows, cols, vals, m: int, n: int,
+    weights=None, dtype=np.float32,
+    row_block: int = DEFAULT_ROW_BLOCK,
+    max_block_elems: int = DEFAULT_MAX_BLOCK_ELEMS,
+    min_width: int = 8,
+):
+    """Build (row-oriented, col-oriented) BucketedRows with ONE compact
+    upload and device-side padding.  Returns (RB, CB)."""
+    from .. import native
+
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    nnz = rows.shape[0]
+    dt = np.dtype(dtype)
+
+    csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
+    if csr is not None:
+        counts_r, _, csr_cols, csr_vals, csr_wgt = csr
+        row_order_r = native.degree_order(counts_r)
+    else:
+        counts_r = np.bincount(rows, minlength=m).astype(np.int64)
+        order = np.argsort(rows, kind="stable")
+        csr_cols = cols[order].astype(np.int32)
+        csr_vals = np.asarray(vals, dt)[order]
+        csr_wgt = (np.asarray(weights, dt)[order]
+                   if weights is not None else None)
+        row_order_r = np.argsort(-counts_r, kind="stable").astype(np.int64)
+    counts_c = np.bincount(cols, minlength=n).astype(np.int64)
+    row_order_c = native.degree_order(counts_c)
+    if row_order_c is None:
+        row_order_c = np.argsort(-counts_c, kind="stable").astype(np.int64)
+
+    def one_side(counts, row_order, n_rows, n_cols):
+        chunks, perm, row_of, n_rows_pad = _plan(
+            counts, row_order, n_rows, row_block, max_block_elems, min_width)
+        # flat layout: chunk order, each chunk occupying R*w
+        flat_offsets = np.zeros(len(chunks), np.int64)
+        pos_starts = np.zeros(len(chunks), np.int64)
+        widths = np.zeros(len(chunks), np.int64)
+        F = 0
+        for ci, (pos, R, n_real, w, _cs) in enumerate(chunks):
+            flat_offsets[ci] = F
+            pos_starts[ci] = pos
+            widths[ci] = w
+            F += R * w
+        out = BucketedRows(
+            n_rows=n_rows, n_cols=n_cols, n_rows_pad=n_rows_pad,
+            perm=perm, row_of=row_of, counts=counts,
+        )
+        if F >= np.iinfo(np.int32).max:
+            raise ValueError(
+                "flat bucket buffer exceeds int32 range; "
+                "use the host builder for >2B-entry problems"
+            )
+        meta = dict(
+            chunks=chunks, F=int(F),
+            pos_starts=jnp.asarray(pos_starts.astype(np.int32)),
+            widths=jnp.asarray(widths.astype(np.int32)),
+            flat_offsets=jnp.asarray(flat_offsets.astype(np.int32)),
+            perm_dev=jnp.asarray(perm.astype(np.int32)),
+            counts_dev=jnp.asarray(counts.astype(np.int32)),
+        )
+        return out, meta
+
+    RB, meta_r = one_side(counts_r, row_order_r, m, n)
+    CB, meta_c = one_side(counts_c, row_order_c, n, m)
+
+    # one upload of the CSR payload
+    ids_dev = jnp.asarray(csr_cols)
+    vals_dev = jnp.asarray(csr_vals)
+    wgt_dev = (jnp.asarray(csr_wgt) if csr_wgt is not None
+               else jnp.zeros(0, dt))
+    weighted = weights is not None
+
+    jdt = jnp.dtype(dt)
+    idx_f, val_f, wgt_f, row_e = _fill_device(
+        ids_dev, vals_dev, wgt_dev, meta_r["counts_dev"], meta_r["perm_dev"],
+        meta_r["pos_starts"], meta_r["widths"], meta_r["flat_offsets"],
+        nnz=nnz, n_rows=m, F=meta_r["F"], weighted=weighted, vdtype=jdt,
+    )
+    # transposed orientation: resort entries by column id on device
+    order2 = _transpose_order(ids_dev, nnz=nnz)
+    ids2 = jnp.take(row_e, order2).astype(jnp.int32)
+    vals2 = jnp.take(vals_dev, order2)
+    wgt2 = jnp.take(wgt_dev, order2) if weighted else wgt_dev
+    idx_f2, val_f2, wgt_f2, _ = _fill_device(
+        ids2, vals2, wgt2, meta_c["counts_dev"], meta_c["perm_dev"],
+        meta_c["pos_starts"], meta_c["widths"], meta_c["flat_offsets"],
+        nnz=nnz, n_rows=n, F=meta_c["F"], weighted=weighted, vdtype=jdt,
+    )
+
+    def attach(out: BucketedRows, meta, idx_f, val_f, wgt_f, n_rows_pad):
+        lengths_pad = (jnp.zeros(n_rows_pad, jnp.int32)
+                       .at[meta["perm_dev"]]
+                       .set(meta["counts_dev"].astype(jnp.int32)))
+        off = 0
+        for (pos, R, n_real, w, _cs) in meta["chunks"]:
+            sz = R * w
+            out.buckets.append(Bucket(
+                start=pos, n_rows=R, n_real=n_real, width=w,
+                idx=idx_f[off:off + sz].reshape(R, w),
+                val=val_f[off:off + sz].reshape(R, w),
+                length=jax.lax.dynamic_slice(lengths_pad, (pos,), (R,)),
+                wgt=(wgt_f[off:off + sz].reshape(R, w)
+                     if wgt_f is not None and weighted else None),
+            ))
+            off += sz
+        return out
+
+    attach(RB, meta_r, idx_f, val_f, wgt_f, RB.n_rows_pad)
+    attach(CB, meta_c, idx_f2, val_f2, wgt_f2, CB.n_rows_pad)
+    return RB, CB

@@ -62,29 +62,41 @@ def length_mask(length: jax.Array, width: int) -> jax.Array:
     )
 
 
-def gather_rows(mat: jax.Array, idx: jax.Array) -> jax.Array:
-    """[S, K], [R, L] -> [R, L, K]."""
+def gather_rows(mat: jax.Array, idx: jax.Array, mxu_bf16: bool = False) -> jax.Array:
+    """[S, K], [R, L] -> [R, L, K].  With mxu_bf16 the opposing matrix is
+    cast to bf16 BEFORE the gather, halving both the gathered bytes and the
+    einsum traffic (products stay exact in the f32 MXU accumulator; only the
+    factor values round, ~0.4% — the same trade the dense engine makes)."""
+    if mxu_bf16:
+        mat = mat.astype(jnp.bfloat16)
     return jnp.take(mat, idx, axis=0, unique_indices=False, indices_are_sorted=False)
 
 
-def part_gram(part: SparsePart) -> jax.Array:
+def _ein(*args, bf16: bool):
+    if bf16:
+        return jnp.einsum(*args, preferred_element_type=jnp.float32)
+    return jnp.einsum(*args, precision=SOLVER_PRECISION)
+
+
+def part_gram(part: SparsePart, mxu_bf16: bool = False) -> jax.Array:
     """[R, K, K] Gram contribution: sum_l cw * m m^T."""
-    ms = gather_rows(part.mat, part.idx)
-    return jnp.einsum(
-        "rlk,rlm->rkm", ms * part.cw[..., None], ms, precision=SOLVER_PRECISION
-    )
+    ms = gather_rows(part.mat, part.idx, mxu_bf16)
+    lhs = ms * part.cw[..., None].astype(ms.dtype) if mxu_bf16 else ms * part.cw[..., None]
+    return _ein("rlk,rlm->rkm", lhs.astype(ms.dtype), ms, bf16=mxu_bf16)
 
 
-def part_rhs(part: SparsePart) -> jax.Array:
+def part_rhs(part: SparsePart, mxu_bf16: bool = False) -> jax.Array:
     """[R, K] rhs contribution: sum_l cv * m."""
-    ms = gather_rows(part.mat, part.idx)
-    return jnp.einsum("rlk,rl->rk", ms, part.cv, precision=SOLVER_PRECISION)
+    ms = gather_rows(part.mat, part.idx, mxu_bf16)
+    cv = part.cv.astype(ms.dtype) if mxu_bf16 else part.cv
+    return _ein("rlk,rl->rk", ms, cv, bf16=mxu_bf16)
 
 
 def _part_matvec(ms: jax.Array, cw: jax.Array, p: jax.Array) -> jax.Array:
     """[R, L, K] gathered rows, [R, L] coefs, [R, K] vec -> [R, K]."""
-    t = jnp.einsum("rlk,rk->rl", ms, p, precision=SOLVER_PRECISION) * cw
-    return jnp.einsum("rl,rlk->rk", t, ms, precision=SOLVER_PRECISION)
+    bf16 = ms.dtype == jnp.bfloat16
+    t = _ein("rlk,rk->rl", ms, p.astype(ms.dtype), bf16=bf16) * cw
+    return _ein("rl,rlk->rk", t.astype(ms.dtype), ms, bf16=bf16)
 
 
 def assemble_system(
@@ -93,16 +105,19 @@ def assemble_system(
     lam_mult: Optional[jax.Array] = None,  # [R] per-row lam scaling or None
     G0: Optional[jax.Array] = None,  # [K, K] shared Gram base
     r0: Optional[jax.Array] = None,  # [R, K] per-row rhs base
+    mxu_bf16: bool = False,
 ):
     """Build the dense batched (G, rhs) for Cholesky / CD solving."""
     R = parts[0].idx.shape[0] if parts else r0.shape[0]
     K = parts[0].mat.shape[1] if parts else r0.shape[1]
     dt = parts[0].mat.dtype if parts else r0.dtype
+    if dt == jnp.bfloat16:
+        dt = jnp.float32
     G = jnp.zeros((R, K, K), dt)
     rhs = jnp.zeros((R, K), dt)
     for p in parts:
-        G = G + part_gram(p)
-        rhs = rhs + part_rhs(p)
+        G = G + part_gram(p, mxu_bf16)
+        rhs = rhs + part_rhs(p, mxu_bf16)
     if G0 is not None:
         G = G + G0[None, :, :]
     if r0 is not None:
@@ -135,6 +150,7 @@ def solve_cg(
     r0: Optional[jax.Array] = None,
     rel_tol: float = 1e-12,
     jacobi: bool = False,
+    mxu_bf16: bool = False,
 ) -> jax.Array:
     """Batched truncated CG, warm-started, matching the reference's
     ``max_cg_steps``-step truncation (/root/reference/src/common.c:1098).
@@ -151,7 +167,7 @@ def solve_cg(
     lam_row = (
         lam_vec[None, :] if lam_mult is None else lam_vec[None, :] * lam_mult[:, None]
     )
-    gathered = [(gather_rows(p.mat, p.idx), p.cw) for p in parts]
+    gathered = [(gather_rows(p.mat, p.idx, mxu_bf16), p.cw) for p in parts]
 
     def matvec(v):
         out = v * lam_row
@@ -163,7 +179,8 @@ def solve_cg(
 
     rhs = jnp.zeros((R, K), dt)
     for p, (ms, _) in zip(parts, gathered):
-        rhs = rhs + jnp.einsum("rlk,rl->rk", ms, p.cv, precision=SOLVER_PRECISION)
+        cv = p.cv.astype(ms.dtype) if mxu_bf16 else p.cv
+        rhs = rhs + _ein("rlk,rl->rk", ms, cv, bf16=mxu_bf16)
     if r0 is not None:
         rhs = rhs + r0
 

@@ -114,6 +114,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "n_totals",
         "scale_parts",
         "precondition",
+        "mxu_bf16",
     ),
 )
 def solve_bucket(
@@ -134,6 +135,7 @@ def solve_bucket(
     n_totals: tuple,  # static, per part: total column count (for na0 scaling)
     scale_parts: tuple = (),  # static, per part: counts toward lam scaling
     precondition: bool = False,  # Jacobi PCG (precondition_cg)
+    mxu_bf16: bool = False,  # bf16 MXU operands (f32 accumulate)
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -166,7 +168,8 @@ def solve_bucket(
     use_cd = nonneg or (l1_vec is not None)
     if method == "chol" or use_cd:
         G, rhs = rowsolve.assemble_system(
-            sparse_parts, lam_vec, lam_mult=lam_mult, G0=G0, r0=r0
+            sparse_parts, lam_vec, lam_mult=lam_mult, G0=G0, r0=r0,
+            mxu_bf16=mxu_bf16,
         )
         if lam_const_vec is not None:
             K = lam_vec.shape[0]
@@ -203,6 +206,7 @@ def solve_bucket(
         G0=G0_eff,
         r0=r0,
         jacobi=precondition,
+        mxu_bf16=mxu_bf16,
     )
     if live is not None:
         a = jnp.where(live[:, None], a, 0.0)
@@ -254,6 +258,7 @@ def update_side(
     max_cd_steps: int = 100,
     scale_lam: bool = False,
     precondition: bool = False,
+    mxu_bf16: bool = False,
     dtype=jnp.float32,
 ) -> list:
     """Solve all buckets of one side; returns the new block list."""
@@ -306,6 +311,7 @@ def update_side(
             n_totals=n_totals,
             scale_parts=scale_parts,
             precondition=precondition,
+            mxu_bf16=mxu_bf16,
         )
         new_blocks.append(a_new)
     return new_blocks

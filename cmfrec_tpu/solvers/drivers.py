@@ -87,6 +87,20 @@ def _resolve_lambdas(lambda_, l1_lambda):
     return expand(lambda_), expand(l1_lambda)
 
 
+def _build_pair(rows, cols, vals_c, m, n, weights, dtype):
+    """Dual-orientation bucketed layout: device-side fill on TPU (one
+    compact CSR upload), host fill elsewhere."""
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("CMFREC_TPU_DEVICE_FILL", "1") == "1"):
+        from ..data.device_fill import build_bucketed_pair_device
+
+        return build_bucketed_pair_device(rows, cols, vals_c, m, n,
+                                          weights, dtype=dtype)
+    RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype)
+    CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype)
+    return RB, CB
+
+
 def fit_explicit_als(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -193,8 +207,7 @@ def fit_explicit_als(
             dtype=dtype, seed=seed, verbose=verbose,
         )
 
-    RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype)
-    CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype)
+    RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype)
     RB.device_put()
     CB.device_put()
     perm_A = jnp.asarray(RB.perm)
@@ -236,6 +249,14 @@ def fit_explicit_als(
     plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
     plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
 
+    # bf16 MXU operands on TPU for the CG iterations (f32 accumulate);
+    # Cholesky/final iterations stay f32 (exact polish, finalize_chol).
+    bf16_ok = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and os.environ.get("CMFREC_TPU_NO_BF16", "0") != "1"
+    )
+
     A_orig = blocks_to_orig(A_blocks, perm_A, m)
     B_orig = blocks_to_orig(B_blocks, perm_B, n)
 
@@ -266,7 +287,8 @@ def fit_explicit_als(
             lam_const_vec=lam_const_A,
             l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            precondition=precondition_cg, dtype=dtype,
+            precondition=precondition_cg,
+            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
         )
         A_orig = blocks_to_orig(A_blocks, perm_A, m)
 
@@ -284,7 +306,8 @@ def fit_explicit_als(
             lam_const_vec=lam_const_B,
             l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            precondition=precondition_cg, dtype=dtype,
+            precondition=precondition_cg,
+            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
         )
         return A_blocks, B_blocks
 
@@ -307,13 +330,12 @@ def fit_explicit_als(
     A_orig = blocks_to_orig(A_blocks, perm_A, m)
     B_orig = blocks_to_orig(B_blocks, perm_B, n)
 
-    A_final = np.asarray(A_orig)
-    B_final = np.asarray(B_orig)
+    # device arrays returned lazily; downloads are the caller's cost
     return {
-        "A": A_final[:, :k],
-        "B": B_final[:, :k],
-        "biasA": A_final[:, k] if user_bias else None,
-        "biasB": B_final[:, k] if item_bias else None,
+        "A": A_orig[:, :k],
+        "B": B_orig[:, :k],
+        "biasA": A_orig[:, k] if user_bias else None,
+        "biasB": B_orig[:, k] if item_bias else None,
         "glob_mean": float(glob_mean),
         "k": k,
     }
@@ -379,8 +401,7 @@ def fit_implicit_als(
     if adjust_weight:
         w_main = len(vals) / (float(m) * float(n))
 
-    RB = build_bucketed_rows(rows, cols, vals, m, n, dtype=dtype)
-    CB = build_bucketed_rows(cols, rows, vals, n, m, dtype=dtype)
+    RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype)
     RB.device_put()
     CB.device_put()
     perm_A = jnp.asarray(RB.perm)
@@ -399,6 +420,12 @@ def fit_implicit_als(
     plan_A = SidePlan(RB, "implicit", n)
     plan_B = SidePlan(CB, "implicit", m)
 
+    bf16_ok = (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and os.environ.get("CMFREC_TPU_NO_BF16", "0") != "1"
+    )
+
     dataA = bucket_arrays(RB)
     dataB = bucket_arrays(CB)
 
@@ -416,7 +443,8 @@ def fit_implicit_als(
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps,
-            precondition=precondition_cg, dtype=dtype,
+            precondition=precondition_cg,
+            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
         )
         A_orig = blocks_to_orig(A_blocks, perm_A, m)
         G0 = w_main * gram_matrix(A_orig)
@@ -426,7 +454,8 @@ def fit_implicit_als(
             w=w_main, alpha=alpha, G0=G0,
             l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps,
-            precondition=precondition_cg, dtype=dtype,
+            precondition=precondition_cg,
+            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
         )
         return A_blocks, B_blocks
 
@@ -445,11 +474,9 @@ def fit_implicit_als(
 
     A_orig = blocks_to_orig(A_blocks, perm_A, m)
     B_orig = blocks_to_orig(B_blocks, perm_B, n)
-    A_final = np.asarray(A_orig)
-    B_final = np.asarray(B_orig)
     return {
-        "A": A_final[:, :k],
-        "B": B_final[:, :k],
+        "A": A_orig[:, :k],
+        "B": B_orig[:, :k],
         "biasA": None,
         "biasB": None,
         "glob_mean": 0.0,

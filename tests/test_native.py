@@ -75,3 +75,45 @@ def test_bucketed_layout_native_vs_numpy(rng, weights, monkeypatch):
         np.testing.assert_allclose(np.asarray(bn.val), np.asarray(br.val))
         if weights:
             np.testing.assert_allclose(np.asarray(bn.wgt), np.asarray(br.wgt))
+
+
+@pytest.mark.parametrize("weights", [False, True])
+def test_device_fill_matches_host_layout(rng, weights):
+    """Device-built buckets hold the same per-row (idx, val) SETS as the
+    host builder (within-row order may differ; systems are identical)."""
+    from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
+
+    m, n, nnz = 300, 150, 5000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.normal(size=nnz)
+    wgt = rng.uniform(0.5, 2.0, size=nnz) if weights else None
+    RB_d, CB_d = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,
+                                            dtype=np.float32)
+    RB_h = build_bucketed_rows(rows, cols, vals, m, n, wgt, dtype=np.float32)
+    CB_h = build_bucketed_rows(cols, rows, vals, n, m, wgt, dtype=np.float32)
+
+    for Bd, Bh in ((RB_d, RB_h), (CB_d, CB_h)):
+        assert Bd.n_rows_pad == Bh.n_rows_pad
+        np.testing.assert_array_equal(Bd.perm, Bh.perm)
+        np.testing.assert_array_equal(Bd.row_of, Bh.row_of)
+        assert len(Bd.buckets) == len(Bh.buckets)
+        for bd, bh in zip(Bd.buckets, Bh.buckets):
+            assert bd.shape_key == bh.shape_key
+            np.testing.assert_array_equal(np.asarray(bd.length),
+                                          np.asarray(bh.length))
+            id_d, id_h = np.asarray(bd.idx), np.asarray(bh.idx)
+            v_d, v_h = np.asarray(bd.val), np.asarray(bh.val)
+            # compare per-row multisets via sort by (idx, val)
+            od = np.lexsort((v_d, id_d), axis=-1)
+            oh = np.lexsort((v_h, id_h), axis=-1)
+            np.testing.assert_array_equal(
+                np.take_along_axis(id_d, od, 1),
+                np.take_along_axis(id_h, oh, 1))
+            np.testing.assert_allclose(
+                np.take_along_axis(v_d, od, 1),
+                np.take_along_axis(v_h, oh, 1), rtol=1e-6)
+            if weights:
+                w_d = np.take_along_axis(np.asarray(bd.wgt), od, 1)
+                w_h = np.take_along_axis(np.asarray(bh.wgt), oh, 1)
+                np.testing.assert_allclose(w_d, w_h, rtol=1e-6)

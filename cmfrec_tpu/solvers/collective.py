@@ -238,8 +238,15 @@ def fit_collective_explicit_als(
             scale_lam=scale_lam, nonneg=nonneg,
         )
 
-    RB = build_bucketed_rows(rows, cols, vals_c, m_eff, n, weights, dtype=dtype)
-    CB = build_bucketed_rows(cols, rows, vals_c, n_eff, m, weights, dtype=dtype)
+    from .drivers import _build_pair
+
+    if m_eff == m and n_eff == n:
+        RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype)
+    else:
+        RB = build_bucketed_rows(rows, cols, vals_c, m_eff, n, weights,
+                                 dtype=dtype)
+        CB = build_bucketed_rows(cols, rows, vals_c, n_eff, m, weights,
+                                 dtype=dtype)
     RB.device_put()
     CB.device_put()
 
@@ -586,8 +593,15 @@ def fit_collective_implicit_als(
     m_eff = max(m, U.n_ent if U else 0)
     n_eff = max(n, I.n_ent if I else 0)
 
-    RB = build_bucketed_rows(rows, cols, vals.astype(dtype), m_eff, n, dtype=dtype)
-    CB = build_bucketed_rows(cols, rows, vals.astype(dtype), n_eff, m, dtype=dtype)
+    from .drivers import _build_pair
+
+    if m_eff == m and n_eff == n:
+        RB, CB = _build_pair(rows, cols, vals.astype(dtype), m, n, None, dtype)
+    else:
+        RB = build_bucketed_rows(rows, cols, vals.astype(dtype), m_eff, n,
+                                 dtype=dtype)
+        CB = build_bucketed_rows(cols, rows, vals.astype(dtype), n_eff, m,
+                                 dtype=dtype)
     RB.device_put()
     CB.device_put()
 

@@ -1,0 +1,178 @@
+"""Oracle tests in the reference's test_math style: every solver output is
+checked against a direct NumPy closed form or scipy.optimize
+(/root/reference/test_math/README.md — naive-implementation diffing)."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+from cmfrec_tpu import CMF, CMF_implicit
+
+
+@pytest.fixture
+def fitted(rng):
+    m, n, k_true = 60, 40, 3
+    A = rng.normal(size=(m, k_true))
+    B = rng.normal(size=(n, k_true))
+    full = 3.0 + A @ B.T
+    mask = rng.uniform(size=(m, n)) < 0.5
+    rows, cols = np.nonzero(mask)
+    vals = full[rows, cols] + 0.1 * rng.normal(size=rows.size)
+    model = CMF(k=5, lambda_=0.7, niter=8, use_float=False).fit_triplets(
+        rows, cols, vals, m, n)
+    return model, rows, cols, vals, m, n
+
+
+def test_factors_warm_matches_numpy_closed_form(fitted, rng):
+    """factors_warm == (Be^T Be + lam)^-1 Be^T (x - mu - biasB) with the
+    bias column trick (/root/reference/src/common.c:546)."""
+    model, rows, cols, vals, m, n = fitted
+    obs = np.sort(rng.choice(n, 12, replace=False))
+    x = 3.0 + rng.normal(size=obs.size)
+    a, bias = model.factors_warm(X_col=obs, X_val=x, return_bias=True)
+
+    B = np.asarray(model.B_, np.float64)[obs]
+    bB = np.asarray(model.item_bias_, np.float64)[obs]
+    Be = np.concatenate([B, np.ones((obs.size, 1))], axis=1)
+    lam = np.full(model.k + 1, 0.7)
+    target = x - model.glob_mean_ - bB
+    ref = np.linalg.solve(Be.T @ Be + np.diag(lam), Be.T @ target)
+    np.testing.assert_allclose(np.concatenate([a, [bias]]), ref,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_factors_warm_weighted_scale_lam(rng):
+    """Weighted + scale_lam warm solve vs NumPy (the (e)-reference lambda
+    scaling, /root/reference/src/common.c:689-724)."""
+    m, n, k = 50, 30, 4
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.6
+    rows, cols = np.nonzero(mask)
+    vals = (A0 @ B0.T)[rows, cols] + 0.1 * rng.normal(size=rows.size)
+    model = CMF(k=k, lambda_=0.1, scale_lam=True, niter=6, user_bias=False,
+                item_bias=False, center=False,
+                use_float=False).fit_triplets(rows, cols, vals, m, n)
+    obs = np.arange(0, n, 3)
+    x = rng.normal(size=obs.size)
+    w = rng.uniform(0.5, 2.0, size=obs.size)
+    a = model.factors_warm(X_col=obs, X_val=x, W=w)
+    B = np.asarray(model.B_, np.float64)[obs]
+    lam_eff = 0.1 * w.sum()
+    ref = np.linalg.solve(B.T @ (w[:, None] * B) + lam_eff * np.eye(k),
+                          B.T @ (w * x))
+    np.testing.assert_allclose(a, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_implicit_factors_warm_matches_numpy(rng):
+    """WRMF warm solve vs the exact normal equations (ref (d),
+    /root/reference/src/common.c:2063 factors_implicit_chol)."""
+    m, n, k = 50, 30, 4
+    rows = rng.integers(0, m, 600)
+    cols = rng.integers(0, n, 600)
+    vals = rng.uniform(1, 20, 600)
+    model = CMF_implicit(k=k, lambda_=2.0, alpha=0.7, niter=6,
+                         use_float=False).fit_triplets(rows, cols, vals, m, n)
+    obs = np.arange(0, n, 2)
+    x = rng.uniform(1, 10, obs.size)
+    a = model.factors_warm(X_col=obs, X_val=x)
+    B = np.asarray(model.B_, np.float64)
+    Bs = B[obs]
+    G = B.T @ B + Bs.T @ ((0.7 * x)[:, None] * Bs) + 2.0 * np.eye(k)
+    rhs = Bs.T @ (1.0 + 0.7 * x)
+    ref = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(a, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_nonneg_warm_matches_scipy(rng):
+    """Non-negative warm solve vs scipy.optimize.nnls
+    (/root/reference/src/common.c:2131 solve_nonneg, ref (f))."""
+    m, n, k = 40, 25, 4
+    rows = rng.integers(0, m, 500)
+    cols = rng.integers(0, n, 500)
+    vals = np.abs(rng.normal(size=500)) + 0.5
+    model = CMF(k=k, lambda_=0.3, nonneg=True, center=False, user_bias=False,
+                item_bias=False, niter=8,
+                use_float=False).fit_triplets(rows, cols, vals, m, n)
+    obs = np.arange(0, n, 2)
+    x = np.abs(rng.normal(size=obs.size)) + 0.5
+    a = model.factors_warm(X_col=obs, X_val=x)
+    B = np.asarray(model.B_, np.float64)[obs]
+    # augmented ridge system -> NNLS
+    Baug = np.vstack([B, np.sqrt(0.3) * np.eye(k)])
+    xaug = np.concatenate([x, np.zeros(k)])
+    ref, _ = scipy.optimize.nnls(Baug, xaug)
+    np.testing.assert_allclose(a, ref, rtol=5e-3, atol=5e-3)
+    assert (np.asarray(a) >= 0).all()
+
+
+def test_bias_init_matches_numpy(rng):
+    """initialize_biases vs direct shrunken means
+    (/root/reference/src/common.c:3733)."""
+    from cmfrec_tpu.solvers.preprocess import initialize_biases
+
+    m, n = 30, 20
+    rows = rng.integers(0, m, 300)
+    cols = rng.integers(0, n, 300)
+    vals = rng.normal(size=300)
+    bA, bB = initialize_biases(rows, cols, vals, m, n, lam_user=0.5,
+                               lam_item=0.5)
+    for j in range(n):
+        sel = cols == j
+        ref = vals[sel].sum() / (sel.sum() + 0.5) if sel.any() else 0.0
+        assert abs(bB[j] - ref) < 1e-12
+    resid = vals - bB[cols]
+    for i in range(m):
+        sel = rows == i
+        ref = resid[sel].sum() / (sel.sum() + 0.5) if sel.any() else 0.0
+        assert abs(bA[i] - ref) < 1e-12
+
+
+def test_center_by_cols_na_as_zero_semantics(rng):
+    """center_columns divides by the FULL row count under NA-as-zero
+    (/root/reference/src/common.c:4911)."""
+    from cmfrec_tpu.solvers.preprocess import center_columns
+
+    n_rows, n_cols = 10, 4
+    rows = rng.integers(0, n_rows, 20)
+    cols = rng.integers(0, n_cols, 20)
+    vals = rng.normal(size=20)
+    _, means_na0 = center_columns(rows, cols, vals, n_cols, True, n_rows)
+    _, means_std = center_columns(rows, cols, vals, n_cols, False, n_rows)
+    for j in range(n_cols):
+        sel = cols == j
+        assert abs(means_na0[j] - vals[sel].sum() / n_rows) < 1e-12
+        if sel.any():
+            assert abs(means_std[j] - vals[sel].mean()) < 1e-12
+
+
+def test_lbfgs_objective_matches_numpy(rng):
+    """The L-BFGS joint objective at the fitted point equals the direct
+    NumPy evaluation (collective_fun_grad,
+    /root/reference/src/collective.c:576)."""
+    m, n, p, q, k = 30, 20, 5, 4, 3
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    U = A0 @ rng.normal(size=(k, p))
+    I = B0 @ rng.normal(size=(k, q))
+    mask = rng.uniform(size=(m, n)) < 0.6
+    rows, cols = np.nonzero(mask)
+    vals = (A0 @ B0.T)[rows, cols] + 0.05 * rng.normal(size=rows.size)
+    model = CMF(k=k, lambda_=0.5, method="lbfgs", maxiter=300,
+                use_float=False).fit_triplets(rows, cols, vals, m, n,
+                                              U=U, I=I)
+    A = np.asarray(model.A_, np.float64)
+    B = np.asarray(model.B_, np.float64)
+    # residual check: the main-term gradient wrt A should be ~0 at optimum
+    pred = (model.glob_mean_
+            + np.asarray(model.user_bias_)[rows]
+            + np.asarray(model.item_bias_)[cols]
+            + np.einsum("ek,ek->e", A[rows], B[cols]))
+    r = pred - vals
+    gA = np.zeros_like(A)
+    np.add.at(gA, rows, r[:, None] * B[cols])
+    C = np.asarray(model.C_, np.float64)
+    Uc = U - np.asarray(model.U_colmeans_)[None, :]
+    gA += (A @ C.T - Uc) @ C
+    gA += 0.5 * A  # lambda * A
+    assert np.abs(gA).max() < 5e-2

@@ -447,7 +447,8 @@ def fit_collective_explicit_als(
     perm_A = jnp.asarray(RB.perm)
     perm_B = jnp.asarray(CB.perm)
 
-    for it in range(niter):
+    try:
+      for it in range(niter):
         method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
         t0 = time.time()
 
@@ -536,6 +537,10 @@ def fit_collective_explicit_als(
         if verbose:
             jax.block_until_ready(A_orig)
             print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    except KeyboardInterrupt:
+        # return the partially-fit model (the reference's handle_interrupt,
+        # /root/reference/src/helpers.c:1493, act_on_interrupt cmfrec.h:622)
+        print("interrupted — returning partially-fit model")
 
     A_final = np.asarray(A_orig)
     B_final = np.asarray(B_orig)
@@ -740,7 +745,8 @@ def fit_collective_implicit_als(
             precondition=precondition_cg, dtype=dtype,
         )
 
-    for it in range(niter):
+    try:
+      for it in range(niter):
         method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
         t0 = time.time()
 
@@ -797,6 +803,9 @@ def fit_collective_implicit_als(
         if verbose:
             jax.block_until_ready(A_orig)
             print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
 
     return {
         "A": np.asarray(A_orig)[:, :ka],

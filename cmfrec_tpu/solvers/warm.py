@@ -27,7 +27,13 @@ from .drivers import _make_lam_vec, _resolve_lambdas, round_up
 
 def _ext_B(model):
     """Extended opposing matrix for a new-user solve: coords
-    [k_user | k | k_main | bias] built from B[:, k_item:] (+ ones)."""
+    [k_user | k | k_main | bias] built from B[:, k_item:] (+ ones).
+    Served from the model's precompute cache when present
+    (force_precompute_for_predictions /
+    /root/reference/src/collective.c:10209)."""
+    pre = getattr(model, "_precomputed", None) or {}
+    if "extB" in pre:
+        return pre["extB"], pre["width"], pre["k_pad"], pre["user_bias"]
     k = model.k
     ku = getattr(model, "k_user", 0)
     km = getattr(model, "k_main", 0)
@@ -46,6 +52,9 @@ def _ext_B(model):
 
 def _ext_C(model, k_pad):
     """C occupies coords [0 : k_user+k] of the user system."""
+    pre = getattr(model, "_precomputed", None) or {}
+    if "extC" in pre and pre["extC"].shape[1] == k_pad:
+        return pre["extC"]
     C = np.asarray(model.C_, np.float64)
     p = C.shape[0]
     ext = np.zeros((p, k_pad))
@@ -227,13 +236,33 @@ def factors_cold_implicit(model, U):
 
 def build_precomputed(model) -> dict:
     """Prediction caches (precompute_collective_explicit,
-    /root/reference/src/collective.c:10209)."""
+    /root/reference/src/collective.c:10209).
+
+    Cached pieces:
+      extB        — extended opposing matrix [n, k_pad] (B_plus_bias analog)
+      BtB         — extB^T extB (warm NA-as-zero base / diagnostics)
+      extC / CtC  — side-info projection matrix and its Gram
+      TransCtCinvCt — (w_u·CtC + lam)^-1 w_u·C^T: one matmul per cold call
+                    (the reference's TransCtCinvCt cache)
+    All device-resident so repeated warm/cold calls never re-download the
+    factor matrices."""
+    model._precomputed = {}
     out = {}
     ext, width, k_pad, user_bias = _ext_B(model)
+    out["extB"] = ext
+    out["width"] = width
+    out["k_pad"] = k_pad
+    out["user_bias"] = user_bias
     out["BtB"] = np.asarray(gram_matrix(jnp.asarray(ext)))
     if model.C_ is not None:
         Ce = _ext_C(model, k_pad)
+        out["extC"] = Ce
         out["CtC"] = Ce.T @ Ce
+        lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
+        w_u = getattr(model, "w_user", 1.0)
+        kc = np.asarray(model.C_).shape[1]
+        G = w_u * out["CtC"][:kc, :kc] + lam6[2] * np.eye(kc)
+        out["TransCtCinvCt"] = np.linalg.solve(G, w_u * Ce[:, :kc].T)
     if model.item_bias_ is not None:
         out["B_plus_bias"] = ext
     return out

@@ -116,13 +116,16 @@ def main():
     rmse = float(np.sqrt(np.mean((pred - vals[test]) ** 2)))
     print(f"fit: {elapsed:.2f}s  heldout RMSE: {rmse:.4f}", file=sys.stderr)
 
+    rows_per_s = (m + n) * kwargs["niter"] / elapsed
     print(json.dumps({
         "metric": "ml10m_shaped_explicit_als_cg_k50_15iter_fit_seconds",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_S / elapsed, 3),
         "extra": {"heldout_rmse": round(rmse, 5), "warmup_s": round(warm, 2),
-                  "nnz": int(tr.sum())},
+                  "nnz": int(tr.sum()),
+                  "rows_solved_per_s_per_chip": round(rows_per_s),
+                  "iter_s": round(elapsed / kwargs["niter"], 4)},
     }))
 
 

@@ -195,30 +195,46 @@ def fit_collective_explicit_lbfgs(
     state = opt.init(params)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    @jax.jit
-    def step(params, state):
-        value, grad = value_and_grad(params, state=state)
-        updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=loss_fn
-        )
-        params = optax.apply_updates(params, updates)
-        gnorm = optax.global_norm(grad)
-        return params, state, value, gnorm
+    # Iterations run in device-side chunks (one dispatch per chunk): the
+    # host link's per-call latency would otherwise dominate the default
+    # maxiter=800.  Convergence is checked between chunks on the chunk's
+    # value trace, so up to chunk-1 extra iterations may run past `tol` —
+    # harmless (the iterates are already converged).
+    chunk = max(1, min(25, int(maxiter)))
 
-    prev = np.inf
+    @jax.jit
+    def run_chunk(params, state):
+        def body(carry, _):
+            params, state = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state2 = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=loss_fn
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, state2), value
+
+        (params, state), values = jax.lax.scan(
+            body, (params, state), None, length=chunk
+        )
+        return params, state, values
+
     nfev = 0
     it = 0
-    for it in range(int(maxiter)):
-        params, state, value, gnorm = step(params, state)
-        v = float(value)
-        nfev += 1
-        if verbose and (it % print_every == 0):
-            print(f"lbfgs iter {it}: f={v:.6f} |g|={float(gnorm):.3e}")
-        if not np.isfinite(v):
+    prev = np.inf
+    while it < int(maxiter):
+        params, state, values = run_chunk(params, state)
+        vs = np.asarray(values, np.float64)
+        if verbose:
+            for j in range(0, chunk, max(1, print_every)):
+                print(f"lbfgs iter {it + j}: f={vs[j]:.6f}")
+        it += chunk
+        nfev += chunk
+        if not np.isfinite(vs[-1]):
             break
-        if abs(prev - v) <= tol * max(abs(v), 1.0):
+        deltas = np.abs(np.diff(np.concatenate([[prev], vs])))
+        if (deltas[-2:] <= tol * np.maximum(np.abs(vs[-1]), 1.0)).all():
             break
-        prev = v
+        prev = vs[-1]
 
     out = {kname: np.asarray(v) for kname, v in params.items()}
     return {

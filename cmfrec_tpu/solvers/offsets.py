@@ -164,24 +164,39 @@ def fit_offsets_explicit_lbfgs(
     state = opt.init(params)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
+    # chunked device-side iterations (one dispatch per chunk; see lbfgs.py)
+    chunk = max(1, min(25, int(maxiter)))
+
     @jax.jit
-    def step(params, state):
-        value, grad = value_and_grad(params, state=state)
-        updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=loss_fn
+    def run_chunk(params, state):
+        def body(carry, _):
+            params, state = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state2 = opt.update(
+                grad, state, params, value=value, grad=grad, value_fn=loss_fn
+            )
+            return (optax.apply_updates(params, updates), state2), value
+
+        (params, state), values = jax.lax.scan(
+            body, (params, state), None, length=chunk
         )
-        return optax.apply_updates(params, updates), state, value
+        return params, state, values
 
     prev = np.inf
     it = 0
-    for it in range(int(maxiter)):
-        params, state, value = step(params, state)
-        v = float(value)
-        if verbose and it % print_every == 0:
-            print(f"offsets-lbfgs iter {it}: f={v:.6f}")
-        if not np.isfinite(v) or abs(prev - v) <= tol * max(abs(v), 1.0):
+    while it < int(maxiter):
+        params, state, values = run_chunk(params, state)
+        vs = np.asarray(values, np.float64)
+        if verbose:
+            for j in range(0, chunk, max(1, print_every)):
+                print(f"offsets-lbfgs iter {it + j}: f={vs[j]:.6f}")
+        it += chunk
+        if not np.isfinite(vs[-1]):
             break
-        prev = v
+        deltas = np.abs(np.diff(np.concatenate([[prev], vs])))
+        if (deltas[-2:] <= tol * np.maximum(np.abs(vs[-1]), 1.0)).all():
+            break
+        prev = vs[-1]
 
     Am, Bm = build_sides(params)
     out = {kname: np.asarray(v) for kname, v in params.items()}

@@ -328,7 +328,7 @@ def init_blocks(key, bucketed: BucketedRows, k_tot: int, k_pad: int, dtype):
     """Random normal init scaled like the reference's random_parallel
     (/root/reference/src/helpers.c:927): N(0, 1/sqrt(k))-ish start."""
     blocks = []
-    scale = 1.0 / np.sqrt(max(k_tot, 1))
+    scale = float(1.0 / np.sqrt(max(k_tot, 1)))
     for b in bucketed.buckets:
         key, sub = jax.random.split(key)
         blk = scale * jax.random.normal(sub, (b.n_rows, k_pad), dtype)

@@ -24,6 +24,7 @@ Update order per iteration matches the reference
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -228,6 +229,48 @@ def fit_collective_explicit_als(
 
     glob_mean = preprocess.weighted_global_mean(vals, weights) if center else 0.0
     vals_c = (np.asarray(vals, np.float64) - glob_mean).astype(dtype)
+
+    # Fused dense-engine fast path: fully-dense side info, no k splits, no
+    # constraints — the common collective configuration at benchmark scale.
+    from .dense_engine import estimate_dense_bytes
+
+    budget = int(
+        float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
+    )
+    use_dense_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
+        and np.dtype(dtype) == np.float32
+        and use_cg
+        and not (nonneg or nonneg_C or nonneg_D)
+        and not np.any(l16 > 0)
+        and not (NA_as_zero or NA_as_zero_user or NA_as_zero_item)
+        and k_user == 0 and k_item == 0 and k_main == 0
+        and not add_implicit_features
+        and m_eff == m and n_eff == n
+        and (U is None or U.dense is not None)
+        and (I is None or I.dense is not None)
+        and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
+    )
+    if use_dense_pallas:
+        from .dense_pallas import fit_collective_dense_pallas
+
+        res = fit_collective_dense_pallas(
+            rows, cols, vals, m, n,
+            U_dense=None if U is None else U.dense,
+            I_dense=None if I is None else I.dense,
+            weights=weights, k=k, lam6=lam6, w_user=w_user, w_item=w_item,
+            niter=niter, max_cg_steps=max_cg_steps,
+            finalize_chol=finalize_chol,
+            finalize_steps=int(os.environ.get("CMFREC_TPU_FINALIZE_STEPS",
+                                              "16")),
+            user_bias=user_bias, item_bias=item_bias, glob_mean=glob_mean,
+            scale_lam=scale_lam, scale_bias_const=scale_bias_const,
+            dtype=dtype, seed=seed, verbose=verbose,
+        )
+        res["U_colmeans"] = None if U is None else U.colmeans
+        res["I_colmeans"] = None if I is None else I.colmeans
+        return res
 
     biasA0 = biasB0 = None
     if user_bias or item_bias:

@@ -98,18 +98,24 @@ def _cg(P, rhs, matvec, n_steps):
 
 
 def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
-               compute_dtype, interpret, mesh=None):
-    """One side's update: solve (Be^T diag(W_r) Be + lam_r) a_r = rhs_r for
-    all rows r at once via fused-kernel CG."""
+               compute_dtype, interpret, mesh=None, G0=None, R0=None):
+    """One side's update: solve (Be^T diag(W_r) Be + G0 + lam_r) a_r =
+    rhs_r + R0_r for all rows r at once via fused-kernel CG.  G0/R0 carry
+    the collective model's side-info terms (w_u·CtC and w_u·U@C)."""
     Bek = Be.astype(compute_dtype)
     rhs = masked_rhs(X, W, mb, Bek, block_s=block_s, interpret=interpret,
                      mesh=mesh)
+    if R0 is not None:
+        rhs = rhs + R0
 
     def matvec(v):
         mv = masked_gram_matvec(
             v.astype(compute_dtype), Bek, W, block_s=block_s,
             interpret=interpret, mesh=mesh,
         )
+        if G0 is not None:
+            mv = mv + jnp.einsum("km,rm->rk", G0, v,
+                                 precision=jax.lax.Precision.HIGHEST)
         return mv + v * lam_row
 
     a = _cg(P, rhs, matvec, n_steps)
@@ -150,7 +156,7 @@ def _iteration(
 
 @partial(jax.jit, static_argnames=("shape", "coord", "seed_bias"))
 def _init_factors(key, live, bias0, shape, coord, seed_bias):
-    scale = 1.0 / np.sqrt(max(coord, 1))
+    scale = float(1.0 / np.sqrt(max(coord, 1)))
     M = scale * jax.random.normal(key, shape, jnp.float32)
     coord_pad = jnp.arange(shape[1]) > coord
     M = jnp.where(coord_pad[None, :] | ~live[:, None], 0.0, M)
@@ -345,6 +351,193 @@ def fit_explicit_dense_pallas(
         "B": B[:n, :k].astype(dtype),
         "biasA": A[:m, k].astype(dtype) if user_bias else None,
         "biasB": B[:n, k].astype(dtype) if item_bias else None,
+        "glob_mean": float(glob_mean),
+        "k": k,
+    }
+
+
+# --------------------------------------------------------------------- #
+# collective model on the fused dense engine                             #
+# --------------------------------------------------------------------- #
+
+
+def _solve_side_factor(Ak, Ud, w_side, lam, k):
+    """(w A_k^T A_k + lam I) C^T = w A_k^T U — the whole-matrix C/D update
+    for fully-dense side info (collective.py _dense_full_solve)."""
+    hp = jax.lax.Precision.HIGHEST
+    G = (w_side * jnp.einsum("mk,ml->kl", Ak, Ak, precision=hp)
+         + lam * jnp.eye(k, dtype=Ak.dtype))
+    rhs = w_side * jnp.einsum("mk,mp->kp", Ak, Ud, precision=hp)
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    out = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                          transpose_a=True)
+    return out.T  # [p, k]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
+                     "n_steps", "compute", "interpret", "mesh",
+                     "has_U", "has_I", "n_iters"),
+    donate_argnums=(0, 1),
+)
+def _run_collective_iterations(
+    A, B, X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B, live_A, live_B, mu,
+    lamC, lamD, w_user, w_item,
+    *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
+    interpret, mesh, has_U, has_I,
+):
+    """n_iters collective ALS iterations (C, D, A, B updates) in one
+    dispatch.  Side info must be fully dense (the reference's case-1 fast
+    path applies, /root/reference/src/collective.c:5118)."""
+    cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    Kp = A.shape[1]
+    m_pad, n_pad = A.shape[0], B.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    def body(carry, _):
+        A, B = carry
+        C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
+        D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
+
+        G0A = R0A = None
+        if has_U:
+            G0A = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
+                w_user * jnp.einsum("pk,pl->kl", C, C, precision=hp))
+            R0A = jnp.zeros((m_pad, Kp), jnp.float32).at[:, :k].set(
+                w_user * jnp.einsum("mp,pk->mk", Ud, C, precision=hp))
+        Be = B.at[:, k].set(1.0 if user_bias else 0.0)
+        mbA = mu * jnp.ones(n_pad, jnp.float32)
+        if item_bias:
+            mbA = mbA + B[:, k]
+        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
+                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh, G0=G0A, R0=R0A)
+
+        G0B = R0B = None
+        if has_I:
+            G0B = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
+                w_item * jnp.einsum("qk,ql->kl", D, D, precision=hp))
+            R0B = jnp.zeros((n_pad, Kp), jnp.float32).at[:, :k].set(
+                w_item * jnp.einsum("nq,qk->nk", Id, D, precision=hp))
+        Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
+        mbB = mu * jnp.ones(m_pad, jnp.float32)
+        if user_bias:
+            mbB = mbB + A[:, k]
+        B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
+                       block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh, G0=G0B, R0=R0B)
+        return (A, B), None
+
+    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
+    C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
+    D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
+    return A, B, C, D
+
+
+def fit_collective_dense_pallas(
+    rows, cols, vals_raw, m, n, *, U_dense, I_dense, weights,
+    k, lam6, w_user, w_item, niter, max_cg_steps, finalize_chol,
+    finalize_steps, user_bias, item_bias, glob_mean, scale_lam,
+    scale_bias_const, dtype, seed, verbose, interpret=False, mesh=None,
+) -> dict:
+    """Collective explicit ALS with fully-dense side info on the fused
+    masked-kernel engine (k_user = k_item = k_main = 0).  Solves the same
+    per-row systems as solvers/collective.py's bucketed path."""
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    m_pad, bs_m = pad_dim(m, row_mult=n_dev)
+    n_pad, bs_n = pad_dim(n, row_mult=n_dev)
+    Kp = max(_round_up(k + 1, 64), 64)
+
+    flat = np.asarray(rows, np.int64) * n_pad + np.asarray(cols, np.int64)
+    flat = flat.astype(np.int32)
+    weighted = weights is not None
+    w_dev = (jnp.asarray(np.asarray(weights, np.float32)) if weighted
+             else jnp.zeros(0, jnp.float32))
+    vals_dev = jnp.asarray(np.asarray(vals_raw, jnp.bfloat16))
+    X, W, XT, WT, cnt_A, cnt_B = _setup(
+        jnp.asarray(flat), vals_dev, w_dev, m_pad, n_pad, weighted)
+
+    has_U = U_dense is not None
+    has_I = I_dense is not None
+    Ud = Id = jnp.zeros(0, jnp.float32)
+    if has_U:
+        Ud = jnp.asarray(
+            np.pad(np.asarray(U_dense, np.float32), ((0, m_pad - m), (0, 0))))
+    if has_I:
+        Id = jnp.asarray(
+            np.pad(np.asarray(I_dense, np.float32), ((0, n_pad - n), (0, 0))))
+
+    # with dense side info every real row participates
+    real_A = jnp.arange(m_pad) < m
+    real_B = jnp.arange(n_pad) < n
+    live_A = real_A if has_U else (cnt_A > 0)
+    live_B = real_B if has_I else (cnt_B > 0)
+
+    mu = jnp.float32(glob_mean)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    if user_bias or item_bias:
+        bA_dev, bB_dev = _device_bias_init(
+            X, W, cnt_A, cnt_B, mu, float(lam6[0]), float(lam6[1]),
+            scale_lam, user_bias, item_bias)
+    else:
+        bA_dev = jnp.zeros(m_pad, jnp.float32)
+        bB_dev = jnp.zeros(n_pad, jnp.float32)
+    A = _init_factors(k1, live_A, bA_dev, (m_pad, Kp), k, user_bias)
+    B = _init_factors(k2, live_B, bB_dev, (n_pad, Kp), k, item_bias)
+
+    def lam_row_for(lam_f, lam_bias, has_bias, cnt, count_avg):
+        v = np.ones(Kp, np.float32)
+        v[:k] = lam_f
+        v[k] = lam_bias if has_bias else 1.0
+        vec = jnp.asarray(v)
+        if not scale_lam:
+            return vec[None, :]
+        lam_row = vec[None, :] * jnp.maximum(cnt, 1.0)[:, None]
+        if scale_bias_const and has_bias:
+            lam_row = lam_row.at[:, k].set(lam_bias * count_avg)
+        return lam_row
+
+    count_avg_A = count_avg_B = 1.0
+    if scale_lam:
+        tot = float(np.sum(weights)) if weighted else float(len(flat))
+        count_avg_A = tot / max(m, 1)
+        count_avg_B = tot / max(n, 1)
+    lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_A, count_avg_A)
+    lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B, count_avg_B)
+
+    statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
+                   bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,
+                   has_U=has_U, has_I=has_I)
+    args = (X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B, live_A, live_B, mu,
+            jnp.float32(lam6[4]), jnp.float32(lam6[5]),
+            jnp.float32(w_user), jnp.float32(w_item))
+
+    try:
+        n_bulk = niter - 1 if finalize_chol else niter
+        C = D = None
+        if n_bulk > 0:
+            A, B, C, D = _run_collective_iterations(
+                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+                compute="bf16", **statics)
+        if finalize_chol:
+            A, B, C, D = _run_collective_iterations(
+                A, B, *args, n_iters=1, n_steps=finalize_steps,
+                compute="f32", **statics)
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
+
+    dtype = jnp.dtype(dtype)
+    return {
+        "A": A[:m, :k].astype(dtype),
+        "B": B[:n, :k].astype(dtype),
+        "biasA": A[:m, k].astype(dtype) if user_bias else None,
+        "biasB": B[:n, k].astype(dtype) if item_bias else None,
+        "C": None if C is None else C.astype(dtype),
+        "D": None if D is None else D.astype(dtype),
+        "Ai": None, "Bi": None,
         "glob_mean": float(glob_mean),
         "k": k,
     }

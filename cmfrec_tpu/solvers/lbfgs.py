@@ -116,7 +116,7 @@ def fit_collective_explicit_lbfgs(
 
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 8)
-    scale = 1.0 / np.sqrt(max(k, 1))
+    scale = float(1.0 / np.sqrt(max(k, 1)))
     params = {
         "A": scale * jax.random.normal(ks[0], (m, ka), jdt),
         "B": scale * jax.random.normal(ks[1], (n, kb), jdt),

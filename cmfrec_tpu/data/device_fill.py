@@ -131,6 +131,18 @@ def build_bucketed_pair_device(
         csr_wgt = (np.asarray(weights, dt)[order]
                    if weights is not None else None)
         row_order_r = np.argsort(-counts_r, kind="stable").astype(np.int64)
+    # kick off the big uploads NOW — they stream over the slow host link
+    # while the host does degree ordering and bucket planning below
+    ship_bf16 = dt == np.float32
+    ids_dev = jnp.asarray(csr_cols)
+    vals_dev = jnp.asarray(
+        csr_vals.astype(jnp.bfloat16) if ship_bf16 else csr_vals
+    )
+    wgt_dev = (
+        jnp.asarray(csr_wgt.astype(jnp.bfloat16) if ship_bf16 else csr_wgt)
+        if csr_wgt is not None else jnp.zeros(0, dt)
+    )
+
     counts_c = np.bincount(cols, minlength=n).astype(np.int64)
     row_order_c = native.degree_order(counts_c)
     if row_order_c is None:
@@ -171,11 +183,9 @@ def build_bucketed_pair_device(
     RB, meta_r = one_side(counts_r, row_order_r, m, n)
     CB, meta_c = one_side(counts_c, row_order_c, n, m)
 
-    # one upload of the CSR payload
-    ids_dev = jnp.asarray(csr_cols)
-    vals_dev = jnp.asarray(csr_vals)
-    wgt_dev = (jnp.asarray(csr_wgt) if csr_wgt is not None
-               else jnp.zeros(0, dt))
+    # (f32 values shipped as bf16 above — interaction values/confidences
+    # tolerate 0.4% rounding; the solver math stays f32 after the device
+    # cast in _fill_device)
     weighted = weights is not None
 
     jdt = jnp.dtype(dt)

@@ -110,10 +110,11 @@ def test_device_fill_matches_host_layout(rng, weights):
             np.testing.assert_array_equal(
                 np.take_along_axis(id_d, od, 1),
                 np.take_along_axis(id_h, oh, 1))
+            # f32 values ship to device as bf16 (deliberate ~0.4% trade)
             np.testing.assert_allclose(
                 np.take_along_axis(v_d, od, 1),
-                np.take_along_axis(v_h, oh, 1), rtol=1e-6)
+                np.take_along_axis(v_h, oh, 1), rtol=4.5e-3, atol=1e-6)
             if weights:
                 w_d = np.take_along_axis(np.asarray(bd.wgt), od, 1)
                 w_h = np.take_along_axis(np.asarray(bh.wgt), oh, 1)
-                np.testing.assert_allclose(w_d, w_h, rtol=1e-6)
+                np.testing.assert_allclose(w_d, w_h, rtol=4.5e-3, atol=1e-6)

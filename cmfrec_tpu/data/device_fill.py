@@ -28,50 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_MAX_BLOCK_ELEMS, DEFAULT_ROW_BLOCK
-from .shards import Bucket, BucketedRows, _pow2_width
-
-
-def _plan(counts: np.ndarray, row_order: np.ndarray, n_rows: int,
-          row_block: int, max_block_elems: int, min_width: int):
-    """Bucket layout (no filling): list of (pos, R, n_real, width) chunks,
-    plus perm / row_of / n_rows_pad — identical logic to
-    shards.build_bucketed_rows."""
-    sorted_counts = counts[row_order]
-    boundaries = []
-    i = 0
-    while i < n_rows:
-        w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
-        lo_excl = w // 2 if w > min_width else 0
-        if lo_excl == 0:
-            j = n_rows
-        else:
-            j = int(np.searchsorted(-sorted_counts, -lo_excl, side="left"))
-        j = max(j, i + 1)
-        boundaries.append((i, j, w))
-        i = j
-
-    chunks = []  # (pos, R, n_real, width, cs) where cs indexes row_order
-    perm = np.zeros(n_rows, dtype=np.int64)
-    row_of_parts = []
-    pos = 0
-    for (bs, be, w) in boundaries:
-        max_rows = max(row_block,
-                       (max_block_elems // max(w, 1)) // row_block * row_block)
-        cs = bs
-        while cs < be:
-            ce = min(be, cs + max_rows)
-            n_real = ce - cs
-            R = -(-n_real // row_block) * row_block
-            chunks.append((pos, R, n_real, w, cs))
-            perm[row_order[cs:ce]] = pos + np.arange(n_real)
-            part = np.full(R, -1, dtype=np.int64)
-            part[:n_real] = row_order[cs:ce]
-            row_of_parts.append(part)
-            pos += R
-            cs = ce
-    row_of = (np.concatenate(row_of_parts) if row_of_parts
-              else np.zeros(0, np.int64))
-    return chunks, perm, row_of, pos
+from .shards import Bucket, BucketedRows, plan_layout as _plan
 
 
 @partial(jax.jit, static_argnames=("nnz", "n_rows", "F", "weighted", "vdtype"))

@@ -92,6 +92,51 @@ def _pow2_width(x: int, min_width: int = 8) -> int:
     return w
 
 
+def plan_layout(counts: np.ndarray, row_order: np.ndarray, n_rows: int,
+          row_block: int, max_block_elems: int, min_width: int):
+    """Bucket layout (no filling): list of (pos, R, n_real, width, cs)
+    chunks plus perm / row_of / n_rows_pad.  THE single planner — both the
+    host fill below and the device fill (data/device_fill.py) consume it,
+    so the two builders cannot drift structurally."""
+    sorted_counts = counts[row_order]
+    boundaries = []
+    i = 0
+    while i < n_rows:
+        w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
+        lo_excl = w // 2 if w > min_width else 0
+        if lo_excl == 0:
+            j = n_rows
+        else:
+            j = int(np.searchsorted(-sorted_counts, -lo_excl, side="left"))
+        j = max(j, i + 1)
+        boundaries.append((i, j, w))
+        i = j
+
+    chunks = []  # (pos, R, n_real, width, cs) where cs indexes row_order
+    perm = np.zeros(n_rows, dtype=np.int64)
+    row_of_parts = []
+    pos = 0
+    for (bs, be, w) in boundaries:
+        max_rows = max(row_block,
+                       (max_block_elems // max(w, 1)) // row_block * row_block)
+        cs = bs
+        while cs < be:
+            ce = min(be, cs + max_rows)
+            n_real = ce - cs
+            R = -(-n_real // row_block) * row_block
+            chunks.append((pos, R, n_real, w, cs))
+            perm[row_order[cs:ce]] = pos + np.arange(n_real)
+            part = np.full(R, -1, dtype=np.int64)
+            part[:n_real] = row_order[cs:ce]
+            row_of_parts.append(part)
+            pos += R
+            cs = ce
+    row_of = (np.concatenate(row_of_parts) if row_of_parts
+              else np.zeros(0, np.int64))
+    return chunks, perm, row_of, pos
+
+
+
 def build_bucketed_rows(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -134,94 +179,60 @@ def build_bucketed_rows(
         np.cumsum(counts, out=indptr[1:])
         # Degree-descending stable row order -> buckets are contiguous.
         row_order = np.argsort(-counts, kind="stable").astype(np.int64)
-    sorted_counts = counts[row_order]
-
-    # Partition the degree-sorted rows into width classes.
-    widths = _pow2_width(max(int(sorted_counts[0]) if n_rows else 1, 1), min_width)
-    boundaries = []  # list of (start_row, end_row, width)
-    i = 0
-    while i < n_rows:
-        w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
-        # all rows with nnz in (w/2, w] — find end by binary search
-        lo_excl = w // 2 if w > min_width else 0
-        if lo_excl == 0:
-            j = n_rows  # final class: everything that's left (incl. empty rows)
-        else:
-            j = int(np.searchsorted(-sorted_counts, -lo_excl, side="left"))
-        j = max(j, i + 1)
-        boundaries.append((i, j, w))
-        i = j
+    chunks, perm, row_of, n_rows_pad = plan_layout(
+        counts, row_order, n_rows, row_block, max_block_elems, min_width
+    )
 
     out = BucketedRows(
         n_rows=n_rows,
         n_cols=n_cols,
-        n_rows_pad=0,
-        perm=np.zeros(n_rows, dtype=np.int64),
-        row_of=np.zeros(0, dtype=np.int64),
+        n_rows_pad=n_rows_pad,
+        perm=perm,
+        row_of=row_of,
         counts=counts,
     )
 
-    row_of_parts = []
-    pos = 0  # running offset in permuted row space
-    for (bs, be, w) in boundaries:
-        # Split this width class into chunks bounded by max_block_elems.
-        max_rows = max(row_block, (max_block_elems // max(w, 1)) // row_block * row_block)
-        cs = bs
-        while cs < be:
-            ce = min(be, cs + max_rows)
-            n_real = ce - cs
-            R = -(-n_real // row_block) * row_block
-            orig_rows = row_order[cs:ce]
-            filled = native.fill_bucket(
-                orig_rows, indptr, counts, sorted_cols, sorted_vals,
-                sorted_wgt, w, R, dtype,
-            ) if csr is not None else None
-            if filled is not None:
-                idx, val, wgt, length = filled
-            else:
-                idx = np.zeros((R, w), dtype=np.int32)
-                val = np.zeros((R, w), dtype=dtype)
-                wgt = (np.zeros((R, w), dtype=dtype)
-                       if weights is not None else None)
-                length = np.zeros(R, dtype=np.int32)
-                # Vectorized fill: flat (row, within-row) destination
-                # coordinates for every nonzero of every row in this chunk.
-                ns = counts[orig_rows]
-                length[:n_real] = ns
-                total = int(ns.sum())
-                if total:
-                    starts = indptr[orig_rows]
-                    seg_off = np.repeat(np.cumsum(ns) - ns, ns)
-                    within = np.arange(total, dtype=np.int64) - seg_off
-                    src = np.repeat(starts, ns) + within
-                    dest_r = np.repeat(np.arange(n_real, dtype=np.int64), ns)
-                    idx[dest_r, within] = sorted_cols[src]
-                    val[dest_r, within] = sorted_vals[src]
-                    if wgt is not None:
-                        wgt[dest_r, within] = sorted_wgt[src]
-            out.buckets.append(
-                Bucket(
-                    start=pos,
-                    n_rows=R,
-                    n_real=n_real,
-                    width=w,
-                    idx=idx,
-                    val=val,
-                    length=length,
-                    wgt=wgt,
-                )
+    for (pos, R, n_real, w, cs) in chunks:
+        orig_rows = row_order[cs:cs + n_real]
+        filled = native.fill_bucket(
+            orig_rows, indptr, counts, sorted_cols, sorted_vals,
+            sorted_wgt, w, R, dtype,
+        ) if csr is not None else None
+        if filled is not None:
+            idx, val, wgt, length = filled
+        else:
+            idx = np.zeros((R, w), dtype=np.int32)
+            val = np.zeros((R, w), dtype=dtype)
+            wgt = (np.zeros((R, w), dtype=dtype)
+                   if weights is not None else None)
+            length = np.zeros(R, dtype=np.int32)
+            # Vectorized fill: flat (row, within-row) destination
+            # coordinates for every nonzero of every row in this chunk.
+            ns = counts[orig_rows]
+            length[:n_real] = ns
+            total = int(ns.sum())
+            if total:
+                starts = indptr[orig_rows]
+                seg_off = np.repeat(np.cumsum(ns) - ns, ns)
+                within = np.arange(total, dtype=np.int64) - seg_off
+                src = np.repeat(starts, ns) + within
+                dest_r = np.repeat(np.arange(n_real, dtype=np.int64), ns)
+                idx[dest_r, within] = sorted_cols[src]
+                val[dest_r, within] = sorted_vals[src]
+                if wgt is not None:
+                    wgt[dest_r, within] = sorted_wgt[src]
+        out.buckets.append(
+            Bucket(
+                start=pos,
+                n_rows=R,
+                n_real=n_real,
+                width=w,
+                idx=idx,
+                val=val,
+                length=length,
+                wgt=wgt,
             )
-            out.perm[row_order[cs:ce]] = pos + np.arange(n_real)
-            part = np.full(R, -1, dtype=np.int64)
-            part[:n_real] = row_order[cs:ce]
-            row_of_parts.append(part)
-            pos += R
-            cs = ce
-
-    out.n_rows_pad = pos
-    out.row_of = (
-        np.concatenate(row_of_parts) if row_of_parts else np.zeros(0, dtype=np.int64)
-    )
+        )
     return out
 
 

@@ -115,6 +115,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "scale_parts",
         "precondition",
         "mxu_bf16",
+        "lam_mult_add",
     ),
 )
 def solve_bucket(
@@ -136,6 +137,8 @@ def solve_bucket(
     scale_parts: tuple = (),  # static, per part: counts toward lam scaling
     precondition: bool = False,  # Jacobi PCG (precondition_cg)
     mxu_bf16: bool = False,  # bf16 MXU operands (f32 accumulate)
+    lam_mult_add: float = 0.0,  # constant added to the scale_lam multiplier
+    # (dense side-info observation count, common.c:689-724)
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -152,7 +155,7 @@ def solve_bucket(
             _lam_multiplier(p, m, nt)
             for p, m, nt, sc in zip(parts, modes, n_totals, scale_parts)
             if sc
-        )
+        ) + lam_mult_add
         # Empty (or padding) rows would make the system singular; they are
         # zeroed below anyway (the reference's zero_out, common.c:676-681).
         lam_mult = jnp.maximum(lam_mult, 1.0)
@@ -257,6 +260,7 @@ def update_side(
     nonneg: bool = False,
     max_cd_steps: int = 100,
     scale_lam: bool = False,
+    lam_mult_add: float = 0.0,
     precondition: bool = False,
     mxu_bf16: bool = False,
     dtype=jnp.float32,
@@ -312,6 +316,7 @@ def update_side(
             scale_parts=scale_parts,
             precondition=precondition,
             mxu_bf16=mxu_bf16,
+            lam_mult_add=lam_mult_add,
         )
         new_blocks.append(a_new)
     return new_blocks

@@ -253,6 +253,14 @@ def fit_collective_explicit_als(
         and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
     )
     if use_dense_pallas:
+        from ..ops.masked_matmul import pad_dim
+
+        _mp, _np_ = pad_dim(m)[0], pad_dim(n)[0]
+        wb = 4 if weights is not None else 1
+        if (_mp * _np_ >= np.iinfo(np.int32).max
+                or _mp * _np_ * (2 + wb) * 2 > budget):
+            use_dense_pallas = False
+    if use_dense_pallas:
         from .dense_pallas import fit_collective_dense_pallas
 
         res = fit_collective_dense_pallas(
@@ -265,7 +273,8 @@ def fit_collective_explicit_als(
             finalize_steps=int(os.environ.get("CMFREC_TPU_FINALIZE_STEPS",
                                               "16")),
             user_bias=user_bias, item_bias=item_bias, glob_mean=glob_mean,
-            scale_lam=scale_lam, scale_bias_const=scale_bias_const,
+            scale_lam=scale_lam, scale_lam_sideinfo=scale_lam_sideinfo,
+            scale_bias_const=scale_bias_const,
             dtype=dtype, seed=seed, verbose=verbose,
         )
         res["U_colmeans"] = None if U is None else U.colmeans
@@ -382,7 +391,6 @@ def fit_collective_explicit_als(
 
     A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m_eff)
     B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n_eff)
-    w_arr = jnp.asarray
 
     def factor_update(
         main_blocks, plan, opp_main, opp_bias, lam_vec, l1_vec, method,
@@ -407,6 +415,7 @@ def fit_collective_explicit_als(
             )
 
         # side-info contributions
+        lam_mult_add = 0.0
         if S is not None:
             Ce = _pad_cols(C_mat[:, :kx], lam_vec.shape[0], 0, dtype)
             if S.dense is not None:
@@ -416,6 +425,10 @@ def fit_collective_explicit_als(
                     _dense_rhs(sl, Ce, jnp.asarray(w_side, dtype))
                     for sl in S_dense_slices
                 ]
+                if scale_lam_sideinfo:
+                    # dense side info adds p observations per row to the
+                    # lambda multiplier (common.c:689-724)
+                    lam_mult_add = float(S.p)
             else:
                 extra = [[] for _ in range(n_buckets)]
                 s_mode = "na0" if S.na0 else "explicit"
@@ -462,6 +475,7 @@ def fit_collective_explicit_als(
             G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks, extra_parts=extra,
             l1_vec=l1_vec, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+            lam_mult_add=lam_mult_add,
             precondition=precondition_cg, dtype=dtype,
         )
 
@@ -578,7 +592,7 @@ def fit_collective_explicit_als(
         A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
 
         if verbose:
-            jax.block_until_ready(A_orig)
+            _ = float(jnp.sum(A_orig[-1]))  # fence the device queue
             print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
         # return the partially-fit model (the reference's handle_interrupt,
@@ -844,7 +858,7 @@ def fit_collective_implicit_als(
         A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
 
         if verbose:
-            jax.block_until_ready(A_orig)
+            _ = float(jnp.sum(A_orig[-1]))  # fence the device queue
             print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
 
     except KeyboardInterrupt:

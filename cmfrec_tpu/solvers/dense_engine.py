@@ -74,7 +74,7 @@ def estimate_dense_bytes(m, n, itemsize=4):
     return 2 * m * n * itemsize
 
 
-@partial(jax.jit, static_argnames=("n_steps", "rows_axis"), donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("n_steps", "rows_axis"))
 def dense_cg_update(
     P,  # [R, K] warm start (R = m for the A side, n for the B side)
     X,  # [m, n] zero-filled centered values

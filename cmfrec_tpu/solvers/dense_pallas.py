@@ -126,7 +126,6 @@ def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "mesh"),
-    donate_argnums=(0, 1),
 )
 def _iteration(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
@@ -189,7 +188,6 @@ def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "n_iters", "mesh"),
-    donate_argnums=(0, 1),
 )
 def _run_iterations(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
@@ -323,7 +321,7 @@ def fit_explicit_dense_pallas(
                     compute="f32" if final else "bf16",
                     **statics,
                 )
-                jax.block_until_ready(B)
+                _ = float(jnp.sum(B[-1]))  # fence the device queue
                 tag = "pallas-f32*" if final else "pallas-bf16"
                 print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
         else:
@@ -380,7 +378,6 @@ def _solve_side_factor(Ak, Ud, w_side, lam, k):
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "mesh",
                      "has_U", "has_I", "n_iters"),
-    donate_argnums=(0, 1),
 )
 def _run_collective_iterations(
     A, B, X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B, live_A, live_B, mu,
@@ -440,7 +437,9 @@ def fit_collective_dense_pallas(
     rows, cols, vals_raw, m, n, *, U_dense, I_dense, weights,
     k, lam6, w_user, w_item, niter, max_cg_steps, finalize_chol,
     finalize_steps, user_bias, item_bias, glob_mean, scale_lam,
-    scale_bias_const, dtype, seed, verbose, interpret=False, mesh=None,
+    scale_lam_sideinfo=False,
+    scale_bias_const=False, dtype=np.float32, seed=1, verbose=False,
+    interpret=False, mesh=None,
 ) -> dict:
     """Collective explicit ALS with fully-dense side info on the fused
     masked-kernel engine (k_user = k_item = k_main = 0).  Solves the same
@@ -505,8 +504,16 @@ def fit_collective_dense_pallas(
         tot = float(np.sum(weights)) if weighted else float(len(flat))
         count_avg_A = tot / max(m, 1)
         count_avg_B = tot / max(n, 1)
-    lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_A, count_avg_A)
-    lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B, count_avg_B)
+    # dense side info adds p (resp. q) observations per row when
+    # scale_lam_sideinfo is on (common.c:689-724)
+    cnt_lam_A = cnt_A + (float(U_dense.shape[1])
+                         if scale_lam_sideinfo and has_U else 0.0)
+    cnt_lam_B = cnt_B + (float(I_dense.shape[1])
+                         if scale_lam_sideinfo and has_I else 0.0)
+    lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_lam_A,
+                            count_avg_A)
+    lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_lam_B,
+                            count_avg_B)
 
     statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
                    bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,

@@ -153,6 +153,11 @@ def fit_explicit_als(
     budget = dense_budget_bytes or int(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
+    if engine == "dense" and (nonneg or np.any(l16 > 0) or NA_as_zero):
+        raise ValueError(
+            "engine='dense' does not support nonneg/l1_lambda/NA_as_zero; "
+            "use engine='auto' or 'sparse'"
+        )
     use_dense = engine == "dense" or (
         engine == "auto"
         and use_cg
@@ -162,12 +167,26 @@ def fit_explicit_als(
         and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
     )
     # The fused-kernel engine is the TPU fast path; the XLA einsum
-    # engine remains for CPU runs and f64.
+    # engine remains for CPU runs and f64.  Its actual residency is the
+    # PADDED dims in four arrays (bf16 X + mask W, both orientations), and
+    # its int32 scatter index requires m_pad*n_pad < 2**31.
     use_pallas = use_dense and (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
     )
+    if use_pallas:
+        from ..ops.masked_matmul import pad_dim
+
+        m_pad = pad_dim(m)[0]
+        n_pad = pad_dim(n)[0]
+        wbytes = 4 if weights is not None else 1
+        pallas_bytes = m_pad * n_pad * (2 + wbytes) * 2
+        if (m_pad * n_pad >= np.iinfo(np.int32).max
+                or pallas_bytes > budget):
+            use_pallas = False
+            if engine != "dense":
+                use_dense = False  # padded form doesn't fit: go sparse
 
     biasA0 = biasB0 = None
     if (user_bias or item_bias) and not use_pallas:
@@ -263,63 +282,25 @@ def fit_explicit_als(
     dataA = bucket_arrays(RB)
     dataB = bucket_arrays(CB)
 
-    # One fused jit per full iteration (A update + B update): a single
-    # device dispatch instead of one per bucket, which matters enormously
-    # when the host<->TPU link has per-call latency.
-    @partial(
-        jax.jit,
-        static_argnames=("method",),
-        donate_argnums=(0, 1),
-    )
-    def _iteration(A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method):
-        B_orig = blocks_to_orig(B_blocks, perm_B, n)
-        opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
-        opp_bias = B_orig[:, k] if item_bias else None
-        G0 = r0_vec = None
-        if NA_as_zero:
-            G0 = gram_matrix(opp)
-            r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
-        A_blocks = update_side(
-            plan_A, A_blocks, opp, opp_bias, lam_vec_A,
-            buckets_data=dataA,
-            mu=glob_mean if NA_as_zero else None,
-            G0=G0, r0_vec=r0_vec,
-            lam_const_vec=lam_const_A,
-            l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            precondition=precondition_cg,
-            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
-        )
-        A_orig = blocks_to_orig(A_blocks, perm_A, m)
-
-        opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
-        opp_bias = A_orig[:, k] if user_bias else None
-        G0 = r0_vec = None
-        if NA_as_zero:
-            G0 = gram_matrix(opp)
-            r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
-        B_blocks = update_side(
-            plan_B, B_blocks, opp, opp_bias, lam_vec_B,
-            buckets_data=dataB,
-            mu=glob_mean if NA_as_zero else None,
-            G0=G0, r0_vec=r0_vec,
-            lam_const_vec=lam_const_B,
-            l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-            precondition=precondition_cg,
-            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
-        )
-        return A_blocks, B_blocks
-
+    mu_dev = jnp.asarray(glob_mean, dtype)
     try:
         for it in range(niter):
             method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
             t0 = time.time()
-            A_blocks, B_blocks = _iteration(
-                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method
+            A_blocks, B_blocks = _explicit_sparse_iteration(
+                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
+                lam_vec_A, lam_vec_B, l1_vec_A, l1_vec_B,
+                lam_const_A, lam_const_B, mu_dev,
+                m=m, n=n, k=k, user_bias=user_bias, item_bias=item_bias,
+                NA_as_zero=NA_as_zero, method=method,
+                max_cg_steps=max_cg_steps, nonneg=nonneg,
+                max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+                precondition_cg=precondition_cg,
+                mxu_bf16=bf16_ok and method == "cg",
+                jdtype=jnp.dtype(dtype),
             )
             if verbose:
-                jax.block_until_ready(A_blocks)
+                _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
         # return the partially-fit model, mirroring the reference's
@@ -339,6 +320,63 @@ def fit_explicit_als(
         "glob_mean": float(glob_mean),
         "k": k,
     }
+
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "n", "k", "user_bias", "item_bias", "NA_as_zero",
+                     "method", "max_cg_steps", "nonneg", "max_cd_steps",
+                     "scale_lam", "precondition_cg", "mxu_bf16", "jdtype"),
+)
+def _explicit_sparse_iteration(
+    A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
+    lam_vec_A, lam_vec_B, l1_vec_A, l1_vec_B, lam_const_A, lam_const_B,
+    glob_mean,
+    *, m, n, k, user_bias, item_bias, NA_as_zero, method, max_cg_steps,
+    nonneg, max_cd_steps, scale_lam, precondition_cg, mxu_bf16, jdtype,
+):
+    """One full explicit ALS iteration (A then B half-step) over bucketed
+    data — module-level so the compilation caches across fits."""
+    mode = "na0" if NA_as_zero else "explicit"
+    plan_A = SidePlan(None, mode, n)
+    plan_B = SidePlan(None, mode, m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
+    opp_bias = B_orig[:, k] if item_bias else None
+    G0 = r0_vec = None
+    if NA_as_zero:
+        G0 = gram_matrix(opp)
+        r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
+    A_blocks = update_side(
+        plan_A, A_blocks, opp, opp_bias, lam_vec_A,
+        buckets_data=dataA,
+        mu=glob_mean if NA_as_zero else None,
+        G0=G0, r0_vec=r0_vec,
+        lam_const_vec=lam_const_A,
+        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+
+    opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
+    opp_bias = A_orig[:, k] if user_bias else None
+    G0 = r0_vec = None
+    if NA_as_zero:
+        G0 = gram_matrix(opp)
+        r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
+    B_blocks = update_side(
+        plan_B, B_blocks, opp, opp_bias, lam_vec_B,
+        buckets_data=dataB,
+        mu=glob_mean if NA_as_zero else None,
+        G0=G0, r0_vec=r0_vec,
+        lam_const_vec=lam_const_B,
+        l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
+    return A_blocks, B_blocks
 
 
 def _set_bias_coord(blocks, bucketed: BucketedRows, bias_vec, coord, dtype):
@@ -428,46 +466,24 @@ def fit_implicit_als(
 
     dataA = bucket_arrays(RB)
     dataB = bucket_arrays(CB)
-
-    @partial(
-        jax.jit,
-        static_argnames=("method",),
-        donate_argnums=(0, 1),
-    )
-    def _iteration(A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method):
-        B_orig = blocks_to_orig(B_blocks, perm_B, n)
-        G0 = w_main * gram_matrix(B_orig)
-        A_blocks = update_side(
-            plan_A, A_blocks, B_orig, None, lam_vec_A,
-            buckets_data=dataA,
-            w=w_main, alpha=alpha, G0=G0,
-            l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps,
-            precondition=precondition_cg,
-            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
-        )
-        A_orig = blocks_to_orig(A_blocks, perm_A, m)
-        G0 = w_main * gram_matrix(A_orig)
-        B_blocks = update_side(
-            plan_B, B_blocks, A_orig, None, lam_vec_B,
-            buckets_data=dataB,
-            w=w_main, alpha=alpha, G0=G0,
-            l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg, max_cd_steps=max_cd_steps,
-            precondition=precondition_cg,
-            mxu_bf16=bf16_ok and method == "cg", dtype=dtype,
-        )
-        return A_blocks, B_blocks
+    w_dev = jnp.asarray(w_main, dtype)
+    alpha_dev = jnp.asarray(alpha, dtype)
 
     try:
         for it in range(niter):
             method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
             t0 = time.time()
-            A_blocks, B_blocks = _iteration(
-                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B, method
+            A_blocks, B_blocks = _implicit_sparse_iteration(
+                A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
+                lam_vec_A, lam_vec_B, l1_vec_A, l1_vec_B, w_dev, alpha_dev,
+                m=m, n=n, method=method, max_cg_steps=max_cg_steps,
+                nonneg=nonneg, max_cd_steps=max_cd_steps,
+                precondition_cg=precondition_cg,
+                mxu_bf16=bf16_ok and method == "cg",
+                jdtype=jnp.dtype(dtype),
             )
             if verbose:
-                jax.block_until_ready(A_blocks)
+                _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
         print("interrupted — returning partially-fit model")
@@ -484,6 +500,46 @@ def fit_implicit_als(
         "w_main_multiplier": w_main,
         "alpha": alpha,
     }
+
+
+
+@partial(
+    jax.jit,
+    static_argnames=("m", "n", "method", "max_cg_steps", "nonneg",
+                     "max_cd_steps", "precondition_cg", "mxu_bf16",
+                     "jdtype"),
+)
+def _implicit_sparse_iteration(
+    A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
+    lam_vec_A, lam_vec_B, l1_vec_A, l1_vec_B, w_main, alpha,
+    *, m, n, method, max_cg_steps, nonneg, max_cd_steps, precondition_cg,
+    mxu_bf16, jdtype,
+):
+    """One full WRMF iteration over bucketed data — module-level so the
+    compilation caches across fits."""
+    plan_A = SidePlan(None, "implicit", n)
+    plan_B = SidePlan(None, "implicit", m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    G0 = w_main * gram_matrix(B_orig)
+    A_blocks = update_side(
+        plan_A, A_blocks, B_orig, None, lam_vec_A,
+        buckets_data=dataA,
+        w=w_main, alpha=alpha, G0=G0,
+        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    G0 = w_main * gram_matrix(A_orig)
+    B_blocks = update_side(
+        plan_B, B_blocks, A_orig, None, lam_vec_B,
+        buckets_data=dataB,
+        w=w_main, alpha=alpha, G0=G0,
+        l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
+    return A_blocks, B_blocks
 
 
 def _fit_explicit_dense(

@@ -144,7 +144,13 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
         u_counts = up[1]
 
     if getattr(model, "scale_lam", False):
-        base = (ww * msk).sum(axis=1) if not na0 else np.full(R, float(ext.shape[0]))
+        if na0:
+            # weighted: wsum over observed + 1 per missing entry; unweighted
+            # degenerates to the full column count (common.c:708-710)
+            base = ((ww * msk).sum(axis=1)
+                    + (float(ext.shape[0]) - np.asarray(lengths, np.float64)))
+        else:
+            base = (ww * msk).sum(axis=1)
         if getattr(model, "scale_lam_sideinfo", False) and np.ndim(u_counts):
             base = base + u_counts
         lam_mult = jnp.asarray(np.maximum(base, 1.0), dtype)

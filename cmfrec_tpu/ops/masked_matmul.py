@@ -118,22 +118,26 @@ def masked_gram_matvec(Q, Be, W, *, block_s: int, interpret: bool = False,
     R, K = Q.shape
     S = Be.shape[0]
     assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)
-    return pl.pallas_call(
-        _matvec_kernel,
-        grid=(R // BLOCK_R, S // block_s),
-        in_specs=[
-            pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
-            pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
-            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(Q, Be, W)
+    # trace in 32-bit mode: under jax_enable_x64 the grid index maps produce
+    # i64, which Mosaic cannot legalize (the operands are f32/bf16/int8 and
+    # unaffected)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _matvec_kernel,
+            grid=(R // BLOCK_R, S // block_s),
+            in_specs=[
+                pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+                pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
+                pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(Q, Be, W)
 
 
 @functools.partial(
@@ -159,20 +163,21 @@ def masked_rhs(X, W, mb, Be, *, block_s: int, interpret: bool = False,
     K = Be.shape[1]
     assert R % BLOCK_R == 0 and S % block_s == 0, (R, S, block_s)
     mb2 = mb.astype(jnp.float32).reshape(1, S)
-    return pl.pallas_call(
-        _rhs_kernel,
-        grid=(R // BLOCK_R, S // block_s),
-        in_specs=[
-            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
-            pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
-            pl.BlockSpec((1, block_s), lambda i, j: (0, j)),
-            pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
-        ],
-        out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
-        ),
-        interpret=interpret,
-    )(X, W, mb2, Be)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _rhs_kernel,
+            grid=(R // BLOCK_R, S // block_s),
+            in_specs=[
+                pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+                pl.BlockSpec((BLOCK_R, block_s), lambda i, j: (i, j)),
+                pl.BlockSpec((1, block_s), lambda i, j: (0, j)),
+                pl.BlockSpec((block_s, K), lambda i, j: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec((BLOCK_R, K), lambda i, j: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((R, K), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=_VMEM_LIMIT,
+            ),
+            interpret=interpret,
+        )(X, W, mb2, Be)

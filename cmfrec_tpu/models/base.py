@@ -216,7 +216,7 @@ class _BaseModel:
     # id mapping                                                          #
     # ------------------------------------------------------------------ #
 
-    def _map_ids(self, ids, mapping, kind="user"):
+    def _map_ids(self, ids, mapping, kind="user", allow_missing=False):
         ids = np.asarray(ids)
         scalar = ids.ndim == 0
         ids = np.atleast_1d(ids)
@@ -224,10 +224,13 @@ class _BaseModel:
             import pandas as pd
 
             codes = pd.Categorical(ids, mapping).codes.astype(np.int64)
-            if (codes < 0).any():
+            if (codes < 0).any() and not allow_missing:
                 raise ValueError(f"unknown {kind} id(s): {ids[codes < 0][:5]}")
         else:
             codes = ids.astype(np.int64)
+            if allow_missing:
+                limit = (self.A_ if kind == "user" else self.B_).shape[0]
+                codes = np.where((codes < 0) | (codes >= limit), -1, codes)
         return (codes[0] if scalar else codes), scalar
 
     def _unmap_items(self, idx):
@@ -250,24 +253,44 @@ class _BaseModel:
         ki = getattr(self, "k_item", 0)
         return self.B_[:, ki:] if ki else self.B_
 
+    # Unknown user/item combinations: the explicit CMF predicts the global
+    # mean plus whichever bias is known; other models yield NaN
+    # (/root/reference/cmfrec/__init__.py:1188-1192).
+    _unknown_pred_mean = False
+
     def predict(self, user, item):
         """Predict X[user, item] for arrays or scalars of ids
         (reference: /root/reference/cmfrec/__init__.py:1183)."""
         if not self.is_fitted_:
             raise RuntimeError("Model is not fitted")
-        u, scalar_u = self._map_ids(user, self.user_mapping_, "user")
-        i, scalar_i = self._map_ids(item, self.item_mapping_, "item")
+        u, scalar_u = self._map_ids(user, self.user_mapping_, "user",
+                                    allow_missing=True)
+        i, scalar_i = self._map_ids(item, self.item_mapping_, "item",
+                                    allow_missing=True)
         u = np.atleast_1d(u)
         i = np.atleast_1d(i)
         if u.size == 1 and i.size > 1:
             u = np.repeat(u, i.size)
         if i.size == 1 and u.size > 1:
             i = np.repeat(i, u.size)
+        bad = (u < 0) | (i < 0)
         p = predict_ops.predict_pairs(
-            self._xA, self._xB, u, i,
+            self._xA, self._xB, np.maximum(u, 0), np.maximum(i, 0),
             self.user_bias_, self.item_bias_, self.glob_mean_,
         )
-        p = np.asarray(p)
+        p = np.asarray(p).copy()
+        if bad.any():
+            if self._unknown_pred_mean:
+                fill = np.full(bad.sum(), self.glob_mean_)
+                if self.user_bias_ is not None:
+                    ub = np.asarray(self.user_bias_)
+                    fill += np.where(u[bad] >= 0, ub[np.maximum(u[bad], 0)], 0.0)
+                if self.item_bias_ is not None:
+                    ib = np.asarray(self.item_bias_)
+                    fill += np.where(i[bad] >= 0, ib[np.maximum(i[bad], 0)], 0.0)
+                p[bad] = fill
+            else:
+                p[bad] = np.nan
         return float(p[0]) if (scalar_u and scalar_i) else p
 
     def topN(self, user, n=10, include=None, exclude=None, output_score=False):

@@ -27,6 +27,8 @@ class CMF(_BaseModel):
     (/root/reference/cmfrec/__init__.py:2446-2881).
     """
 
+    _unknown_pred_mean = True  # unknown ids -> mean+biases (reference note)
+
     def __init__(self, k=40, lambda_=1e1, method="als", use_cg=True,
                  user_bias=True, item_bias=True, center=True,
                  add_implicit_features=False,

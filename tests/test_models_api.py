@@ -317,3 +317,20 @@ def test_fit_triplets_on_base(rng):
     vals = rng.uniform(1, 5, 300)
     mi = CMF_implicit(k=4, niter=3).fit_triplets(rows, cols, vals, m, n)
     assert mi.is_fitted_
+
+
+def test_predict_unknown_ids_semantics(ratings_df, rng):
+    """Unknown ids: CMF -> mean(+bias); CMF_implicit -> NaN
+    (/root/reference/cmfrec/__init__.py:1188-1192)."""
+    df, rows, cols, vals, m, n = ratings_df
+    model = CMF(k=5, lambda_=0.5, niter=4, use_float=False).fit(df)
+    p = model.predict(["u0", "NOSUCHUSER"], ["it0", "it1"])
+    assert np.isfinite(p).all()
+    ib = np.asarray(model.item_bias_)[
+        np.nonzero(model.item_mapping_ == "it1")[0][0]]
+    assert abs(p[1] - (model.glob_mean_ + ib)) < 1e-5
+
+    X = sp.coo_matrix((np.abs(vals) + 0.5, (rows, cols)), shape=(m, n))
+    mi = CMF_implicit(k=5, niter=3, use_float=False).fit(X)
+    pi = mi.predict([0, m + 5], [0, 1])
+    assert np.isfinite(pi[0]) and np.isnan(pi[1])

@@ -34,16 +34,6 @@ def _round_up(x, mult):
     return -(-x // mult) * mult
 
 
-@partial(jax.jit, static_argnames=("m", "nnz", "n_pad"))
-def _flat_from_csr(counts, csr_cols, m, nnz, n_pad):
-    """Per-entry flat destination row*n_pad + col from the compact CSR form
-    (counts[m] + int16/int32 cols) — ~40% less upload than flat int32."""
-    counts = counts.astype(jnp.int32)
-    row_e = jnp.repeat(jnp.arange(m, dtype=jnp.int32), counts,
-                       total_repeat_length=nnz)
-    return row_e * n_pad + csr_cols.astype(jnp.int32)
-
-
 @partial(jax.jit, static_argnames=("m_pad", "n_pad", "weighted"))
 def _setup(flat_idx, vals, wvals, m_pad, n_pad, weighted):
     """Scatter COO -> padded dense [m_pad, n_pad] bf16 X + mask/weights W,
@@ -224,32 +214,16 @@ def fit_explicit_dense_pallas(
     Kp = max(_round_up(k + 1, 64), 64)
 
     weighted = weights is not None
-    nnz = len(rows)
-    # Compact CSR upload (counts + narrow col ids + bf16 values): explicit
-    # ratings are exact in bf16, and the host->device tunnel is the slowest
-    # link in the whole fit.  The flat scatter index is rebuilt on device.
-    from .. import native
-
-    csr = (native.csr_from_coo(rows, cols, vals_raw, weights, m, np.float32)
-           if m_pad * n_pad < np.iinfo(np.int32).max else None)
-    if csr is not None:
-        counts_h, _, csr_cols, csr_vals, csr_wgt = csr
-        cols_dev = jnp.asarray(
-            csr_cols.astype(np.uint16) if n_pad <= 65535 else csr_cols
-        )
-        flat = _flat_from_csr(jnp.asarray(counts_h.astype(np.int32)),
-                              cols_dev, m, nnz, n_pad)
-        vals_dev = jnp.asarray(csr_vals.astype(jnp.bfloat16))
-        w_dev = (jnp.asarray(csr_wgt) if weighted
-                 else jnp.zeros(0, jnp.float32))
-    else:
-        flat_h = np.asarray(rows, np.int64) * n_pad + np.asarray(cols, np.int64)
-        if m_pad * n_pad < np.iinfo(np.int32).max:
-            flat_h = flat_h.astype(np.int32)
-        flat = jnp.asarray(flat_h)
-        vals_dev = jnp.asarray(np.asarray(vals_raw, jnp.bfloat16))
-        w_dev = (jnp.asarray(np.asarray(weights, np.float32)) if weighted
-                 else jnp.zeros(0, jnp.float32))
+    # Direct flat-index upload (int32) + bf16 values: explicit ratings are
+    # exact in bf16.  A CSR re-encode would save ~19MB of transfer but
+    # costs ~0.8s of single-core host sorting — a net loss; the flat index
+    # is one vectorized multiply-add.
+    flat_h = np.asarray(rows, np.int64) * n_pad + np.asarray(cols, np.int64)
+    flat_h = flat_h.astype(np.int32)  # guarded by the caller's size gate
+    flat = jnp.asarray(flat_h)
+    vals_dev = jnp.asarray(np.asarray(vals_raw, jnp.bfloat16))
+    w_dev = (jnp.asarray(np.asarray(weights, np.float32)) if weighted
+             else jnp.zeros(0, jnp.float32))
     X, W, XT, WT, cnt_A, cnt_B = _setup(
         flat, vals_dev, w_dev, m_pad, n_pad, weighted
     )

@@ -206,7 +206,7 @@ def fit_explicit_dense_pallas(
     k, lam6, niter, max_cg_steps, finalize_chol, finalize_steps,
     user_bias, item_bias, glob_mean,
     scale_lam, scale_bias_const, biasA0, biasB0,
-    dtype, seed, verbose, interpret=False, mesh=None,
+    dtype, seed, verbose, interpret=False, mesh=None, init=None,
 ) -> dict:
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)  # bs_m streams m (B half-step)
@@ -259,6 +259,17 @@ def fit_explicit_dense_pallas(
         bA_dev, bB_dev = jnp.asarray(bA0), jnp.asarray(bB0)
     A = _init_factors(k1, live_A, bA_dev, (m_pad, Kp), k, user_bias)
     B = _init_factors(k2, live_B, bB_dev, (n_pad, Kp), k, item_bias)
+    if init is not None:
+        # warm restart (the reference's reset_values=False,
+        # /root/reference/src/cmfrec.h:1858): continue from given factors
+        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
+        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if user_bias and init.get("biasA") is not None:
+            A = A.at[:m, k].set(
+                jnp.asarray(np.asarray(init["biasA"], np.float32)))
+        if item_bias and init.get("biasB") is not None:
+            B = B.at[:n, k].set(
+                jnp.asarray(np.asarray(init["biasB"], np.float32)))
 
     def lam_row_for(lam_f, lam_bias, has_bias, cnt, count_avg):
         v = np.ones(Kp, np.float32)
@@ -460,6 +471,17 @@ def fit_collective_dense_pallas(
         bB_dev = jnp.zeros(n_pad, jnp.float32)
     A = _init_factors(k1, live_A, bA_dev, (m_pad, Kp), k, user_bias)
     B = _init_factors(k2, live_B, bB_dev, (n_pad, Kp), k, item_bias)
+    if init is not None:
+        # warm restart (the reference's reset_values=False,
+        # /root/reference/src/cmfrec.h:1858): continue from given factors
+        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
+        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if user_bias and init.get("biasA") is not None:
+            A = A.at[:m, k].set(
+                jnp.asarray(np.asarray(init["biasA"], np.float32)))
+        if item_bias and init.get("biasB") is not None:
+            B = B.at[:n, k].set(
+                jnp.asarray(np.asarray(init["biasB"], np.float32)))
 
     def lam_row_for(lam_f, lam_bias, has_bias, cnt, count_avg):
         v = np.ones(Kp, np.float32)

@@ -131,6 +131,8 @@ def fit_explicit_als(
     engine: str = "auto",  # "auto" | "sparse" | "dense"
     dense_budget_bytes: Optional[int] = None,
     mesh=None,  # jax.sharding.Mesh for multi-chip DP (dense pallas engine)
+    init=None,  # warm restart: dict(A=, B=[, biasA=, biasB=]) to continue
+    # training from (the reference's reset_values=False)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
@@ -215,6 +217,7 @@ def fit_explicit_als(
                 scale_bias_const=scale_bias_const,
                 biasA0=biasA0, biasB0=biasB0,
                 dtype=dtype, seed=seed, verbose=verbose, mesh=mesh,
+                init=init,
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,
@@ -242,6 +245,15 @@ def fit_explicit_als(
         A_blocks = _set_bias_coord(A_blocks, RB, biasA0, k, dtype)
     if item_bias:
         B_blocks = _set_bias_coord(B_blocks, CB, biasB0, k, dtype)
+    if init is not None:
+        A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
+        B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
+        if user_bias and init.get("biasA") is not None:
+            A_blocks = _set_bias_coord(A_blocks, RB,
+                                       np.asarray(init["biasA"]), k, dtype)
+        if item_bias and init.get("biasB") is not None:
+            B_blocks = _set_bias_coord(B_blocks, CB,
+                                       np.asarray(init["biasB"]), k, dtype)
 
     lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], lam6[0], user_bias, dtype)
     lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], lam6[1], item_bias, dtype)
@@ -377,6 +389,18 @@ def _explicit_sparse_iteration(
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
     )
     return A_blocks, B_blocks
+
+
+def _seed_factor_blocks(blocks, bucketed: BucketedRows, M, k, dtype):
+    """Write warm-start factor rows into the bucketed block layout."""
+    M = np.asarray(M, np.float64)
+    out = []
+    ext = np.concatenate([M, np.zeros((1, M.shape[1]))], axis=0)
+    for b, blk in zip(bucketed.buckets, blocks):
+        sl = bucketed.row_of[b.start : b.start + b.n_rows]
+        vals = jnp.asarray(ext[sl, :k].astype(dtype))
+        out.append(blk.at[:, :k].set(vals))
+    return out
 
 
 def _set_bias_coord(blocks, bucketed: BucketedRows, bias_vec, coord, dtype):

@@ -220,3 +220,41 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_warm_restart_continues_from_init(rng):
+    """init= continues training (reset_values=False analog,
+    /root/reference/src/cmfrec.h:1858): a 4+4 iteration split matches a
+    straight 8-iteration fit's quality."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    m, n, kt = 120, 80, 4
+    A0 = rng.normal(size=(m, kt))
+    B0 = rng.normal(size=(n, kt))
+    mask = rng.uniform(size=(m, n)) < 0.4
+    ro, co = np.nonzero(mask)
+    vals = (A0 @ B0.T)[ro, co] + 3.0 + 0.05 * rng.normal(size=ro.size)
+    kw = dict(k=6, lambda_=0.3, user_bias=True, item_bias=True, seed=2,
+              finalize_chol=False)
+
+    full = fit_explicit_als(ro, co, vals, m, n, niter=8, **kw)
+    half = fit_explicit_als(ro, co, vals, m, n, niter=4, **kw)
+    cont = fit_explicit_als(
+        ro, co, vals, m, n, niter=4,
+        init=dict(A=np.asarray(half["A"]), B=np.asarray(half["B"]),
+                  biasA=np.asarray(half["biasA"]),
+                  biasB=np.asarray(half["biasB"])),
+        **kw)
+
+    def rmse(r):
+        p = (r["glob_mean"] + np.asarray(r["biasA"])[ro]
+             + np.asarray(r["biasB"])[co]
+             + np.einsum("ek,ek->e", np.asarray(r["A"])[ro],
+                         np.asarray(r["B"])[co]))
+        return np.sqrt(np.mean((p - vals) ** 2))
+
+    r_full, r_half, r_cont = rmse(full), rmse(half), rmse(cont)
+    assert r_cont < r_half - 1e-4  # continuing makes real progress
+    # 4+4 follows a slightly different CG trajectory than straight-8 (the
+    # CG momentum state resets at the boundary) but lands close
+    assert abs(r_cont - r_full) < 0.3 * r_full

@@ -238,9 +238,9 @@ def test_warm_restart_continues_from_init(rng):
               finalize_chol=False)
 
     full = fit_explicit_als(ro, co, vals, m, n, niter=8, **kw)
-    half = fit_explicit_als(ro, co, vals, m, n, niter=4, **kw)
+    half = fit_explicit_als(ro, co, vals, m, n, niter=1, **kw)
     cont = fit_explicit_als(
-        ro, co, vals, m, n, niter=4,
+        ro, co, vals, m, n, niter=7,
         init=dict(A=np.asarray(half["A"]), B=np.asarray(half["B"]),
                   biasA=np.asarray(half["biasA"]),
                   biasB=np.asarray(half["biasB"])),
@@ -255,6 +255,6 @@ def test_warm_restart_continues_from_init(rng):
 
     r_full, r_half, r_cont = rmse(full), rmse(half), rmse(cont)
     assert r_cont < r_half - 1e-4  # continuing makes real progress
-    # 4+4 follows a slightly different CG trajectory than straight-8 (the
+    # 1+7 follows a slightly different CG trajectory than straight-8 (the
     # CG momentum state resets at the boundary) but lands close
     assert abs(r_cont - r_full) < 0.3 * r_full

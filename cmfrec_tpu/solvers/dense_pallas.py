@@ -112,15 +112,35 @@ def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
     return jnp.where(live[:, None], a, 0.0)
 
 
+def _half_step_na0(X, Be, mb, live_opp, lam_diag):
+    """NA-as-zero (unweighted) half-step: every column participates with
+    value 0 at missing entries, so the Gram is SHARED across rows and the
+    update is one closed-form solve (the reference's optimizeA case 3,
+    /root/reference/src/common.c:3118):
+        (Be_live^T Be_live + diag(lam)) a_r = (X @ Be)_r - mb @ Be_live
+    """
+    hp = jax.lax.Precision.HIGHEST
+    Bl = jnp.where(live_opp[:, None], Be, 0.0)
+    G = (jnp.einsum("sk,sl->kl", Bl, Bl, precision=hp)
+         + jnp.diag(lam_diag))
+    rhs = (jnp.einsum("rs,sk->rk", X.astype(jnp.float32), Bl, precision=hp)
+           - jnp.einsum("s,sk->k", mb, Bl, precision=hp)[None, :])
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs.T, left_side=True, lower=True)
+    out = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                          transpose_a=True)
+    return out.T
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
-                     "n_steps", "compute", "interpret", "mesh"),
+                     "n_steps", "compute", "interpret", "mesh", "na0"),
 )
 def _iteration(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute, interpret,
-    mesh=None,
+    mesh=None, na0=False,
 ):
     """One full ALS iteration: A half-step then B half-step."""
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
@@ -130,16 +150,25 @@ def _iteration(
     mbA = mu * jnp.ones(n_pad, jnp.float32)
     if item_bias:
         mbA = mbA + B[:, k]
-    A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
-                   block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                   interpret=interpret, mesh=mesh)
+    if na0:
+        # lam_row_* is the shared [Kp] diagonal in this mode
+        A2 = _half_step_na0(X, Be, mbA, live_B, lam_row_A)
+        A = jnp.where(live_A[:, None], A2, 0.0)
+    else:
+        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
+                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh)
     Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
     mbB = mu * jnp.ones(m_pad, jnp.float32)
     if user_bias:
         mbB = mbB + A[:, k]
-    B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
-                   block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
-                   interpret=interpret, mesh=mesh)
+    if na0:
+        B2 = _half_step_na0(XT, Ae, mbB, live_A, lam_row_B)
+        B = jnp.where(live_B[:, None], B2, 0.0)
+    else:
+        B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
+                       block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh)
     return A, B
 
 
@@ -177,12 +206,13 @@ def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
-                     "n_steps", "compute", "interpret", "n_iters", "mesh"),
+                     "n_steps", "compute", "interpret", "n_iters", "mesh",
+                     "na0"),
 )
 def _run_iterations(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
-    interpret, mesh=None,
+    interpret, mesh=None, na0=False,
 ):
     """n_iters full ALS iterations in ONE device dispatch (the host<->TPU
     link has per-call latency comparable to a whole iteration)."""
@@ -193,7 +223,7 @@ def _run_iterations(
             A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
             k=k, user_bias=user_bias, item_bias=item_bias, bs_n=bs_n,
             bs_m=bs_m, n_steps=n_steps, compute=compute, interpret=interpret,
-            mesh=mesh,
+            mesh=mesh, na0=na0,
         )
         return (A, B), None
 
@@ -207,6 +237,7 @@ def fit_explicit_dense_pallas(
     user_bias, item_bias, glob_mean,
     scale_lam, scale_bias_const, biasA0, biasB0,
     dtype, seed, verbose, interpret=False, mesh=None, init=None,
+    na_as_zero=False,
 ) -> dict:
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)  # bs_m streams m (B half-step)
@@ -236,8 +267,13 @@ def fit_explicit_dense_pallas(
         rs = NamedSharding(mesh, _P("d"))
         X, W = jax.device_put(X, rs), jax.device_put(W, rs)
         XT, WT = jax.device_put(XT, rs), jax.device_put(WT, rs)
-    live_A = cnt_A > 0
-    live_B = cnt_B > 0
+    if na_as_zero:
+        # every real row/column participates (missing entries are zeros)
+        live_A = jnp.arange(m_pad) < m
+        live_B = jnp.arange(n_pad) < n
+    else:
+        live_A = cnt_A > 0
+        live_B = cnt_B > 0
 
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
@@ -288,11 +324,30 @@ def fit_explicit_dense_pallas(
         tot = float(np.sum(weights)) if weighted else float(len(flat))
         count_avg_A = tot / max(m, 1)
         count_avg_B = tot / max(n, 1)
-    lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_A, count_avg_A)
-    lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B, count_avg_B)
+    if na_as_zero:
+        # shared [Kp] diagonal: under NA-as-zero every row sees the full
+        # column count, so the scaled lambda is row-independent
+        def lam_diag_for(lam_f, lam_bias, has_bias, n_opp, count_avg):
+            v = np.ones(Kp, np.float32)
+            v[:k] = lam_f * (n_opp if scale_lam else 1.0)
+            if has_bias:
+                v[k] = lam_bias * (
+                    count_avg if (scale_lam and scale_bias_const)
+                    else (n_opp if scale_lam else 1.0)
+                )
+            return jnp.asarray(v)
+
+        lam_row_A = lam_diag_for(lam6[2], lam6[0], user_bias, n, count_avg_A)
+        lam_row_B = lam_diag_for(lam6[3], lam6[1], item_bias, m, count_avg_B)
+    else:
+        lam_row_A = lam_row_for(lam6[2], lam6[0], user_bias, cnt_A,
+                                count_avg_A)
+        lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_B,
+                                count_avg_B)
 
     statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
-                   bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh)
+                   bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,
+                   na0=na_as_zero)
     args = (X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu)
 
     try:
@@ -311,13 +366,15 @@ def fit_explicit_dense_pallas(
                 print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
         else:
             # all bulk iterations in one dispatch, the f32 polish in another
-            n_bulk = niter - 1 if finalize_chol else niter
+            # (NA-as-zero solves are exact closed forms — no polish needed)
+            n_bulk = (niter - 1 if finalize_chol and not na_as_zero
+                      else niter)
             if n_bulk > 0:
                 A, B = _run_iterations(
                     A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                     compute="bf16", **statics,
                 )
-            if finalize_chol:
+            if finalize_chol and not na_as_zero:
                 A, B = _iteration(
                     A, B, *args, n_steps=finalize_steps, compute="f32",
                     **statics,

@@ -155,17 +155,20 @@ def fit_explicit_als(
     budget = dense_budget_bytes or int(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
-    if engine == "dense" and (nonneg or np.any(l16 > 0) or NA_as_zero):
+    if engine == "dense" and (nonneg or np.any(l16 > 0)):
         raise ValueError(
-            "engine='dense' does not support nonneg/l1_lambda/NA_as_zero; "
+            "engine='dense' does not support nonneg/l1_lambda; "
             "use engine='auto' or 'sparse'"
         )
+    # unweighted NA-as-zero has a shared-Gram closed form on the dense
+    # engine (optimizeA case 3); weighted NA-as-zero stays bucketed
+    na0_dense = NA_as_zero and weights is None
     use_dense = engine == "dense" or (
         engine == "auto"
-        and use_cg
+        and (use_cg or na0_dense)
         and not nonneg
         and not np.any(l16 > 0)
-        and not NA_as_zero
+        and (not NA_as_zero or na0_dense)
         and estimate_dense_bytes(m, n, np.dtype(dtype).itemsize) <= budget
     )
     # The fused-kernel engine is the TPU fast path; the XLA einsum
@@ -189,6 +192,13 @@ def fit_explicit_als(
             use_pallas = False
             if engine != "dense":
                 use_dense = False  # padded form doesn't fit: go sparse
+    if NA_as_zero and use_dense and not use_pallas:
+        if engine == "dense":
+            raise ValueError(
+                "engine='dense' NA_as_zero requires the TPU pallas engine "
+                "(unweighted, f32); use engine='auto' or 'sparse'"
+            )
+        use_dense = False  # the XLA fallback engine lacks the na0 form
 
     biasA0 = biasB0 = None
     if (user_bias or item_bias) and not use_pallas:
@@ -217,7 +227,7 @@ def fit_explicit_als(
                 scale_bias_const=scale_bias_const,
                 biasA0=biasA0, biasB0=biasB0,
                 dtype=dtype, seed=seed, verbose=verbose, mesh=mesh,
-                init=init,
+                init=init, na_as_zero=NA_as_zero,
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,

@@ -169,3 +169,38 @@ def test_collective_dense_pallas_matches_bucketed(rng):
     eu_p = np.linalg.norm(Uc - np.asarray(res_p["A"]) @ np.asarray(res_p["C"]).T)
     eu_b = np.linalg.norm(Uc - np.asarray(res_b["A"])[:, :k] @ np.asarray(res_b["C"]).T)
     assert abs(eu_p - eu_b) / max(eu_b, 1e-9) < 0.3  # pallas recomputes C post-A-update (fresher)
+
+
+def test_dense_na0_matches_bucketed(rng):
+    """The shared-Gram NA-as-zero closed form (interpret mode) matches the
+    bucketed engine's na0 coefficient path."""
+    from cmfrec_tpu.solvers.dense_pallas import fit_explicit_dense_pallas
+    from cmfrec_tpu.solvers import drivers
+
+    m, n, k = 72, 48, 4
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.4
+    ro, co = np.nonzero(mask)
+    vals = (A0 @ B0.T)[ro, co] + 0.05 * rng.normal(size=ro.size)
+    common = dict(k=k, lambda_=0.4, niter=30, NA_as_zero=True,
+                  user_bias=True, item_bias=True, center=True, seed=3)
+    rb = drivers.fit_explicit_als(ro, co, vals, m, n, engine="sparse",
+                                  use_cg=False, **common)
+    mu = rb["glob_mean"]
+    rp = fit_explicit_dense_pallas(
+        ro, co, vals, m, n, weights=None, k=k, lam6=np.full(6, 0.4),
+        niter=30, max_cg_steps=3, finalize_chol=False, finalize_steps=10,
+        user_bias=True, item_bias=True, glob_mean=mu, scale_lam=False,
+        scale_bias_const=False, biasA0=None, biasB0=None,
+        dtype=np.float32, seed=3, verbose=False, interpret=True,
+        na_as_zero=True,
+    )
+    # compare full predicted matrices (na0 defines them everywhere)
+    P_b = (mu + np.asarray(rb["biasA"])[:, None]
+           + np.asarray(rb["biasB"])[None, :]
+           + np.asarray(rb["A"]) @ np.asarray(rb["B"]).T)
+    P_p = (mu + np.asarray(rp["biasA"])[:, None]
+           + np.asarray(rp["biasB"])[None, :]
+           + np.asarray(rp["A"]) @ np.asarray(rp["B"]).T)
+    np.testing.assert_allclose(P_p, P_b, rtol=0, atol=5e-2)

@@ -481,7 +481,7 @@ def fit_collective_dense_pallas(
     finalize_steps, user_bias, item_bias, glob_mean, scale_lam,
     scale_lam_sideinfo=False,
     scale_bias_const=False, dtype=np.float32, seed=1, verbose=False,
-    interpret=False, mesh=None,
+    interpret=False, mesh=None, init=None,
 ) -> dict:
     """Collective explicit ALS with fully-dense side info on the fused
     masked-kernel engine (k_user = k_item = k_main = 0).  Solves the same

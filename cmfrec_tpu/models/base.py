@@ -229,8 +229,9 @@ class _BaseModel:
         else:
             codes = ids.astype(np.int64)
             if allow_missing:
-                limit = (self.A_ if kind == "user" else self.B_).shape[0]
-                codes = np.where((codes < 0) | (codes >= limit), -1, codes)
+                mat = self._xA if kind == "user" else self._xB
+                codes = np.where((codes < 0) | (codes >= mat.shape[0]), -1,
+                                 codes)
         return (codes[0] if scalar else codes), scalar
 
     def _unmap_items(self, idx):

@@ -176,3 +176,46 @@ def test_lbfgs_objective_matches_numpy(rng):
     gA += (A @ C.T - Uc) @ C
     gA += 0.5 * A  # lambda * A
     assert np.abs(gA).max() < 5e-2
+
+
+def test_collective_block_closed_form_with_splits(rng):
+    """Per-row collective system with k_user/k_item/k_main splits vs a
+    direct NumPy build of the extended Be = [[0,Bs,Bm],[Cu,Cs,0]] system
+    (/root/reference/src/collective.c:179-214, 1223).  Exercises the
+    coordinate-aligned parts assembly end-to-end through a fitted model's
+    warm path."""
+    m, n, p = 50, 30, 6
+    k, ku, ki, km = 3, 2, 1, 2
+    A0 = rng.normal(size=(m, 4))
+    B0 = rng.normal(size=(n, 4))
+    U = A0 @ rng.normal(size=(4, p))
+    mask = rng.uniform(size=(m, n)) < 0.6
+    ro, co = np.nonzero(mask)
+    vals = (A0 @ B0.T)[ro, co] + 3.0 + 0.05 * rng.normal(size=ro.size)
+    model = CMF(k=k, k_user=ku, k_item=ki, k_main=km, lambda_=0.5,
+                w_main=0.8, w_user=0.6, niter=6, center_U=False,
+                use_float=False).fit_triplets(ro, co, vals, m, n, U=U)
+
+    # new user: X row over a subset + full side info
+    obs = np.arange(0, n, 3)
+    x = 3.0 + rng.normal(size=obs.size)
+    u = rng.normal(size=p)
+    a, bias = model.factors_warm(X_col=obs, X_val=x, U=u, return_bias=True)
+
+    # direct NumPy: coordinates [ku | k | km | bias]
+    width = ku + k + km
+    B = np.asarray(model.B_, np.float64)   # [n, ki+k+km]
+    C = np.asarray(model.C_, np.float64)   # [p, ku+k]
+    Be = np.zeros((obs.size, width + 1))
+    Be[:, ku:width] = B[obs][:, ki:]       # B's shared+main coords
+    Be[:, width] = 1.0                     # bias column
+    Ce = np.zeros((p, width + 1))
+    Ce[:, : ku + k] = C
+    lam = np.full(width + 1, 0.5)
+    w_m, w_u = 0.8, 0.6
+    tgt_x = x - model.glob_mean_ - np.asarray(model.item_bias_)[obs]
+    G = (w_m * Be.T @ Be + w_u * Ce.T @ Ce + np.diag(lam))
+    rhs = w_m * Be.T @ tgt_x + w_u * Ce.T @ u
+    ref = np.linalg.solve(G, rhs)
+    got = np.concatenate([np.asarray(a), [bias]])
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)

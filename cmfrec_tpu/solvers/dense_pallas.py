@@ -601,3 +601,151 @@ def fit_collective_dense_pallas(
         "glob_mean": float(glob_mean),
         "k": k,
     }
+
+
+# --------------------------------------------------------------------- #
+# implicit WRMF on the fused dense engine                                #
+# --------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("m_pad", "n_pad"))
+def _setup_implicit(flat_idx, av, m_pad, n_pad):
+    """Scatter confidence terms: Wx = alpha*x (Gram coefficients), Xp =
+    1 + alpha*x (rhs coefficients), mask — both orientations."""
+    Wx = (jnp.zeros(m_pad * n_pad, jnp.bfloat16)
+          .at[flat_idx].set(av.astype(jnp.bfloat16)).reshape(m_pad, n_pad))
+    Xp = (jnp.zeros(m_pad * n_pad, jnp.bfloat16)
+          .at[flat_idx].set((1.0 + av).astype(jnp.bfloat16))
+          .reshape(m_pad, n_pad))
+    M = (jnp.zeros(m_pad * n_pad, jnp.int8)
+         .at[flat_idx].set(1).reshape(m_pad, n_pad))
+    cnt_A = jnp.sum(M, axis=1, dtype=jnp.float32)
+    cnt_B = jnp.sum(M, axis=0, dtype=jnp.float32)
+    return Wx, Xp, M, Wx.T, Xp.T, M.T, cnt_A, cnt_B
+
+
+def _half_step_implicit(P, Wx, Xp, M, Be, live, live_opp, lam_vec, w_mult,
+                        *, block_s, n_steps, compute_dtype, interpret, mesh):
+    """WRMF half-step: (w(B^T B + sum_obs alpha*x bb^T) + lam) a =
+    w * sum_obs (1+alpha*x) b  (/root/reference/src/common.c:1914)."""
+    hp = jax.lax.Precision.HIGHEST
+    Bl = jnp.where(live_opp[:, None], Be, 0.0)
+    Bek = Bl.astype(compute_dtype)
+    G0 = jnp.einsum("sk,sl->kl", Bl, Bl, precision=hp)
+    zero_mb = jnp.zeros(Bl.shape[0], jnp.float32)
+    rhs = w_mult * masked_rhs(Xp, M, zero_mb, Bek, block_s=block_s,
+                              interpret=interpret, mesh=mesh)
+
+    def matvec(v):
+        mv = masked_gram_matvec(v.astype(compute_dtype), Bek, Wx,
+                                block_s=block_s, interpret=interpret,
+                                mesh=mesh)
+        mv = mv + jnp.einsum("km,rm->rk", G0, v, precision=hp)
+        return w_mult * mv + v * lam_vec[None, :]
+
+    a = _cg(P, rhs, matvec, n_steps)
+    return jnp.where(live[:, None], a, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "bs_n", "bs_m", "n_steps", "compute", "interpret",
+                     "mesh", "n_iters"),
+)
+def _run_implicit_iterations(
+    A, B, Wx, Xp, M, WxT, XpT, MT, lam_vec_A, lam_vec_B, live_A, live_B,
+    w_mult,
+    *, n_iters, k, bs_n, bs_m, n_steps, compute, interpret, mesh=None,
+):
+    cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+
+    def body(carry, _):
+        A, B = carry
+        A = _half_step_implicit(
+            A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, w_mult,
+            block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
+            interpret=interpret, mesh=mesh)
+        B = _half_step_implicit(
+            B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B, w_mult,
+            block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+            interpret=interpret, mesh=mesh)
+        return (A, B), None
+
+    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
+    return A, B
+
+
+def fit_implicit_dense_pallas(
+    rows, cols, vals, m, n, *, k, lam6, niter, max_cg_steps, finalize_steps,
+    finalize_chol, alpha, w_main_multiplier, dtype, seed, verbose,
+    interpret=False, mesh=None, init=None,
+) -> dict:
+    """WRMF on the fused masked kernels (dense confidence form); same
+    systems as the bucketed implicit path (optimizeA_implicit,
+    /root/reference/src/common.c:3305)."""
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    m_pad, bs_m = pad_dim(m, row_mult=n_dev)
+    n_pad, bs_n = pad_dim(n, row_mult=n_dev)
+    Kp = max(_round_up(k, 64), 64)
+
+    flat_h = (np.asarray(rows, np.int64) * n_pad
+              + np.asarray(cols, np.int64)).astype(np.int32)
+    av = jnp.asarray((alpha * np.asarray(vals, np.float64))
+                     .astype(jnp.bfloat16))
+    Wx, Xp, M, WxT, XpT, MT, cnt_A, cnt_B = _setup_implicit(
+        jnp.asarray(flat_h), av, m_pad, n_pad)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        rs = NamedSharding(mesh, _P("d"))
+        Wx, Xp, M = (jax.device_put(x, rs) for x in (Wx, Xp, M))
+        WxT, XpT, MT = (jax.device_put(x, rs) for x in (WxT, XpT, MT))
+    live_A = cnt_A > 0
+    live_B = cnt_B > 0
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    zeros_m = jnp.zeros(m_pad, jnp.float32)
+    zeros_n = jnp.zeros(n_pad, jnp.float32)
+    A = _init_factors(k1, live_A, zeros_m, (m_pad, Kp), k, False)
+    B = _init_factors(k2, live_B, zeros_n, (n_pad, Kp), k, False)
+    if init is not None:
+        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
+        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+
+    def lam_vec_for(lam_f):
+        v = np.ones(Kp, np.float32)
+        v[:k] = lam_f
+        return jnp.asarray(v)
+
+    lam_vec_A = lam_vec_for(lam6[2])
+    lam_vec_B = lam_vec_for(lam6[3])
+    w_mult = jnp.float32(w_main_multiplier)
+
+    statics = dict(k=k, bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh)
+    args = (Wx, Xp, M, WxT, XpT, MT, lam_vec_A, lam_vec_B, live_A, live_B,
+            w_mult)
+    try:
+        n_bulk = niter - 1 if finalize_chol else niter
+        if n_bulk > 0:
+            A, B = _run_implicit_iterations(
+                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+                compute="bf16", **statics)
+        if finalize_chol:
+            A, B = _run_implicit_iterations(
+                A, B, *args, n_iters=1, n_steps=finalize_steps,
+                compute="f32", **statics)
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
+
+    dtype = jnp.dtype(dtype)
+    return {
+        "A": A[:m, :k].astype(dtype),
+        "B": B[:n, :k].astype(dtype),
+        "biasA": None,
+        "biasB": None,
+        "glob_mean": 0.0,
+        "k": k,
+        "w_main_multiplier": float(w_main_multiplier),
+        "alpha": alpha,
+    }

@@ -458,6 +458,7 @@ def fit_implicit_als(
     dtype=np.float32,
     seed: int = 1,
     verbose: bool = False,
+    init=None,  # warm restart: dict(A=, B=)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
@@ -473,6 +474,35 @@ def fit_implicit_als(
     if adjust_weight:
         w_main = len(vals) / (float(m) * float(n))
 
+    # Fused dense-confidence engine when the padded [m, n] form fits HBM
+    # (Wx/Xp bf16 + int8 mask, both orientations = 10 bytes/padded entry).
+    if (jax.default_backend() == "tpu"
+            and np.dtype(dtype) == np.float32
+            and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
+            and use_cg and not nonneg and not np.any(l16 > 0)):
+        from ..ops.masked_matmul import pad_dim
+
+        m_pad = pad_dim(m)[0]
+        n_pad = pad_dim(n)[0]
+        budget = int(
+            float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5"))
+            * (1 << 30)
+        )
+        if (m_pad * n_pad < np.iinfo(np.int32).max
+                and m_pad * n_pad * 10 <= budget):
+            from .dense_pallas import fit_implicit_dense_pallas
+
+            return fit_implicit_dense_pallas(
+                rows, cols, vals, m, n, k=k, lam6=lam6, niter=niter,
+                max_cg_steps=max_cg_steps,
+                finalize_steps=int(
+                    os.environ.get("CMFREC_TPU_FINALIZE_STEPS", "16")
+                ),
+                finalize_chol=finalize_chol, alpha=alpha,
+                w_main_multiplier=w_main, dtype=dtype, seed=seed,
+                verbose=verbose, init=init,
+            )
+
     RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype)
     RB.device_put()
     CB.device_put()
@@ -483,6 +513,9 @@ def fit_implicit_als(
     key = jax.random.PRNGKey(seed)
     key, A_blocks = init_blocks(key, RB, k, k_pad, dtype)
     key, B_blocks = init_blocks(key, CB, k, k_pad, dtype)
+    if init is not None:
+        A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
+        B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
 
     lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], 0.0, False, dtype)
     lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], 0.0, False, dtype)

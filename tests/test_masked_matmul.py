@@ -204,3 +204,40 @@ def test_dense_na0_matches_bucketed(rng):
            + np.asarray(rp["biasB"])[None, :]
            + np.asarray(rp["A"]) @ np.asarray(rp["B"]).T)
     np.testing.assert_allclose(P_p, P_b, rtol=0, atol=5e-2)
+
+
+def test_dense_implicit_matches_bucketed(rng):
+    """The fused dense WRMF engine solves the same per-row systems as the
+    bucketed implicit path: from a COMMON init, one exact iteration of each
+    engine must agree (WRMF is init-sensitive, so free-running fits are not
+    comparable — seed-to-seed variation alone is ~0.4)."""
+    from cmfrec_tpu.solvers.dense_pallas import fit_implicit_dense_pallas
+    from cmfrec_tpu.solvers import drivers
+
+    m, n, k = 72, 48, 4
+    rows = rng.integers(0, m, 900)
+    cols = rng.integers(0, n, 900)
+    pairs = np.unique(rows * n + cols)  # the dense scatter dedupes; match it
+    rows, cols = pairs // n, pairs % n
+    # alpha*x and 1+alpha*x exactly representable in bf16 (the engine's
+    # storage dtype): alpha=0.5, small integer play counts
+    vals = rng.integers(1, 17, rows.size).astype(np.float64)
+    A0 = 0.3 * rng.normal(size=(m, k)).astype(np.float32)
+    B0 = 0.3 * rng.normal(size=(n, k)).astype(np.float32)
+    init = dict(A=A0, B=B0)
+    w_mult = rows.size / (m * n)
+    # bucketed: one exact (Cholesky) iteration from the common init
+    rb = drivers.fit_implicit_als(rows, cols, vals, m, n, k=k, lambda_=2.0,
+                                  alpha=0.5, niter=1, use_cg=False,
+                                  adjust_weight=True, init=init)
+    # dense: one iteration solved to convergence (30-step CG == exact)
+    rp = fit_implicit_dense_pallas(
+        rows, cols, vals, m, n, k=k, lam6=np.full(6, 2.0), niter=1,
+        max_cg_steps=3, finalize_steps=30, finalize_chol=True, alpha=0.5,
+        w_main_multiplier=w_mult, dtype=np.float32,
+        seed=1, verbose=False, interpret=True, init=init,
+    )
+    np.testing.assert_allclose(np.asarray(rp["A"]), np.asarray(rb["A"]),
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(rp["B"]), np.asarray(rb["B"]),
+                               rtol=0, atol=5e-3)

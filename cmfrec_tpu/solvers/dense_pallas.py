@@ -374,7 +374,7 @@ def fit_explicit_dense_pallas(
                     A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                     compute="bf16", **statics,
                 )
-            if finalize_chol and not na_as_zero:
+            if finalize_chol and not na_as_zero and niter > 0:
                 A, B = _iteration(
                     A, B, *args, n_steps=finalize_steps, compute="f32",
                     **statics,
@@ -582,12 +582,19 @@ def fit_collective_dense_pallas(
             A, B, C, D = _run_collective_iterations(
                 A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                 compute="bf16", **statics)
-        if finalize_chol:
+        if finalize_chol and niter > 0:
             A, B, C, D = _run_collective_iterations(
                 A, B, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)
     except KeyboardInterrupt:
         print("interrupted — returning partially-fit model")
+
+    if C is None and has_U:
+        C = _solve_side_factor(A[:, :k], Ud, jnp.float32(w_user),
+                               jnp.float32(lam6[4]), k)
+    if D is None and has_I:
+        D = _solve_side_factor(B[:, :k], Id, jnp.float32(w_item),
+                               jnp.float32(lam6[5]), k)
 
     dtype = jnp.dtype(dtype)
     return {
@@ -731,7 +738,7 @@ def fit_implicit_dense_pallas(
             A, B = _run_implicit_iterations(
                 A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                 compute="bf16", **statics)
-        if finalize_chol:
+        if finalize_chol and niter > 0:
             A, B = _run_implicit_iterations(
                 A, B, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)

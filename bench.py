@@ -53,6 +53,25 @@ def make_ml10m_shaped(seed=0, m=69878, n=10677, nnz=10_000_054):
     return rows, cols, vals.astype(np.float64)
 
 
+def _cached(maker, path):
+    """Synthetic data is deterministic; cache it across bench runs (the
+    single-core host needs ~30-60s to generate it)."""
+    import os
+
+    try:
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["rows"], z["cols"], z["vals"]
+    except Exception:
+        pass
+    rows, cols, vals = maker()
+    try:
+        np.savez(path, rows=rows, cols=cols, vals=vals)
+    except Exception:
+        pass
+    return rows, cols, vals
+
+
 def main():
     t_setup = time.time()
     from cmfrec_tpu.config import enable_persistent_compilation_cache
@@ -61,7 +80,8 @@ def main():
     from cmfrec_tpu.solvers.drivers import fit_explicit_als
 
     m, n = 69878, 10677
-    rows, cols, vals = make_ml10m_shaped()
+    rows, cols, vals = _cached(make_ml10m_shaped,
+                               "/tmp/cmfrec_bench_ml10m.npz")
     test = np.random.default_rng(1).uniform(size=rows.size) < 0.05
     tr = ~test
     print(f"data ready in {time.time() - t_setup:.1f}s nnz={rows.size}",

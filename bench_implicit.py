@@ -45,8 +45,11 @@ def main():
 
     from cmfrec_tpu.solvers.drivers import fit_implicit_als
 
+    from bench import _cached
+
     m, n = 359347, 160168
-    rows, cols, vals = make_lastfm_shaped()
+    rows, cols, vals = _cached(make_lastfm_shaped,
+                               "/tmp/cmfrec_bench_lastfm.npz")
     print(f"data ready in {time.time() - t_setup:.1f}s nnz={rows.size}",
           file=sys.stderr)
 

@@ -334,3 +334,57 @@ def test_predict_unknown_ids_semantics(ratings_df, rng):
     mi = CMF_implicit(k=5, niter=3, use_float=False).fit(X)
     pi = mi.predict([0, m + 5], [0, 1])
     assert np.isfinite(pi[0]) and np.isnan(pi[1])
+
+
+def test_lambda6_per_matrix_regularization(rng):
+    """Length-6 lambda_ ordered (user_bias, item_bias, A, B, C, D): a huge
+    A-lambda shrinks A but not B (/root/reference/src/cmfrec.h:1858)."""
+    m, n = 60, 40
+    rows = rng.integers(0, m, 700)
+    cols = rng.integers(0, n, 700)
+    vals = rng.normal(size=700) + 3
+    lam_small = CMF(k=4, lambda_=[0.5, 0.5, 0.5, 0.5, 0.5, 0.5], niter=6,
+                    use_float=False).fit_triplets(rows, cols, vals, m, n)
+    lam_bigA = CMF(k=4, lambda_=[0.5, 0.5, 500.0, 0.5, 0.5, 0.5], niter=6,
+                   use_float=False).fit_triplets(rows, cols, vals, m, n)
+    normA_small = np.linalg.norm(np.asarray(lam_small.A_))
+    normA_big = np.linalg.norm(np.asarray(lam_bigA.A_))
+    assert normA_big < 0.05 * normA_small
+    # B is re-solved against the shrunken A, so just check it stays finite
+    assert np.isfinite(np.asarray(lam_bigA.B_)).all()
+
+
+def test_na_as_zero_user_collective(rng):
+    """NA_as_zero_user treats missing side-info entries as zeros — fits and
+    stays finite with sparse U (/root/reference/src/collective.c:303)."""
+    m, n, p = 50, 30, 8
+    rows = rng.integers(0, m, 600)
+    cols = rng.integers(0, n, 600)
+    vals = rng.normal(size=600) + 3
+    U = rng.normal(size=(m, p))
+    U[rng.uniform(size=(m, p)) < 0.6] = np.nan  # sparse side info
+    model = CMF(k=4, lambda_=0.5, niter=5, NA_as_zero_user=True,
+                center_U=False, use_float=False).fit_triplets(
+        rows, cols, vals, m, n, U=U)
+    assert np.isfinite(np.asarray(model.A_)).all()
+    assert np.isfinite(np.asarray(model.C_)).all()
+    p0 = model.predict(0, 0)
+    assert np.isfinite(p0)
+
+
+def test_imputer_in_sklearn_pipeline(rng):
+    """CMF_imputer composes as an sklearn transformer."""
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    from cmfrec_tpu import CMF_imputer
+
+    m, n = 40, 25
+    X = rng.normal(size=(m, n)) + 3
+    X[rng.uniform(size=(m, n)) < 0.4] = np.nan
+    pipe = Pipeline([
+        ("impute", CMF_imputer(k=4, lambda_=0.5, niter=4, use_float=False)),
+        ("scale", StandardScaler()),
+    ])
+    out = pipe.fit_transform(X)
+    assert out.shape == X.shape and np.isfinite(out).all()

@@ -70,8 +70,9 @@ def main():
         if warm > 0.85 * prev:
             break
 
+    # best of 5: the tunnel to the TPU has multi-second contention noise
     elapsed, res = one_fit()
-    for _ in range(2):
+    for _ in range(4):
         e2, r2 = one_fit()
         if e2 < elapsed:
             elapsed, res = e2, r2

@@ -27,8 +27,9 @@ DEFAULT_ROW_BLOCK = 8
 
 # Cap on R*L elements a single gathered [R, L, K] block may have before the
 # data layer splits a bucket into several chunks (bounds peak HBM usage of
-# the gathered opposing-factor slab).
-DEFAULT_MAX_BLOCK_ELEMS = 1 << 21
+# the gathered opposing-factor slab: 2**23 * 56 coords * 2B bf16 ~ 0.9GB).
+# Fewer, larger buckets measured mildly faster on v5e.
+DEFAULT_MAX_BLOCK_ELEMS = 1 << 23
 
 
 def resolve_dtype(use_float: bool | str | np.dtype) -> np.dtype:

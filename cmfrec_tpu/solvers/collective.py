@@ -655,6 +655,51 @@ def fit_collective_implicit_als(
     m_eff = max(m, U.n_ent if U else 0)
     n_eff = max(n, I.n_ent if I else 0)
 
+    # fused dense-confidence fast path (dense side info, no k splits)
+    from .dense_engine import estimate_dense_bytes as _edb
+
+    budget_i = int(
+        float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
+    )
+    use_dense_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
+        and np.dtype(dtype) == np.float32
+        and use_cg
+        and not (nonneg or nonneg_C or nonneg_D)
+        and not np.any(l16 > 0)
+        and not (NA_as_zero_user or NA_as_zero_item)
+        and k_user == 0 and k_item == 0 and k_main == 0
+        and m_eff == m and n_eff == n
+        and (U is None or U.dense is not None)
+        and (I is None or I.dense is not None)
+    )
+    if use_dense_pallas:
+        from ..ops.masked_matmul import pad_dim as _pd
+
+        _mp, _np_ = _pd(m)[0], _pd(n)[0]
+        if (_mp * _np_ >= np.iinfo(np.int32).max
+                or _mp * _np_ * 10 > budget_i):
+            use_dense_pallas = False
+    if use_dense_pallas:
+        from .dense_pallas import fit_collective_implicit_dense_pallas
+
+        res = fit_collective_implicit_dense_pallas(
+            rows, cols, vals, m, n,
+            U_dense=None if U is None else U.dense,
+            I_dense=None if I is None else I.dense,
+            k=k, lam6=lam6, w_user=w_user, w_item=w_item, niter=niter,
+            max_cg_steps=max_cg_steps,
+            finalize_steps=int(os.environ.get("CMFREC_TPU_FINALIZE_STEPS",
+                                              "16")),
+            finalize_chol=finalize_chol, alpha=alpha,
+            w_main_multiplier=w_x, dtype=dtype, seed=seed,
+            verbose=verbose,
+        )
+        res["U_colmeans"] = None if U is None else U.colmeans
+        res["I_colmeans"] = None if I is None else I.colmeans
+        return res
+
     from .drivers import _build_pair
 
     if m_eff == m and n_eff == n:

@@ -756,3 +756,156 @@ def fit_implicit_dense_pallas(
         "w_main_multiplier": float(w_main_multiplier),
         "alpha": alpha,
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "bs_n", "bs_m", "n_steps", "compute", "interpret",
+                     "mesh", "n_iters", "has_U", "has_I"),
+)
+def _run_collective_implicit_iterations(
+    A, B, Wx, Xp, M, WxT, XpT, MT, Ud, Id, lam_vec_A, lam_vec_B,
+    live_A, live_B, w_mult, lamC, lamD, w_user, w_item,
+    *, n_iters, k, bs_n, bs_m, n_steps, compute, interpret, mesh=None,
+    has_U=False, has_I=False,
+):
+    """Collective WRMF iterations on the fused engine: the implicit
+    confidence system plus dense side-info terms (w_u CtC Gram + w_u U@C
+    rhs), C/D solved whole-matrix (optimizeA_collective_implicit,
+    /root/reference/src/collective.c:5971)."""
+    cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    hp = jax.lax.Precision.HIGHEST
+    Kp = A.shape[1]
+
+    def half(P, Wx_, Xp_, M_, Be, live, live_opp, lam_vec, C, Sd, w_side,
+             bs):
+        Bl = jnp.where(live_opp[:, None], Be, 0.0)
+        Bek = Bl.astype(cdt)
+        G0 = jnp.einsum("sk,sl->kl", Bl, Bl, precision=hp) * w_mult
+        R0 = None
+        if C is not None:
+            G0 = G0 + w_side * (
+                jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
+                    jnp.einsum("pk,pl->kl", C, C, precision=hp)))
+            R0 = jnp.zeros((P.shape[0], Kp), jnp.float32).at[:, :k].set(
+                w_side * jnp.einsum("mp,pk->mk", Sd, C, precision=hp))
+        zero_mb = jnp.zeros(Bl.shape[0], jnp.float32)
+        rhs = w_mult * masked_rhs(Xp_, M_, zero_mb, Bek, block_s=bs,
+                                  interpret=interpret, mesh=mesh)
+        if R0 is not None:
+            rhs = rhs + R0
+
+        def matvec(v):
+            mv = w_mult * masked_gram_matvec(
+                v.astype(cdt), Bek, Wx_, block_s=bs, interpret=interpret,
+                mesh=mesh)
+            mv = mv + jnp.einsum("km,rm->rk", G0, v, precision=hp)
+            return mv + v * lam_vec[None, :]
+
+        a = _cg(P, rhs, matvec, n_steps)
+        return jnp.where(live[:, None], a, 0.0)
+
+    def body(carry, _):
+        A, B = carry
+        C = (_solve_side_factor(A[:, :k], Ud, w_user, lamC, k)
+             if has_U else None)
+        D = (_solve_side_factor(B[:, :k], Id, w_item, lamD, k)
+             if has_I else None)
+        A = half(A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, C, Ud,
+                 w_user, bs_n)
+        B = half(B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B, D, Id,
+                 w_item, bs_m)
+        return (A, B), None
+
+    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
+    C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
+    D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
+    return A, B, C, D
+
+
+def fit_collective_implicit_dense_pallas(
+    rows, cols, vals, m, n, *, U_dense, I_dense, k, lam6, w_user, w_item,
+    niter, max_cg_steps, finalize_steps, finalize_chol, alpha,
+    w_main_multiplier, dtype, seed, verbose, interpret=False, mesh=None,
+    init=None,
+) -> dict:
+    """Collective WRMF with fully-dense side info on the fused engine
+    (k_user = k_item = k_main = 0)."""
+    n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+    m_pad, bs_m = pad_dim(m, row_mult=n_dev)
+    n_pad, bs_n = pad_dim(n, row_mult=n_dev)
+    Kp = max(_round_up(k, 64), 64)
+
+    flat_h = (np.asarray(rows, np.int64) * n_pad
+              + np.asarray(cols, np.int64)).astype(np.int32)
+    av = jnp.asarray((alpha * np.asarray(vals, np.float64))
+                     .astype(jnp.bfloat16))
+    Wx, Xp, M, WxT, XpT, MT, cnt_A, cnt_B = _setup_implicit(
+        jnp.asarray(flat_h), av, m_pad, n_pad)
+
+    has_U = U_dense is not None
+    has_I = I_dense is not None
+    Ud = Id = jnp.zeros(0, jnp.float32)
+    if has_U:
+        Ud = jnp.asarray(
+            np.pad(np.asarray(U_dense, np.float32), ((0, m_pad - m), (0, 0))))
+    if has_I:
+        Id = jnp.asarray(
+            np.pad(np.asarray(I_dense, np.float32), ((0, n_pad - n), (0, 0))))
+    real_A = jnp.arange(m_pad) < m
+    real_B = jnp.arange(n_pad) < n
+    live_A = real_A if has_U else (cnt_A > 0)
+    live_B = real_B if has_I else (cnt_B > 0)
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    A = _init_factors(k1, live_A, jnp.zeros(m_pad, jnp.float32), (m_pad, Kp),
+                      k, False)
+    B = _init_factors(k2, live_B, jnp.zeros(n_pad, jnp.float32), (n_pad, Kp),
+                      k, False)
+    if init is not None:
+        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
+        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+
+    def lam_vec_for(lam_f):
+        v = np.ones(Kp, np.float32)
+        v[:k] = lam_f
+        return jnp.asarray(v)
+
+    args = (Wx, Xp, M, WxT, XpT, MT, Ud, Id,
+            lam_vec_for(lam6[2]), lam_vec_for(lam6[3]), live_A, live_B,
+            jnp.float32(w_main_multiplier), jnp.float32(lam6[4]),
+            jnp.float32(lam6[5]), jnp.float32(w_user), jnp.float32(w_item))
+    statics = dict(k=k, bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,
+                   has_U=has_U, has_I=has_I)
+    C = D = None
+    try:
+        n_bulk = niter - 1 if finalize_chol else niter
+        if n_bulk > 0:
+            A, B, C, D = _run_collective_implicit_iterations(
+                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+                compute="bf16", **statics)
+        if finalize_chol and niter > 0:
+            A, B, C, D = _run_collective_implicit_iterations(
+                A, B, *args, n_iters=1, n_steps=finalize_steps,
+                compute="f32", **statics)
+    except KeyboardInterrupt:
+        print("interrupted — returning partially-fit model")
+
+    if C is None and has_U:
+        C = _solve_side_factor(A[:, :k], Ud, jnp.float32(w_user),
+                               jnp.float32(lam6[4]), k)
+    if D is None and has_I:
+        D = _solve_side_factor(B[:, :k], Id, jnp.float32(w_item),
+                               jnp.float32(lam6[5]), k)
+
+    dtype = jnp.dtype(dtype)
+    return {
+        "A": A[:m, :k].astype(dtype),
+        "B": B[:n, :k].astype(dtype),
+        "C": None if C is None else C.astype(dtype),
+        "D": None if D is None else D.astype(dtype),
+        "biasA": None, "biasB": None, "glob_mean": 0.0, "k": k,
+        "w_main_multiplier": float(w_main_multiplier),
+        "alpha": alpha,
+    }

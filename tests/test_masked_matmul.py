@@ -241,3 +241,49 @@ def test_dense_implicit_matches_bucketed(rng):
                                rtol=0, atol=5e-3)
     np.testing.assert_allclose(np.asarray(rp["B"]), np.asarray(rb["B"]),
                                rtol=0, atol=5e-3)
+
+
+def test_dense_collective_implicit_matches_numpy(rng):
+    """Collective WRMF on the fused engine: one exact iteration from a
+    common init matches the direct NumPy normal equations (implicit
+    confidence + w_u CtC side term,
+    /root/reference/src/collective.c:5971)."""
+    from cmfrec_tpu.solvers.dense_pallas import (
+        fit_collective_implicit_dense_pallas,
+    )
+
+    m, n, k, p = 64, 40, 4, 5
+    rows = rng.integers(0, m, 700)
+    cols = rng.integers(0, n, 700)
+    pairs = np.unique(rows * n + cols)
+    rows, cols = pairs // n, pairs % n
+    vals = rng.integers(1, 17, rows.size).astype(np.float64)
+    U = rng.normal(size=(m, p)).astype(np.float32)
+    A0 = 0.3 * rng.normal(size=(m, k)).astype(np.float32)
+    B0 = 0.3 * rng.normal(size=(n, k)).astype(np.float32)
+    alpha, lam, wu = 0.5, 2.0, 0.7
+
+    Bf = B0.astype(np.float64)
+    Uf = U.astype(np.float64)
+    Af = A0.astype(np.float64)
+    C = np.linalg.solve(wu * Af.T @ Af + lam * np.eye(k),
+                        wu * Af.T @ Uf).T
+    G0 = Bf.T @ Bf
+    A_ref = np.zeros((m, k))
+    for r in range(m):
+        sel = rows == r
+        cs, xs = cols[sel], vals[sel]
+        G = (G0 + (Bf[cs].T * (alpha * xs)) @ Bf[cs]
+             + wu * C.T @ C + lam * np.eye(k))
+        rhs = Bf[cs].T @ (1 + alpha * xs) + wu * C.T @ Uf[r]
+        A_ref[r] = np.linalg.solve(G, rhs)
+
+    rp = fit_collective_implicit_dense_pallas(
+        rows, cols, vals, m, n, U_dense=U, I_dense=None,
+        k=k, lam6=np.full(6, lam), w_user=wu, w_item=1.0, niter=1,
+        max_cg_steps=3, finalize_steps=30, finalize_chol=True, alpha=alpha,
+        w_main_multiplier=1.0, dtype=np.float32, seed=1, verbose=False,
+        interpret=True, init=dict(A=A0, B=B0),
+    )
+    np.testing.assert_allclose(np.asarray(rp["A"], np.float64), A_ref,
+                               rtol=0, atol=1e-4)

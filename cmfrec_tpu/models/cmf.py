@@ -389,24 +389,10 @@ class CMF(_BaseModel):
             m_new = np.asarray(U).shape[0] if U is not None else 0
             return (np.zeros((m_new, 0), np.int64), np.zeros((m_new, 0)),
                     None, np.zeros(m_new, np.int64))
+        from ..solvers.warm import pack_padded_rows
+
         rows, cols, vals, wgt, m_new, _ = self._ingest_X(X, W)
-        order = np.argsort(rows, kind="stable")
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        if wgt is not None:
-            wgt = wgt[order]
-        counts = np.bincount(rows, minlength=m_new)
-        L = max(int(counts.max()), 1)
-        idx = np.zeros((m_new, L), np.int64)
-        vv = np.zeros((m_new, L))
-        ww = np.zeros((m_new, L)) if wgt is not None else None
-        pos = np.concatenate([[0], np.cumsum(counts)])
-        for r in range(m_new):
-            s, e = pos[r], pos[r + 1]
-            idx[r, : e - s] = cols[s:e]
-            vv[r, : e - s] = vals[s:e]
-            if ww is not None:
-                ww[r, : e - s] = wgt[s:e]
-        return idx, vv, ww, counts.astype(np.int64)
+        return pack_padded_rows(rows, cols, vals, wgt, m_new)
 
     def predict_warm_multiple(self, X, item, W=None, U=None, U_bin=None):
         """Predict (new user row i, item[i]) for many new users at once

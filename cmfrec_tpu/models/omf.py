@@ -170,6 +170,23 @@ class _OMFBase(_BaseModel):
         idx = idx[np.argsort(-scores[idx])]
         return (idx, scores[idx]) if output_score else idx
 
+    def _pack_dense_rows(self, X, W=None):
+        """Dense [R, n] X with NaN=missing -> padded idx/val/weight blocks."""
+        from ..solvers.warm import pack_padded_rows
+
+        X = np.asarray(X, np.float64)
+        obs = np.isfinite(X)
+        rows, cols = np.nonzero(obs)
+        vals = X[rows, cols]
+        wgt = None if W is None else np.asarray(W, np.float64)[rows, cols]
+        return pack_padded_rows(rows, cols, vals, wgt, X.shape[0])
+
+    def _warm_base_multiple(self, R, U=None):
+        """Attribute-projection base rows for a warm batch (zeros w/o U)."""
+        if U is not None and self.C_ is not None:
+            return self.factors_cold_multiple(U=U)
+        return np.zeros((R, np.asarray(self.Bm_).shape[1]))
+
     def _warm_offset(self, base, cols, vals, lam, implicit=False, alpha=1.0):
         """Free ridge offset on top of the attribute projection."""
         Bm = np.asarray(self.Bm_, np.float64)
@@ -304,35 +321,36 @@ class OMF_explicit(_OMFBase):
                               U_col=U_col, U_val=U_val)
         return self._topN_vec(a, 0.0, n, include, exclude, output_score)
 
+    def factors_warm_multiple(self, X, W=None, U=None):
+        """Warm factors for many new users at once: one batched Cholesky
+        solve on device (/root/reference/cmfrec/__init__.py:6771 loop
+        becomes a single dispatch)."""
+        from ..solvers.warm import offsets_warm_batch
+
+        idx, vv, ww, counts = self._pack_dense_rows(X, W)
+        base = self._warm_base_multiple(idx.shape[0], U=U)
+        return offsets_warm_batch(self, idx, vv, counts, wgt=ww, base=base)
+
     def predict_warm_multiple(self, X, item, W=None, U=None):
         """(new user row i, item[i]) for many users
         (/root/reference/cmfrec/__init__.py:6771)."""
-        X = np.asarray(X, np.float64)
+        a = self.factors_warm_multiple(X, W=W, U=U)
         i, _ = self._map_ids(item, self.item_mapping_, "item")
         i = np.atleast_1d(i)
-        out = np.empty(X.shape[0])
-        for r in range(X.shape[0]):
-            u_r = None if U is None else np.asarray(U, np.float64)[r]
-            out[r] = self.predict_warm([int(i[r])], X=X[r], U=u_r,
-                                       W=None if W is None else W[r])[0]
-        return out
+        p = np.sum(a * np.asarray(self.Bm_)[i], axis=1) + self.glob_mean_
+        if self.item_bias_ is not None:
+            p = p + np.asarray(self.item_bias_)[i]
+        return p
 
     def transform(self, X=None, y=None, U=None, W=None,
                   replace_existing=False):
         """Impute missing X entries for new rows (sklearn-style;
-        /root/reference/cmfrec/__init__.py:7063)."""
+        /root/reference/cmfrec/__init__.py:7063).  Rows with no observed
+        entries fall back to the attribute projection (cold) or zeros."""
         X = np.asarray(X, np.float64)
         Bm = np.asarray(self.Bm_)
-        pred = np.empty_like(X)
-        for r in range(X.shape[0]):
-            u_r = None if U is None else np.asarray(U, np.float64)[r]
-            has_obs = np.isfinite(X[r]).any()
-            a = (self.factors_warm(X=X[r], U=u_r,
-                                   W=None if W is None else W[r])
-                 if has_obs else
-                 (self.factors_cold(U=u_r) if u_r is not None
-                  else np.zeros(Bm.shape[1])))
-            pred[r] = Bm @ a + self.glob_mean_
+        a = self.factors_warm_multiple(X, W=W, U=U)
+        pred = a @ Bm.T + self.glob_mean_
         if self.item_bias_ is not None:
             pred = pred + np.asarray(self.item_bias_)[None, :]
         if replace_existing:
@@ -421,23 +439,30 @@ class OMF_implicit(_OMFBase):
         a = self.factors_warm(X_col, X_val, U=U, U_col=U_col, U_val=U_val)
         return self._topN_vec(a, 0.0, n, include, exclude, output_score)
 
+    def factors_warm_multiple(self, X, U=None):
+        """WRMF warm factors for many new users at once (X sparse [R, n]):
+        one batched confidence-weighted solve on device."""
+        import scipy.sparse as sp
+
+        from ..solvers.warm import offsets_warm_batch, pack_padded_rows
+
+        Xc = sp.coo_matrix(X)
+        vals = np.asarray(Xc.data, np.float64)
+        if self.apply_log_transf:
+            vals = np.log(vals)
+        idx, vv, _, counts = pack_padded_rows(Xc.row, Xc.col, vals, None,
+                                              Xc.shape[0])
+        base = self._warm_base_multiple(idx.shape[0], U=U)
+        return offsets_warm_batch(self, idx, vv, counts, base=base,
+                                  implicit=True, alpha=float(self.alpha))
+
     def predict_warm_multiple(self, X, item, U=None):
         """(new user row i, item[i]) for many users
         (/root/reference/cmfrec/__init__.py:7646).  X is sparse [R, n]."""
-        import scipy.sparse as sp
-
-        Xc = sp.csr_matrix(X)
+        a = self.factors_warm_multiple(X, U=U)
         i, _ = self._map_ids(item, self.item_mapping_, "item")
         i = np.atleast_1d(i)
-        out = np.empty(Xc.shape[0])
-        Bm = np.asarray(self.Bm_)
-        for r in range(Xc.shape[0]):
-            s, e = Xc.indptr[r], Xc.indptr[r + 1]
-            a = self.factors_warm(Xc.indices[s:e], Xc.data[s:e],
-                                  U=None if U is None
-                                  else np.asarray(U, np.float64)[r])
-            out[r] = Bm[int(i[r])] @ a
-        return out
+        return np.sum(a * np.asarray(self.Bm_)[i], axis=1)
 
 
 class ContentBased(_OMFBase):

@@ -71,14 +71,9 @@ def _u_part(model, U, k_pad, dtype):
         U = U - model.U_colmeans_[None, :]
     R, p = U.shape
     obs = ~np.isnan(U)
-    counts = obs.sum(axis=1)
-    L = max(int(counts.max()), 1)
-    idx = np.zeros((R, L), np.int64)
-    vals = np.zeros((R, L))
-    for r in range(R):  # R is small for warm/cold calls
-        js = np.nonzero(obs[r])[0]
-        idx[r, : js.size] = js
-        vals[r, : js.size] = U[r, js]
+    rows, cols = np.nonzero(obs)
+    idx, vals, _, counts = pack_padded_rows(rows, cols, U[rows, cols], None, R)
+    L = idx.shape[1]
     Ce = _ext_C(model, k_pad)
     msk = (np.arange(L)[None, :] < counts[:, None]).astype(np.float64)
     w_user = getattr(model, "w_user", 1.0)
@@ -220,6 +215,86 @@ def factors_implicit_batch(model, idx, vals, lengths):
     a = np.array(a)
     a[np.asarray(lengths) == 0] = 0.0
     return a[:, :width]
+
+
+def pack_padded_rows(rows, cols, vals, wgt, m):
+    """COO triplets -> padded [m, L] idx/val/weight blocks + per-row counts.
+
+    Vectorized equivalent of the reference's per-row CSR slicing for
+    new-data calls (no Python loop over rows)."""
+    rows = np.asarray(rows, np.int64)
+    order = np.argsort(rows, kind="stable")
+    rows = rows[order]
+    cols = np.asarray(cols, np.int64)[order]
+    vals = np.asarray(vals, np.float64)[order]
+    if wgt is not None:
+        wgt = np.asarray(wgt, np.float64)[order]
+    counts = np.bincount(rows, minlength=m).astype(np.int64)
+    L = max(int(counts.max()) if counts.size else 0, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    within = np.arange(rows.size) - starts[rows]
+    idx = np.zeros((m, L), np.int64)
+    vv = np.zeros((m, L))
+    idx[rows, within] = cols
+    vv[rows, within] = vals
+    ww = None
+    if wgt is not None:
+        ww = np.zeros((m, L))
+        ww[rows, within] = wgt
+    return idx, vv, ww, counts
+
+
+def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
+                       implicit=False, alpha=1.0):
+    """Batched free ridge offset on top of the attribute projection
+    (offsets_factors_warm, /root/reference/src/offsets.c:578): solve
+    (sum_j c_j Bm_j Bm_j^T [+ BtB] + lam I) delta = residual terms, and
+    return base + delta, one Cholesky batch for all R rows at once.
+    """
+    dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
+    Bm = np.asarray(model.Bm_, np.float64)
+    n, kk = Bm.shape
+    k_pad = round_up(kk, 8)
+    ext = np.zeros((n, k_pad))
+    ext[:, :kk] = Bm
+    lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
+    lam = float(lam6[2])
+    idx = np.asarray(idx, np.int64)
+    R, L = idx.shape
+    msk = (np.arange(max(L, 1))[None, :]
+           < np.asarray(lengths)[:, None]).astype(np.float64)
+    if base is None:
+        base = np.zeros((R, kk))
+    base = np.asarray(base, np.float64)
+    basep = np.zeros((R, k_pad))
+    basep[:, :kk] = base
+    v = np.asarray(vals, np.float64)
+    dot = np.einsum("rlk,rk->rl", ext[idx], basep)
+    G0 = r0 = None
+    if implicit:
+        av = alpha * v
+        cw = av * msk
+        cv = ((1.0 + av) - av * dot) * msk
+        BtB = ext.T @ ext
+        G0 = jnp.asarray(BtB, dtype)
+        r0 = jnp.asarray(-(basep @ BtB), dtype)
+    else:
+        vv = v - model.glob_mean_
+        if model.item_bias_ is not None and L > 0:
+            vv = vv - np.asarray(model.item_bias_)[idx]
+        ww = np.ones((R, L)) if wgt is None else np.asarray(wgt, np.float64)
+        cw = ww * msk
+        cv = cw * (vv - dot)
+    lam_vec = np.full(k_pad, lam)
+    lam_vec[kk:] = 1.0
+    part = SparsePart(
+        jnp.asarray(ext, dtype), jnp.asarray(idx),
+        jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
+    )
+    G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype),
+                                      G0=G0, r0=r0)
+    delta = np.asarray(rowsolve.solve_chol(G, rhs))
+    return base + delta[:, :kk]
 
 
 def factors_cold_implicit(model, U):

@@ -110,6 +110,49 @@ class TestOMF:
         corr = np.corrcoef(s[cols[sel]], vals[sel])[0, 1]
         assert corr > 0.6
 
+    def test_omf_warm_multiple_matches_single(self, small_problem):
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=4, lambda_=0.5, method="als", niter=8,
+                             use_float=False).fit(Xd, U=U, I=I)
+        A_batch = model.factors_warm_multiple(Xd[:6], U=U[:6])
+        for r in range(6):
+            a_one = model.factors_warm(X=Xd[r], U=U[r])
+            np.testing.assert_allclose(A_batch[r], a_one, rtol=1e-5,
+                                       atol=1e-7)
+        # batched predict agrees with batched factors
+        items = np.arange(6) % Xd.shape[1]
+        p = model.predict_warm_multiple(Xd[:6], items, U=U[:6])
+        expect = (np.sum(A_batch * np.asarray(model.Bm_)[items], axis=1)
+                  + model.glob_mean_ + np.asarray(model.item_bias_)[items])
+        np.testing.assert_allclose(p, expect, rtol=1e-6)
+        # transform keeps observed entries and fills the rest
+        out = model.transform(Xd[:6], U=U[:6])
+        obs = np.isfinite(Xd[:6])
+        np.testing.assert_allclose(out[obs], Xd[:6][obs])
+        assert np.isfinite(out).all()
+
+    def test_omf_implicit_warm_multiple_matches_single(self, rng):
+        import scipy.sparse as sp
+
+        m, n = 50, 30
+        A = rng.normal(size=(m, 3))
+        B = rng.normal(size=(n, 3))
+        mask = rng.uniform(size=(m, n)) < 1 / (1 + np.exp(-(A @ B.T)))
+        rows, cols = np.nonzero(mask)
+        vals = rng.integers(1, 6, rows.size).astype(float)
+        U = A @ rng.normal(size=(3, 6))
+        Xs = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+        model = OMF_implicit(k=4, lambda_=1.0, niter=6,
+                             use_float=False).fit(Xs, U=U)
+        Xnew = sp.csr_matrix(Xs)[:5]
+        A_batch = model.factors_warm_multiple(Xnew, U=U[:5])
+        for r in range(5):
+            s, e = Xnew.indptr[r], Xnew.indptr[r + 1]
+            a_one = model.factors_warm(Xnew.indices[s:e], Xnew.data[s:e],
+                                       U=U[r])
+            np.testing.assert_allclose(A_batch[r], a_one, rtol=1e-5,
+                                       atol=1e-7)
+
     def test_omf_implicit(self, rng):
         m, n = 50, 30
         A = rng.normal(size=(m, 3))

@@ -40,6 +40,7 @@ from .als import (
     PartData,
     SidePlan,
     blocks_to_orig,
+    bucket_arrays,
     gram_matrix,
     init_blocks,
     update_side,
@@ -386,26 +387,25 @@ def fit_collective_explicit_als(
     l1_vec_C = _make_l1_vec(kc, kc_pad, l16[4], 0.0, False, dtype)
     l1_vec_D = _make_l1_vec(kd, kd_pad, l16[5], 0.0, False, dtype)
 
-    plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
-    plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
-
-    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m_eff)
-    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n_eff)
+    plan_A = SidePlan(None, "na0" if NA_as_zero else "explicit", n)
+    plan_B = SidePlan(None, "na0" if NA_as_zero else "explicit", m)
 
     def factor_update(
-        main_blocks, plan, opp_main, opp_bias, lam_vec, l1_vec, method,
-        S: Optional[PreparedSide], S_featb, S_aligned, S_dense_slices,
+        main_blocks, plan, main_data, opp_main, opp_bias, lam_vec, l1_vec,
+        method, S: Optional[PreparedSide], S_aligned, S_dense_slices,
         C_mat, kx, kx_pad_side, w_side, Xones_opp, side_is_user,
         mu_main, G0_extra=None,
     ):
         """One A- or B-style update with optional side-info and implicit
-        feature parts."""
+        feature parts.  main_data carries the bucket arrays explicitly so
+        the whole update can run under an outer jit without embedding the
+        sparse data as constants."""
         k_off = k_user if side_is_user else k_item
         G0 = None
         r0_vec = None
         r0_blocks = None
         extra = None
-        n_buckets = len(plan.bucketed.buckets)
+        n_buckets = len(main_data)
 
         main_na0 = plan.mode == "na0"
         if main_na0:
@@ -460,9 +460,9 @@ def fit_collective_explicit_als(
             G0 = Gi if G0 is None else G0 + Gi
             if extra is None:
                 extra = [[] for _ in range(n_buckets)]
-            for bi, b in enumerate(plan.bucketed.buckets):
+            for bi, (b_idx, b_val, b_len, _bw) in enumerate(main_data):
                 pd = PartData(
-                    idx=b.idx, val=jnp.ones_like(b.val), length=b.length,
+                    idx=b_idx, val=jnp.ones_like(b_val), length=b_len,
                     wgt=None, opp=Bi_e, opp_bias=None,
                     w=jnp.asarray(w_implicit, dtype), alpha=None,
                     mu=jnp.asarray(0.0, dtype),
@@ -471,6 +471,7 @@ def fit_collective_explicit_als(
 
         return update_side(
             plan, main_blocks, opp_main, opp_bias, lam_vec,
+            buckets_data=main_data,
             w=w_main, mu=mu_main if main_na0 else None,
             G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks, extra_parts=extra,
             l1_vec=l1_vec, method=method, n_steps=max_cg_steps,
@@ -479,10 +480,10 @@ def fit_collective_explicit_als(
             precondition=precondition_cg, dtype=dtype,
         )
 
-    def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
+    def side_factor_update(S, featb_data, blocks, A1, lam_vec, l1_s, w_side,
                            nonneg_s, method, mean_slices):
         """Update C (or D): rows = side-info features, opp = A[:, :k_off+k]."""
-        plan = SidePlan(featb, "na0" if S.na0 else "explicit", S.n_ent)
+        plan = SidePlan(None, "na0" if S.na0 else "explicit", S.n_ent)
         G0 = None
         r0_blocks = None
         if S.na0:
@@ -495,6 +496,7 @@ def fit_collective_explicit_als(
                 ]
         return update_side(
             plan, blocks, A1, None, lam_vec,
+            buckets_data=featb_data,
             w=w_side, G0=G0, r0_blocks=r0_blocks,
             l1_vec=l1_s, method=method, n_steps=max_cg_steps,
             nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=False,
@@ -503,63 +505,86 @@ def fit_collective_explicit_als(
 
     perm_A = jnp.asarray(RB.perm)
     perm_B = jnp.asarray(CB.perm)
+    perm_U = (None if (U is None or U.dense is not None)
+              else jnp.asarray(U_featb.perm))
+    perm_I = (None if (I is None or I.dense is not None)
+              else jnp.asarray(I_featb.perm))
 
-    try:
-      for it in range(niter):
-        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
-        t0 = time.time()
+    dataA = bucket_arrays(RB)
+    dataB = bucket_arrays(CB)
+    dataU = None if U_featb is None else bucket_arrays(U_featb)
+    dataI = None if I_featb is None else bucket_arrays(I_featb)
+    U_dense_arr = None if (U is None or U.dense is None) else jnp.asarray(U.dense)
+    I_dense_arr = None if (I is None or I.dense is None) else jnp.asarray(I.dense)
+
+    def _one_iteration(method, state, dat):
+        """One full collective iteration (C, D, Bi/Ai, B, A updates), a pure
+        function of (state, dat) so the whole thing can run under ONE jit:
+        on TPU this collapses the ~6 x n_buckets per-bucket dispatches into
+        a single device call per iteration (per-dispatch latency ~50-65 ms
+        on the axon tunnel dominates bucketed updates otherwise)."""
+        (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
+         Ai_blocks, Bi_blocks) = state
+        (dA, dB, dU, dI, U_al, I_al, U_ds, I_ds, U_dn, I_dn,
+         U_ms, I_ms, pA, pB, pU, pI) = dat
+
+        A_orig = blocks_to_orig(A_blocks, pA, m_eff)
+        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
+        Ai_orig = Bi_orig = None
 
         # ---- C update ----
         if U is not None:
             A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
-            if U.dense is not None:
+            if U_dn is not None:
                 C_orig = _dense_full_solve(
-                    A1, jnp.asarray(U.dense), lam_vec_C, w_user, nonneg_C,
+                    A1, U_dn, lam_vec_C, w_user, nonneg_C,
                     l1_vec_C, max_cd_steps, dtype,
                 )
             else:
                 C_blocks = side_factor_update(
-                    U, U_featb, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
-                    nonneg_C, method, U_mean_slices,
+                    U, dU, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
+                    nonneg_C, method, U_ms,
                 )
-                C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+                C_orig = blocks_to_orig(C_blocks, pU, U.p)
 
         # ---- D update ----
         if I is not None:
             B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
-            if I.dense is not None:
+            if I_dn is not None:
                 D_orig = _dense_full_solve(
-                    B1, jnp.asarray(I.dense), lam_vec_D, w_item, nonneg_D,
+                    B1, I_dn, lam_vec_D, w_item, nonneg_D,
                     l1_vec_D, max_cd_steps, dtype,
                 )
             else:
                 D_blocks = side_factor_update(
-                    I, I_featb, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
-                    nonneg_D, method, I_mean_slices,
+                    I, dI, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
+                    nonneg_D, method, I_ms,
                 )
-                D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+                D_orig = blocks_to_orig(D_blocks, pI, I.p)
 
         # ---- Bi / Ai updates (implicit features) ----
         if add_implicit_features:
             A_x = _pad_cols(A_orig[:, k_user : k_user + ki_w], ki_pad, 0, dtype)
-            plan_bi = SidePlan(CB, "na0", m)
+            plan_bi = SidePlan(None, "na0", m)
             Bi_blocks = update_side(
                 plan_bi, Bi_blocks, A_x, None, lam_vec_Bi,
+                buckets_data=dB,
                 G0=gram_matrix(A_x), ones_val=True,
                 method=method, n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
             )
-            Bi_orig = blocks_to_orig(Bi_blocks, perm_B, n_eff)
+            Bi_orig = blocks_to_orig(Bi_blocks, pB, n_eff)
 
             B_x = _pad_cols(B_orig[:, k_item : k_item + ki_w], ki_pad, 0, dtype)
-            plan_ai = SidePlan(RB, "na0", n)
+            plan_ai = SidePlan(None, "na0", n)
             Ai_blocks = update_side(
                 plan_ai, Ai_blocks, B_x, None, lam_vec_Ai,
+                buckets_data=dA,
                 G0=gram_matrix(B_x), ones_val=True,
                 method=method, n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
             )
-            Ai_orig = blocks_to_orig(Ai_blocks, perm_A, m_eff)
+            Ai_orig = blocks_to_orig(Ai_blocks, pA, m_eff)
 
         # ---- B update (items; opposing = A, D, Ai) ----
         opp = jnp.zeros((m_eff, kb_pad), dtype)
@@ -570,11 +595,11 @@ def fit_collective_explicit_als(
             opp = opp.at[:, kb].set(1.0)
         opp_bias = A_orig[:, ka] if user_bias else None
         B_blocks = factor_update(
-            B_blocks, plan_B, opp, opp_bias, lam_vec_B, l1_vec_B, method,
-            I, I_featb, I_aligned, I_dense_slices, D_orig, kd, kd_pad,
+            B_blocks, plan_B, dB, opp, opp_bias, lam_vec_B, l1_vec_B, method,
+            I, I_al, I_ds, D_orig, kd, kd_pad,
             w_item, Ai_orig, side_is_user=False, mu_main=glob_mean,
         )
-        B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
+        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
 
         # ---- A update (users; opposing = B, C, Bi) ----
         opp = jnp.zeros((n_eff, ka_pad), dtype)
@@ -585,19 +610,67 @@ def fit_collective_explicit_als(
             opp = opp.at[:, ka].set(1.0)
         opp_bias = B_orig[:, kb] if item_bias else None
         A_blocks = factor_update(
-            A_blocks, plan_A, opp, opp_bias, lam_vec_A, l1_vec_A, method,
-            U, U_featb, U_aligned, U_dense_slices, C_orig, kc, kc_pad,
+            A_blocks, plan_A, dA, opp, opp_bias, lam_vec_A, l1_vec_A, method,
+            U, U_al, U_ds, C_orig, kc, kc_pad,
             w_user, Bi_orig, side_is_user=True, mu_main=glob_mean,
         )
-        A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+        return (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
+                Ai_blocks, Bi_blocks)
 
-        if verbose:
-            _ = float(jnp.sum(A_orig[-1]))  # fence the device queue
-            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    # On TPU the fused-iteration jit pays one compile per fit but removes
+    # per-bucket dispatch latency; on CPU (tests, small problems) the
+    # unfused path reuses the cross-fit solve_bucket executable cache.
+    fuse_env = os.environ.get("CMFREC_TPU_FUSE_COLLECTIVE", "auto")
+    if fuse_env == "auto":
+        # Fused iterations pay one large compile per (shape, method); only
+        # default to them where that cost amortizes: on TPU (dispatch
+        # latency dominates otherwise) with a persistent compilation cache
+        # (config.enable_persistent_compilation_cache) so reruns hit disk.
+        do_fuse = (jax.default_backend() == "tpu"
+                   and bool(jax.config.jax_compilation_cache_dir))
+    else:
+        do_fuse = fuse_env == "1"
+    if do_fuse:
+        from functools import partial as _partial
+
+        _jit_iter = {}
+
+        def run_iteration(method, state, dat):
+            if method not in _jit_iter:
+                _jit_iter[method] = jax.jit(_partial(_one_iteration, method))
+            return _jit_iter[method](state, dat)
+    else:
+        run_iteration = _one_iteration
+
+    state = (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
+             Ai_blocks, Bi_blocks)
+    dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
+           U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
+           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+
+    try:
+        for it in range(niter):
+            method = ("cg" if (use_cg and not (finalize_chol
+                                               and it == niter - 1))
+                      else "chol")
+            t0 = time.time()
+            state = run_iteration(method, state, dat)
+            if verbose:
+                _ = float(jnp.sum(state[0][0]))  # fence the device queue
+                print(f"iter {it + 1}/{niter} [{method}] "
+                      f"{time.time() - t0:.3f}s")
     except KeyboardInterrupt:
         # return the partially-fit model (the reference's handle_interrupt,
         # /root/reference/src/helpers.c:1493, act_on_interrupt cmfrec.h:622)
         print("interrupted — returning partially-fit model")
+
+    (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
+     Ai_blocks, Bi_blocks) = state
+    A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
+    if add_implicit_features:
+        Ai_orig = blocks_to_orig(Ai_blocks, perm_A, m_eff)
+        Bi_orig = blocks_to_orig(Bi_blocks, perm_B, n_eff)
 
     A_final = np.asarray(A_orig)
     B_final = np.asarray(B_orig)
@@ -776,21 +849,30 @@ def fit_collective_implicit_als(
     l1_vec_C = _make_l1_vec(kc, kc_pad, l16[4], 0.0, False, dtype)
     l1_vec_D = _make_l1_vec(kd, kd_pad, l16[5], 0.0, False, dtype)
 
-    plan_A = SidePlan(RB, "implicit", n)
-    plan_B = SidePlan(CB, "implicit", m)
+    plan_A = SidePlan(None, "implicit", n)
+    plan_B = SidePlan(None, "implicit", m)
 
-    A_orig = blocks_to_orig(A_blocks, jnp.asarray(RB.perm), m_eff)
-    B_orig = blocks_to_orig(B_blocks, jnp.asarray(CB.perm), n_eff)
     perm_A = jnp.asarray(RB.perm)
     perm_B = jnp.asarray(CB.perm)
+    perm_U = (None if (U is None or U.dense is not None)
+              else jnp.asarray(U_featb.perm))
+    perm_I = (None if (I is None or I.dense is not None)
+              else jnp.asarray(I_featb.perm))
+    dataA = bucket_arrays(RB)
+    dataB = bucket_arrays(CB)
+    dataU = None if U_featb is None else bucket_arrays(U_featb)
+    dataI = None if I_featb is None else bucket_arrays(I_featb)
+    U_dense_arr = None if (U is None or U.dense is None) else jnp.asarray(U.dense)
+    I_dense_arr = None if (I is None or I.dense is None) else jnp.asarray(I.dense)
 
-    def factor_update(main_blocks, plan, opp_main, lam_vec, l1_vec, method,
-                      S, S_aligned, S_dense_slices, C_mat, kx, w_side):
+    def factor_update(main_blocks, plan, main_data, opp_main, lam_vec,
+                      l1_vec, method, S, S_aligned, S_dense_slices, C_mat,
+                      kx, w_side):
         G0 = jnp.asarray(w_x, dtype) * gram_matrix(opp_main)
         r0_vec = None
         r0_blocks = None
         extra = None
-        n_buckets = len(plan.bucketed.buckets)
+        n_buckets = len(main_data)
         if S is not None:
             Ce = _pad_cols(C_mat[:, :kx], lam_vec.shape[0], 0, dtype)
             if S.dense is not None:
@@ -821,15 +903,16 @@ def fit_collective_implicit_als(
                     extra[bi].append((pd, s_mode, S.p, False))
         return update_side(
             plan, main_blocks, opp_main, None, lam_vec,
+            buckets_data=main_data,
             w=w_x, alpha=alpha, G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks,
             extra_parts=extra, l1_vec=l1_vec, method=method,
             n_steps=max_cg_steps, nonneg=nonneg, max_cd_steps=max_cd_steps,
             precondition=precondition_cg, dtype=dtype,
         )
 
-    def side_factor_update(S, featb, blocks, A1, lam_vec, l1_s, w_side,
+    def side_factor_update(S, featb_data, blocks, A1, lam_vec, l1_s, w_side,
                            nonneg_s, method, mean_slices):
-        plan = SidePlan(featb, "na0" if S.na0 else "explicit", S.n_ent)
+        plan = SidePlan(None, "na0" if S.na0 else "explicit", S.n_ent)
         G0 = None
         r0_blocks = None
         if S.na0:
@@ -842,43 +925,49 @@ def fit_collective_implicit_als(
                 ]
         return update_side(
             plan, blocks, A1, None, lam_vec, w=w_side, G0=G0,
+            buckets_data=featb_data,
             r0_blocks=r0_blocks, l1_vec=l1_s, method=method,
             n_steps=max_cg_steps, nonneg=nonneg_s, max_cd_steps=max_cd_steps,
             precondition=precondition_cg, dtype=dtype,
         )
 
-    try:
-      for it in range(niter):
-        method = "cg" if (use_cg and not (finalize_chol and it == niter - 1)) else "chol"
-        t0 = time.time()
+    def _one_iteration(method, state, dat):
+        """One full implicit-collective iteration (C, D, B, A) as a pure
+        function — runs under one jit on TPU (see the explicit fit)."""
+        A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig = state
+        (dA, dB, dU, dI, U_al, I_al, U_ds, I_ds, U_dn, I_dn,
+         U_ms, I_ms, pA, pB, pU, pI) = dat
+
+        A_orig = blocks_to_orig(A_blocks, pA, m_eff)
+        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
 
         if U is not None:
             A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
-            if U.dense is not None:
+            if U_dn is not None:
                 C_orig = _dense_full_solve(
-                    A1, jnp.asarray(U.dense), lam_vec_C, w_user, nonneg_C,
+                    A1, U_dn, lam_vec_C, w_user, nonneg_C,
                     l1_vec_C, max_cd_steps, dtype,
                 )
             else:
                 C_blocks = side_factor_update(
-                    U, U_featb, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
-                    nonneg_C, method, U_mean_slices,
+                    U, dU, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
+                    nonneg_C, method, U_ms,
                 )
-                C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
+                C_orig = blocks_to_orig(C_blocks, pU, U.p)
 
         if I is not None:
             B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
-            if I.dense is not None:
+            if I_dn is not None:
                 D_orig = _dense_full_solve(
-                    B1, jnp.asarray(I.dense), lam_vec_D, w_item, nonneg_D,
+                    B1, I_dn, lam_vec_D, w_item, nonneg_D,
                     l1_vec_D, max_cd_steps, dtype,
                 )
             else:
                 D_blocks = side_factor_update(
-                    I, I_featb, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
-                    nonneg_D, method, I_mean_slices,
+                    I, dI, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
+                    nonneg_D, method, I_ms,
                 )
-                D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
+                D_orig = blocks_to_orig(D_blocks, pI, I.p)
 
         # B update
         opp = jnp.zeros((m_eff, kb_pad), dtype)
@@ -886,10 +975,10 @@ def fit_collective_implicit_als(
             A_orig[:, k_user : k_user + k + k_main]
         )
         B_blocks = factor_update(
-            B_blocks, plan_B, opp, lam_vec_B, l1_vec_B, method,
-            I, I_aligned, I_dense_slices, D_orig, kd, w_item,
+            B_blocks, plan_B, dB, opp, lam_vec_B, l1_vec_B, method,
+            I, I_al, I_ds, D_orig, kd, w_item,
         )
-        B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
+        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
 
         # A update
         opp = jnp.zeros((n_eff, ka_pad), dtype)
@@ -897,17 +986,56 @@ def fit_collective_implicit_als(
             B_orig[:, k_item : k_item + k + k_main]
         )
         A_blocks = factor_update(
-            A_blocks, plan_A, opp, lam_vec_A, l1_vec_A, method,
-            U, U_aligned, U_dense_slices, C_orig, kc, w_user,
+            A_blocks, plan_A, dA, opp, lam_vec_A, l1_vec_A, method,
+            U, U_al, U_ds, C_orig, kc, w_user,
         )
-        A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+        return (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig)
 
-        if verbose:
-            _ = float(jnp.sum(A_orig[-1]))  # fence the device queue
-            print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+    fuse_env = os.environ.get("CMFREC_TPU_FUSE_COLLECTIVE", "auto")
+    if fuse_env == "auto":
+        # Fused iterations pay one large compile per (shape, method); only
+        # default to them where that cost amortizes: on TPU (dispatch
+        # latency dominates otherwise) with a persistent compilation cache
+        # (config.enable_persistent_compilation_cache) so reruns hit disk.
+        do_fuse = (jax.default_backend() == "tpu"
+                   and bool(jax.config.jax_compilation_cache_dir))
+    else:
+        do_fuse = fuse_env == "1"
+    if do_fuse:
+        from functools import partial as _partial
+
+        _jit_iter = {}
+
+        def run_iteration(method, state, dat):
+            if method not in _jit_iter:
+                _jit_iter[method] = jax.jit(_partial(_one_iteration, method))
+            return _jit_iter[method](state, dat)
+    else:
+        run_iteration = _one_iteration
+
+    state = (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig)
+    dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
+           U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
+           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+
+    try:
+        for it in range(niter):
+            method = ("cg" if (use_cg and not (finalize_chol
+                                               and it == niter - 1))
+                      else "chol")
+            t0 = time.time()
+            state = run_iteration(method, state, dat)
+            if verbose:
+                _ = float(jnp.sum(state[0][0]))  # fence the device queue
+                print(f"iter {it + 1}/{niter} [{method}] "
+                      f"{time.time() - t0:.3f}s")
 
     except KeyboardInterrupt:
         print("interrupted — returning partially-fit model")
+
+    A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig = state
+    A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
 
     return {
         "A": np.asarray(A_orig)[:, :ka],

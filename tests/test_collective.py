@@ -235,3 +235,33 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+@pytest.mark.parametrize("implicit", [False, True])
+def test_fused_iteration_matches_unfused(rng, implicit, monkeypatch):
+    """CMFREC_TPU_FUSE_COLLECTIVE=1 (the TPU default: one jit per
+    iteration) must reproduce the per-bucket dispatch path exactly."""
+    rows, cols, vals, U, I, m, n = make_data(rng, u_density=0.6)
+    side_U = ingest_dense(U)
+    side_I = ingest_dense(I)
+    if implicit:
+        vals = np.abs(vals) + 1.0
+        kw = dict(k=5, k_user=1, niter=4, use_cg=True, seed=11, alpha=2.0)
+        fit = fit_collective_implicit_als
+        keys = ["A", "B", "C", "D"]
+    else:
+        kw = dict(k=5, k_user=1, k_main=1, niter=4, use_cg=True, seed=11,
+                  add_implicit_features=True)
+        fit = fit_collective_explicit_als
+        keys = ["A", "B", "C", "D", "biasA", "biasB", "Ai", "Bi"]
+    monkeypatch.setenv("CMFREC_TPU_FUSE_COLLECTIVE", "0")
+    r0 = fit(rows, cols, vals, m, n, side_U=side_U, side_I=side_I, **kw)
+    monkeypatch.setenv("CMFREC_TPU_FUSE_COLLECTIVE", "1")
+    r1 = fit(rows, cols, vals, m, n, side_U=side_U, side_I=side_I, **kw)
+    for key in keys:
+        a, b = r0.get(key), r1.get(key)
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8, err_msg=key)

@@ -176,18 +176,33 @@ class _BaseModel:
             id_col = f"{name}serId" if name == "U" else "ItemId"
             id_col = "UserId" if name == "U" else "ItemId"
             if id_col in U.columns:
+                n_rows = n_main
                 if self.reindex_:
                     codes = pd.Categorical(U[id_col], mapping).codes.astype(np.int64)
                     if (codes < 0).any():
-                        # ids not present in X get appended after n_main
-                        raise ValueError(
-                            f"{name} contains ids not present in X; "
-                            "pass all ids in X or use positional inputs"
+                        # ids present in U but not X are appended after
+                        # n_main: their factor rows are solved from side
+                        # info only (m_u > m; the reference's _append_NAs,
+                        # /root/reference/cmfrec/__init__.py:342)
+                        extra = np.unique(
+                            np.asarray(U[id_col])[codes < 0]
                         )
+                        mapping = np.concatenate(
+                            [np.asarray(mapping), extra]
+                        )
+                        if name == "U":
+                            self.user_mapping_ = mapping
+                        else:
+                            self.item_mapping_ = mapping
+                        codes = pd.Categorical(
+                            U[id_col], mapping
+                        ).codes.astype(np.int64)
+                    n_rows = len(mapping)
                 else:
                     codes = U[id_col].to_numpy(np.int64)
+                    n_rows = max(n_main, int(codes.max()) + 1 if codes.size else 0)
                 feat = U.drop(columns=[id_col]).to_numpy(np.float64)
-                dense = np.full((n_main, feat.shape[1]), np.nan)
+                dense = np.full((n_rows, feat.shape[1]), np.nan)
                 dense[codes] = feat
                 return self._side_from_dense(dense)
             U = U.to_numpy(np.float64)
@@ -333,6 +348,8 @@ class _BaseModel:
         new.A_, new.B_ = self.B_, self.A_
         new.C_, new.D_ = self.D_, self.C_
         new.Ai_, new.Bi_ = self.Bi_, self.Ai_
+        new.Cb_ = getattr(self, "Db_", None)
+        new.Db_ = getattr(self, "Cb_", None)
         new.user_bias_, new.item_bias_ = self.item_bias_, self.user_bias_
         new.user_mapping_, new.item_mapping_ = (
             self.item_mapping_,

@@ -20,6 +20,68 @@ from ..solvers.warm import factors_explicit_batch, factors_implicit_batch
 from .base import _BaseModel
 
 
+def _check_lambda(lambda_, name="lambda_"):
+    arr = np.atleast_1d(np.asarray(lambda_, np.float64))
+    if arr.size not in (1, 6):
+        raise ValueError(f"'{name}' must be a scalar or an array of size 6")
+    if np.any(arr < 0):
+        raise ValueError(f"'{name}' must be non-negative")
+
+
+def _validate_cmf_params(self, implicit=False):
+    """Unsupported-combination checks matching the reference's _take_params
+    (/root/reference/cmfrec/__init__.py:63-262)."""
+    import warnings
+
+    if getattr(self, "method", "als") not in ("als", "lbfgs"):
+        raise ValueError("'method' must be one of 'als' or 'lbfgs'")
+    if int(self.k) <= 0 and not (self.k_user and self.k_item):
+        raise ValueError("'k' must be a positive integer")
+    for nm in ("k_user", "k_item", "k_main"):
+        if int(getattr(self, nm, 0)) < 0:
+            raise ValueError(f"'{nm}' must be non-negative")
+    _check_lambda(self.lambda_)
+    _check_lambda(getattr(self, "l1_lambda", 0.0), "l1_lambda")
+    if int(self.niter) < 0:
+        raise ValueError("'niter' must be non-negative")
+    if getattr(self, "method", "als") == "lbfgs":
+        if (getattr(self, "NA_as_zero", False)
+                or getattr(self, "NA_as_zero_user", False)
+                or getattr(self, "NA_as_zero_item", False)):
+            raise ValueError(
+                "Option 'NA_as_zero' not supported with method='lbfgs'."
+            )
+        if getattr(self, "add_implicit_features", False):
+            raise ValueError(
+                "Option 'add_implicit_features' not supported with "
+                "method='lbfgs'."
+            )
+        if (getattr(self, "nonneg", False) or getattr(self, "nonneg_C", False)
+                or getattr(self, "nonneg_D", False)):
+            raise ValueError(
+                "non-negativity constraints not supported with "
+                "method='lbfgs'."
+            )
+        if (getattr(self, "scale_lam", False)
+                or getattr(self, "scale_lam_sideinfo", False)):
+            raise ValueError("'scale_lam' not supported with method='lbfgs'.")
+        if np.any(np.atleast_1d(np.asarray(
+                getattr(self, "l1_lambda", 0.0), np.float64)) != 0.0):
+            raise ValueError(
+                "L1 regularization not supported with method='lbfgs'."
+            )
+    else:
+        if int(getattr(self, "max_cg_steps", 3)) <= 0:
+            raise ValueError("'max_cg_steps' must be a positive integer")
+    if implicit and float(getattr(self, "alpha", 1.0)) <= 0:
+        raise ValueError("'alpha' must be positive")
+    if getattr(self, "center", False) and getattr(self, "nonneg", False):
+        warnings.warn(
+            "Warning: will fit a model with centering and non-negativity "
+            "constraints."
+        )
+
+
 class CMF(_BaseModel):
     """Collective matrix factorization with explicit feedback.
 
@@ -92,12 +154,14 @@ class CMF(_BaseModel):
         self.nthreads = nthreads
         self.n_jobs = n_jobs
         self.is_fitted_ = False
+        _validate_cmf_params(self)
 
     # ------------------------------------------------------------------ #
 
     def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None):
         """Fit to explicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:3066)."""
+        _validate_cmf_params(self)  # set_params may have changed options
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)
@@ -169,6 +233,8 @@ class CMF(_BaseModel):
         self.glob_mean_ = res["glob_mean"]
         self.is_fitted_ = True
         self.niter_ = self.niter
+        if self.precompute_for_predictions:
+            self.force_precompute_for_predictions()
         return self
 
     def _fit_lbfgs(self, rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin):
@@ -205,6 +271,8 @@ class CMF(_BaseModel):
         self.nfev_ = res.get("nfev")
         self.niter_ = res.get("niter")
         self.is_fitted_ = True
+        if self.precompute_for_predictions:
+            self.force_precompute_for_predictions()
         return self
 
     # ------------------------------------------------------------------ #
@@ -215,10 +283,25 @@ class CMF(_BaseModel):
                      U=None, U_bin=None, U_col=None, U_val=None,
                      return_bias=False):
         """Latent factors for a new user given interactions (reference:
-        /root/reference/cmfrec/__init__.py:3568)."""
+        /root/reference/cmfrec/__init__.py:3568).  With binary side info
+        there is no closed form: runs the reference's per-row L-BFGS
+        (collective_factors_lbfgs, /root/reference/src/collective.c:1146)."""
         if not self.is_fitted_:
             raise RuntimeError("Model is not fitted")
         cols, vals, wgt = self._new_row_X(X, X_col, X_val, W)
+        if U_bin is not None:
+            from ..solvers.warm import factors_bin_batch
+
+            res = factors_bin_batch(
+                self, cols[None, :], vals[None, :],
+                None if wgt is None else wgt[None, :],
+                np.array([len(cols)], np.int64),
+                U=self._new_row_U(U, U_col, U_val),
+                U_bin=np.asarray(U_bin, np.float64).reshape(1, -1),
+                return_bias=True,
+            )
+            a, bias = res[0][0], float(res[1][0])
+            return (a, bias) if return_bias else a
         a, bias = factors_explicit_batch(
             self, cols[None, :], vals[None, :],
             None if wgt is None else wgt[None, :],
@@ -230,12 +313,23 @@ class CMF(_BaseModel):
 
     def factors_cold(self, U=None, U_bin=None, U_col=None, U_val=None):
         """Factors from side info only (reference:
-        /root/reference/cmfrec/__init__.py:3398)."""
+        /root/reference/cmfrec/__init__.py:3398).  With binary side info
+        routes through the per-row L-BFGS with k_main frozen at zero
+        (/root/reference/src/collective.c:3412)."""
         if not self.is_fitted_:
             raise RuntimeError("Model is not fitted")
-        if self.C_ is None:
+        if self.C_ is None and getattr(self, "Cb_", None) is None:
             raise ValueError("Model was fit without user side info")
         u_vec = self._new_row_U(U, U_col, U_val)
+        if U_bin is not None:
+            from ..solvers.warm import factors_bin_batch
+
+            return factors_bin_batch(
+                self, np.zeros((1, 0), np.int64), np.zeros((1, 0)),
+                None, np.zeros(1, np.int64), U=u_vec,
+                U_bin=np.asarray(U_bin, np.float64).reshape(1, -1),
+                cold=True,
+            )[0]
         a, _ = factors_explicit_batch(
             self, np.zeros((1, 0), np.int64), np.zeros((1, 0)),
             None, np.zeros(1, np.int64), U=u_vec,
@@ -308,12 +402,23 @@ class CMF(_BaseModel):
     def predict_cold_multiple(self, item, U=None, U_bin=None):
         """Predict for many (new user, existing item) pairs (reference:
         /root/reference/cmfrec/__init__.py:3291)."""
-        U = np.asarray(U, np.float64)
-        a, _ = factors_explicit_batch(
-            self, np.zeros((U.shape[0], 0), np.int64),
-            np.zeros((U.shape[0], 0)), None,
-            np.zeros(U.shape[0], np.int64), U=U,
-        )
+        R = np.asarray(U if U is not None else U_bin).shape[0]
+        if U_bin is not None:
+            from ..solvers.warm import factors_bin_batch
+
+            a = factors_bin_batch(
+                self, np.zeros((R, 0), np.int64), np.zeros((R, 0)), None,
+                np.zeros(R, np.int64),
+                U=None if U is None else np.asarray(U, np.float64),
+                U_bin=np.asarray(U_bin, np.float64), cold=True,
+            )
+        else:
+            U = np.asarray(U, np.float64)
+            a, _ = factors_explicit_batch(
+                self, np.zeros((U.shape[0], 0), np.int64),
+                np.zeros((U.shape[0], 0)), None,
+                np.zeros(U.shape[0], np.int64), U=U,
+            )
         i, _ = self._map_ids(item, self.item_mapping_, "item")
         i = np.atleast_1d(i)
         p = np.sum(a[:, self.k_user:] * self._xB[i], axis=1) + self.glob_mean_
@@ -377,6 +482,15 @@ class CMF(_BaseModel):
         if not self.is_fitted_:
             raise RuntimeError("Model is not fitted")
         idx, vv, ww, counts = self._pack_new_rows(X, W, U)
+        if U_bin is not None:
+            from ..solvers.warm import factors_bin_batch
+
+            a, bias = factors_bin_batch(
+                self, idx, vv, ww, counts,
+                U=np.asarray(U, np.float64) if U is not None else None,
+                U_bin=np.asarray(U_bin, np.float64), return_bias=True,
+            )
+            return (a, bias) if return_bias else a
         a, bias = factors_explicit_batch(
             self, idx, vv, ww, counts,
             U=np.asarray(U, np.float64) if U is not None else None,
@@ -516,10 +630,12 @@ class CMF_implicit(_BaseModel):
         self.nthreads = nthreads
         self.n_jobs = n_jobs
         self.is_fitted_ = False
+        _validate_cmf_params(self, implicit=True)
 
     def fit(self, X, U=None, I=None):
         """Fit to implicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:4816)."""
+        _validate_cmf_params(self, implicit=True)
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, _, m, n = self._ingest_X(X)
@@ -573,6 +689,8 @@ class CMF_implicit(_BaseModel):
         self.glob_mean_ = 0.0
         self.w_main_multiplier_ = res.get("w_main_multiplier", 1.0)
         self.is_fitted_ = True
+        if self.precompute_for_predictions:
+            self.force_precompute_for_predictions()
         return self
 
     def factors_warm(self, X_col=None, X_val=None, U=None, U_col=None,

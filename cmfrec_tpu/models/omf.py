@@ -187,24 +187,28 @@ class _OMFBase(_BaseModel):
             return self.factors_cold_multiple(U=U)
         return np.zeros((R, np.asarray(self.Bm_).shape[1]))
 
-    def _warm_offset(self, base, cols, vals, lam, implicit=False, alpha=1.0):
-        """Free ridge offset on top of the attribute projection."""
-        Bm = np.asarray(self.Bm_, np.float64)
-        kk = Bm.shape[1]
-        if implicit:
-            G = Bm.T @ Bm + lam * np.eye(kk)
-            rhs = np.zeros(kk)
-            for j, x in zip(cols, vals):
-                G += alpha * x * np.outer(Bm[j], Bm[j])
-                rhs += (1 + alpha * x) * Bm[j] - (alpha * x) * (Bm[j] @ base) * Bm[j]
-            rhs -= (Bm.T @ Bm) @ base
-            return base + np.linalg.solve(G, rhs)
-        Bs = Bm[cols]
-        resid = vals - self.glob_mean_ - Bs @ base
-        if self.item_bias_ is not None:
-            resid = resid - self.item_bias_[cols]
-        G = Bs.T @ Bs + lam * np.eye(kk)
-        return base + np.linalg.solve(G, Bs.T @ resid)
+    def _warm_offset(self, base, cols, vals, wgt=None, implicit=False,
+                     alpha=1.0, return_bias=False, exact=None):
+        """Single-row warm factors via the batched reference-exact solver
+        (offsets_factors_warm, /root/reference/src/offsets.c:578)."""
+        from ..solvers.warm import offsets_warm_batch
+
+        cols = np.atleast_1d(np.asarray(cols, np.int64))
+        vals = np.atleast_1d(np.asarray(vals, np.float64))
+        idx = cols[None, :] if cols.size else np.zeros((1, 1), np.int64)
+        vv = vals[None, :] if cols.size else np.zeros((1, 1))
+        ww = None
+        if wgt is not None and cols.size:
+            ww = np.atleast_1d(np.asarray(wgt, np.float64))[None, :]
+        counts = np.array([cols.size], np.int64)
+        b = None if base is None else np.asarray(base, np.float64)[None, :]
+        res = offsets_warm_batch(self, idx, vv, counts, wgt=ww, base=b,
+                                 implicit=implicit, alpha=alpha,
+                                 return_bias=return_bias, exact=exact)
+        if return_bias and not implicit:
+            a, bias = res
+            return a[0], float(bias[0])
+        return res[0]
 
 
 class OMF_explicit(_OMFBase):
@@ -250,8 +254,33 @@ class OMF_explicit(_OMFBase):
         self.n_jobs = n_jobs
         self.exact = exact
         self.is_fitted_ = False
+        self._validate_offsets_params()
+
+    def _validate_offsets_params(self):
+        """_take_params_offsets analog
+        (/root/reference/cmfrec/__init__.py:313-340)."""
+        if self.method not in ("als", "lbfgs"):
+            raise ValueError("'method' must be one of 'als' or 'lbfgs'")
+        if int(self.k_sec) < 0 or int(self.k_main) < 0:
+            raise ValueError("'k_sec'/'k_main' must be non-negative")
+        if self.method == "als":
+            if self.k_sec > 0 or self.k_main > 0:
+                raise ValueError(
+                    "'k_sec' and 'k_main' not supported with method='als'."
+                )
+            if np.atleast_1d(np.asarray(self.lambda_)).size > 1:
+                raise ValueError(
+                    "Different regularization for each parameter is not "
+                    "supported with method='als'."
+                )
+            if self.w_user != 1.0 or self.w_item != 1.0:
+                raise ValueError(
+                    "'w_user' and 'w_item' are not supported with "
+                    "method='als'."
+                )
 
     def fit(self, X, U=None, I=None, W=None):
+        self._validate_offsets_params()
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)
@@ -284,11 +313,16 @@ class OMF_explicit(_OMFBase):
         return self
 
     def factors_warm(self, X=None, X_col=None, X_val=None, W=None,
-                     U=None, U_col=None, U_val=None, return_bias=False):
+                     U=None, U_col=None, U_val=None, return_bias=False,
+                     exact=None):
         if X is not None:
             X = np.asarray(X, np.float64).ravel()
             cols = np.nonzero(~np.isnan(X))[0]
             vals = X[cols]
+            if W is not None:
+                W = np.asarray(W, np.float64).ravel()
+                if W.shape[0] == X.shape[0]:
+                    W = W[cols]
         else:
             cols, _ = self._map_ids(np.asarray(X_col), self.item_mapping_, "item")
             cols = np.atleast_1d(cols)
@@ -298,10 +332,10 @@ class OMF_explicit(_OMFBase):
             if (U is not None or U_col is not None) and self.C_ is not None
             else np.zeros(self.Bm_.shape[1])
         )
-        lam6 = np.atleast_1d(np.asarray(self.lambda_, np.float64))
-        lam = float(lam6[2] if lam6.size == 6 else lam6[0])
-        a = self._warm_offset(base, cols, vals, lam)
-        return (a, 0.0) if return_bias else a
+        if return_bias:
+            return self._warm_offset(base, cols, vals, wgt=W,
+                                     return_bias=True, exact=exact)
+        return self._warm_offset(base, cols, vals, wgt=W, exact=exact)
 
     def predict_warm(self, items, X=None, X_col=None, X_val=None, W=None,
                      U=None, U_col=None, U_val=None):
@@ -424,9 +458,7 @@ class OMF_implicit(_OMFBase):
             if (U is not None or U_col is not None) and self.C_ is not None
             else np.zeros(self.Bm_.shape[1])
         )
-        lam6 = np.atleast_1d(np.asarray(self.lambda_, np.float64))
-        lam = float(lam6[2] if lam6.size == 6 else lam6[0])
-        return self._warm_offset(base, cols, vals, lam, implicit=True,
+        return self._warm_offset(base, cols, vals, implicit=True,
                                  alpha=self.alpha)
 
     def predict_warm(self, items, X_col, X_val):

@@ -227,7 +227,8 @@ def solve_cg(
 def solve_cd(
     G: jax.Array,  # [R, K, K] WITHOUT l1 but WITH lam on diag
     rhs: jax.Array,  # [R, K]
-    l1_vec: jax.Array,  # [K] l1 penalty per coordinate (may be 0)
+    l1_vec: jax.Array,  # [K] or [R, K] l1 penalty per coordinate (may be 0;
+    # 2-D for per-row scaling under scale_lam, common.c:717-722)
     nonneg: bool,
     max_steps: int,
     a0: Optional[jax.Array] = None,
@@ -254,7 +255,12 @@ def solve_cd(
             a_k = jax.lax.dynamic_index_in_dim(a, kk, axis=1, keepdims=False)  # [R]
             d_k = jax.lax.dynamic_index_in_dim(safe_diag, kk, axis=1, keepdims=False)
             r_k = jax.lax.dynamic_index_in_dim(rhs, kk, axis=1, keepdims=False)
-            l1_k = l1_vec[kk]
+            if l1_vec.ndim == 2:
+                l1_k = jax.lax.dynamic_index_in_dim(
+                    l1_vec, kk, axis=1, keepdims=False
+                )
+            else:
+                l1_k = l1_vec[kk]
             # gradient excluding own coordinate
             num = r_k - jnp.sum(g_k * a, axis=-1) + a_k * jax.lax.dynamic_index_in_dim(
                 g_k, kk, axis=1, keepdims=False

@@ -180,10 +180,9 @@ def solve_bucket(
         if use_cd:
             l1 = l1_vec if l1_vec is not None else jnp.zeros_like(lam_vec)
             if lam_mult is not None:
-                # L1 scales with the same multiplier as L2 (common.c:717-722).
-                # TODO(per-row l1): solve_cd takes a [K] vector; use the mean
-                # multiplier until per-row L1 support lands.
-                l1 = l1 * jnp.mean(lam_mult)
+                # L1 scales with the same per-row multiplier as L2
+                # (common.c:717-722): promote to [R, K].
+                l1 = l1[None, :] * lam_mult[:, None]
             a = rowsolve.solve_cd(
                 G, rhs, l1, nonneg=nonneg, max_steps=max_cd_steps, a0=None
             )

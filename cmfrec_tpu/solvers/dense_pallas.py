@@ -184,22 +184,35 @@ def _init_factors(key, live, bias0, shape, coord, seed_bias):
 @partial(jax.jit, static_argnames=("scale_lam", "user_bias", "item_bias"))
 def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
                       scale_lam, user_bias, item_bias):
-    """One alternating closed-form bias pass computed from the dense forms
+    """Iterated alternating closed-form bias init from the dense forms
     (device-side equivalent of preprocess.initialize_biases /
-    /root/reference/src/common.c:3733-4037): item biases from centered
-    column residuals, then user biases net of item biases."""
+    initialize_biases_twosided, /root/reference/src/common.c:4410): 5
+    alternating full re-solves when both biases are on (items first),
+    one pass otherwise."""
     Wf = W.astype(jnp.float32)
     Xf = X.astype(jnp.float32)
-    sB = jnp.einsum("rs,rs->s", Xf, Wf) - mu * cnt_B
-    denomB = cnt_B + lam_item * (cnt_B if scale_lam else 1.0)
-    biasB = jnp.where(denomB > 0, sB / jnp.where(denomB > 0, denomB, 1.0), 0.0)
-    if not item_bias:
-        biasB = jnp.zeros_like(biasB)
-    sA = (jnp.einsum("rs,rs->r", Xf, Wf) - mu * cnt_A - Wf @ biasB)
-    denomA = cnt_A + lam_user * (cnt_A if scale_lam else 1.0)
-    biasA = jnp.where(denomA > 0, sA / jnp.where(denomA > 0, denomA, 1.0), 0.0)
-    if not user_bias:
-        biasA = jnp.zeros_like(biasA)
+    sB0 = jnp.einsum("rs,rs->s", Xf, Wf) - mu * cnt_B
+    sA0 = jnp.einsum("rs,rs->r", Xf, Wf) - mu * cnt_A
+    denomB = cnt_B + lam_item * (jnp.maximum(cnt_B, 1.0) if scale_lam else 1.0)
+    denomA = cnt_A + lam_user * (jnp.maximum(cnt_A, 1.0) if scale_lam else 1.0)
+    biasA = jnp.zeros(Xf.shape[0], jnp.float32)
+    biasB = jnp.zeros(Xf.shape[1], jnp.float32)
+    n_pass = 5 if (user_bias and item_bias) else 1
+
+    def one_pass(carry, _):
+        biasA, biasB = carry
+        if item_bias:
+            sB = sB0 - biasA @ Wf
+            biasB = jnp.where(denomB > 0,
+                              sB / jnp.where(denomB > 0, denomB, 1.0), 0.0)
+        if user_bias:
+            sA = sA0 - Wf @ biasB
+            biasA = jnp.where(denomA > 0,
+                              sA / jnp.where(denomA > 0, denomA, 1.0), 0.0)
+        return (biasA, biasB), None
+
+    (biasA, biasB), _ = jax.lax.scan(one_pass, (biasA, biasB), None,
+                                     length=n_pass)
     return biasA, biasB
 
 

@@ -38,37 +38,50 @@ def initialize_biases(
     scale_lam: bool = False,
     nonneg: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """One alternating pass of shrunken-mean biases
-    (/root/reference/src/common.c:3733-4037)."""
+    """Alternating closed-form bias init.
+
+    With both biases on: the reference's ITERATED two-sided init
+    (initialize_biases_twosided, /root/reference/src/common.c:4410):
+    niter = 5 (15 when nonneg) alternating full re-solves, items first —
+    biasB[j] = sum_obs(x - biasA) / (cnt + lam*(scale? cnt : 1)), then the
+    symmetric user pass, clipping each half-pass under nonneg.  With a
+    single bias on: one shrunken-mean pass (initialize_biases_onesided,
+    common.c:4130)."""
     biasA = np.zeros(m, np.float64)
     biasB = np.zeros(n, np.float64)
     v = vals_centered.astype(np.float64)
     w = None if wgt is None else wgt.astype(np.float64)
 
-    if item_bias:
-        if w is None:
-            s = np.bincount(cols, weights=v, minlength=n)
-            c = np.bincount(cols, minlength=n).astype(np.float64)
-        else:
-            s = np.bincount(cols, weights=v * w, minlength=n)
-            c = np.bincount(cols, weights=w, minlength=n)
-        denom = c + lam_item * (c if scale_lam else 1.0)
-        biasB = np.divide(s, denom, out=np.zeros_like(s), where=denom > 0)
-        if nonneg:
-            biasB = np.maximum(biasB, 0.0)
+    if w is None:
+        c_item = np.bincount(cols, minlength=n).astype(np.float64)
+        c_user = np.bincount(rows, minlength=m).astype(np.float64)
+    else:
+        c_item = np.bincount(cols, weights=w, minlength=n)
+        c_user = np.bincount(rows, weights=w, minlength=m)
+    den_item = c_item + lam_item * (np.maximum(c_item, 1.0) if scale_lam else 1.0)
+    den_user = c_user + lam_user * (np.maximum(c_user, 1.0) if scale_lam else 1.0)
 
-    if user_bias:
-        resid = v - biasB[cols]
-        if w is None:
-            s = np.bincount(rows, weights=resid, minlength=m)
-            c = np.bincount(rows, minlength=m).astype(np.float64)
-        else:
-            s = np.bincount(rows, weights=resid * w, minlength=m)
-            c = np.bincount(rows, weights=w, minlength=m)
-        denom = c + lam_user * (c if scale_lam else 1.0)
-        biasA = np.divide(s, denom, out=np.zeros_like(s), where=denom > 0)
-        if nonneg:
-            biasA = np.maximum(biasA, 0.0)
+    niter = 1
+    if user_bias and item_bias:
+        niter = 15 if nonneg else 5
+
+    for _ in range(niter):
+        if item_bias:
+            resid = v - biasA[rows]
+            s = np.bincount(cols, weights=resid if w is None else resid * w,
+                            minlength=n)
+            biasB = np.divide(s, den_item, out=np.zeros_like(s),
+                              where=den_item > 0)
+            if nonneg:
+                biasB = np.maximum(biasB, 0.0)
+        if user_bias:
+            resid = v - biasB[cols]
+            s = np.bincount(rows, weights=resid if w is None else resid * w,
+                            minlength=m)
+            biasA = np.divide(s, den_user, out=np.zeros_like(s),
+                              where=den_user > 0)
+            if nonneg:
+                biasA = np.maximum(biasA, 0.0)
 
     return biasA, biasB
 

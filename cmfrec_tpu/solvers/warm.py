@@ -14,10 +14,13 @@ warm/cold calls.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..ops import rowsolve
 from ..ops.rowsolve import SparsePart, length_mask
@@ -98,8 +101,27 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     k = model.k
     ku = getattr(model, "k_user", 0)
     km = getattr(model, "k_main", 0)
+    pre = getattr(model, "_precomputed", None) or {}
+    stats = model.__dict__.setdefault("_cache_stats", {})
 
     R, L = idx.shape
+
+    # Cold fast path: side-info-only rows with a full observation go through
+    # the TransCtCinvCt cache — ONE matmul, no per-call factorization
+    # (the reference's use at /root/reference/src/collective.c:3389).
+    if (L == 0 and U is not None and "TransCtCinvCt" in pre
+            and not getattr(model, "NA_as_zero", False)
+            and not getattr(model, "nonneg", False)
+            and not np.any(l16 > 0)):
+        Uarr = np.asarray(U, np.float64)
+        if not np.isnan(Uarr).any():
+            if model.U_colmeans_ is not None:
+                Uarr = Uarr - np.asarray(model.U_colmeans_)[None, :]
+            T = pre["TransCtCinvCt"]  # [kc, p]
+            a = np.zeros((Uarr.shape[0], ku + k + km))
+            a[:, : T.shape[0]] = Uarr @ T.T
+            stats["cold_matmul"] = stats.get("cold_matmul", 0) + 1
+            return a, np.zeros(Uarr.shape[0])
     msk = (np.arange(max(L, 1))[None, :] < lengths[:, None]).astype(np.float64)
     v = np.asarray(vals, np.float64) - model.glob_mean_
     if model.item_bias_ is not None and L > 0:
@@ -125,11 +147,20 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
             jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
         ))
     if na0:
-        G0 = w_main * gram_matrix(jnp.asarray(ext, dtype))
-        t = -model.glob_mean_ * np.ones(ext.shape[0])
-        if model.item_bias_ is not None:
-            t = t - model.item_bias_
-        r0 = jnp.asarray(w_main * ext.T @ t, dtype)[None, :] * jnp.ones((R, 1), dtype)
+        if "BtBw" in pre and "BtXbias" in pre:
+            # served from the precompute caches (BtB / BtXbias,
+            # /root/reference/src/collective.c:10300-10352)
+            G0 = jnp.asarray(pre["BtBw"], dtype)
+            r0 = jnp.asarray(pre["BtXbias"], dtype)[None, :] * jnp.ones(
+                (R, 1), dtype)
+            stats["na0_base"] = stats.get("na0_base", 0) + 1
+        else:
+            G0 = w_main * gram_matrix(jnp.asarray(ext, dtype))
+            t = -model.glob_mean_ * np.ones(ext.shape[0])
+            if model.item_bias_ is not None:
+                t = t - model.item_bias_
+            r0 = jnp.asarray(w_main * ext.T @ t, dtype)[None, :] * jnp.ones(
+                (R, 1), dtype)
 
     lam_mult = None
     u_counts = 0
@@ -162,7 +193,11 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     if nonneg or np.any(l16 > 0):
         l1v = np.zeros(k_pad)
         l1v[: ku + k + km] = l16[2]
-        a = rowsolve.solve_cd(G, rhs, jnp.asarray(l1v, dtype), nonneg=nonneg,
+        l1a = jnp.asarray(l1v, dtype)
+        if lam_mult is not None:
+            # L1 scales with the same per-row multiplier (common.c:717-722)
+            l1a = l1a[None, :] * lam_mult[:, None]
+        a = rowsolve.solve_cd(G, rhs, l1a, nonneg=nonneg,
                               max_steps=int(getattr(model, "max_cd_steps", 100)))
     else:
         a = rowsolve.solve_chol(G, rhs)
@@ -175,21 +210,22 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
 
 
 def factors_implicit_batch(model, idx, vals, lengths):
-    """WRMF warm factors: (BtB + sum alpha*x B B^T + lam) a = sum (1+alpha*x) B."""
+    """WRMF warm factors: (BtB + sum alpha*x B B^T + lam) a = sum (1+alpha*x) B.
+
+    The shared Gram base is served from the precompute cache when present
+    (precomputedBtB, /root/reference/src/collective.c:3498)."""
     dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
     k = model.k
     ku = getattr(model, "k_user", 0)
     km = getattr(model, "k_main", 0)
-    ki = getattr(model, "k_item", 0)
     width = ku + k + km
-    k_pad = round_up(width, 8)
-    B = np.asarray(model.B_, np.float64)
-    ext = np.zeros((B.shape[0], k_pad))
-    ext[:, ku : ku + k + km] = B[:, ki:]
+    ext, _, k_pad, _ = _ext_B(model)
     lam6, l16 = _resolve_lambdas(model.lambda_, getattr(model, "l1_lambda", 0.0))
     w_mult = float(getattr(model, "w_main_multiplier_", 1.0)) * float(
         getattr(model, "w_main", 1.0)
     )
+    pre = getattr(model, "_precomputed", None) or {}
+    stats = model.__dict__.setdefault("_cache_stats", {})
 
     R, L = idx.shape
     msk = (np.arange(max(L, 1))[None, :] < lengths[:, None]).astype(np.float64)
@@ -200,7 +236,11 @@ def factors_implicit_batch(model, idx, vals, lengths):
         jnp.asarray(ext, dtype), jnp.asarray(idx),
         jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
     )
-    G0 = w_mult * gram_matrix(jnp.asarray(ext, dtype))
+    if "BtBw" in pre:
+        G0 = jnp.asarray(pre["BtBw"], dtype)
+        stats["implicit_gram"] = stats.get("implicit_gram", 0) + 1
+    else:
+        G0 = w_mult * gram_matrix(jnp.asarray(ext, dtype))
     lam_vec = np.ones(k_pad)
     lam_vec[:width] = lam6[2]
     G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype), G0=G0)
@@ -245,56 +285,273 @@ def pack_padded_rows(rows, cols, vals, wgt, m):
 
 
 def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
-                       implicit=False, alpha=1.0):
-    """Batched free ridge offset on top of the attribute projection
-    (offsets_factors_warm, /root/reference/src/offsets.c:578): solve
-    (sum_j c_j Bm_j Bm_j^T [+ BtB] + lam I) delta = residual terms, and
-    return base + delta, one Cholesky batch for all R rows at once.
+                       implicit=False, alpha=1.0, return_bias=False,
+                       exact=None):
+    """Batched warm factors for the offsets model
+    (offsets_factors_warm, /root/reference/src/offsets.c:578).
+
+    Three cases matching the reference exactly:
+      * implicit: plain WRMF solve over the full Am width, attributes
+        ignored (offsets.c:654 takes the `|| implicit` branch and zeroes
+        a_vec before factors_implicit_chol).
+      * explicit, not exact and k_sec == 0: plain ridge over the OBSERVED
+        entries on the full Am width, attributes ignored — regularization
+        lands on Am rather than the free A (offsets.c:665-672 comment).
+      * explicit, exact or k_sec > 0: transform X' = X - uc @ Bm[:, :ks+k]^T
+        treated as FULLY DENSE (unobserved entries become 0 - projection,
+        weight 1), solve the free A over only columns [k_sec :
+        k_sec+k+k_main] of Bm, then Am[:ks+k] += uc (offsets.c:747-852).
+
+    base: [R, ks+k+k_main] attribute-projection rows (only the first
+    ks+k columns are used, and only in the exact/k_sec path).
+    Returns Am rows [R, ks+k+k_main] (and the warm bias when
+    return_bias and the model has user biases — Bm_plus_bias analog).
     """
     dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
     Bm = np.asarray(model.Bm_, np.float64)
     n, kk = Bm.shape
-    k_pad = round_up(kk, 8)
-    ext = np.zeros((n, k_pad))
-    ext[:, :kk] = Bm
+    ks = int(getattr(model, "k_sec", 0))
+    k = int(getattr(model, "k", 0))
+    km = int(getattr(model, "k_main", 0))
+    if exact is None:
+        exact = bool(getattr(model, "exact", False))
     lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
     lam = float(lam6[2])
+    lam_bias = float(lam6[0])
     idx = np.asarray(idx, np.int64)
     R, L = idx.shape
     msk = (np.arange(max(L, 1))[None, :]
            < np.asarray(lengths)[:, None]).astype(np.float64)
-    if base is None:
-        base = np.zeros((R, kk))
-    base = np.asarray(base, np.float64)
-    basep = np.zeros((R, k_pad))
-    basep[:, :kk] = base
     v = np.asarray(vals, np.float64)
-    dot = np.einsum("rlk,rk->rl", ext[idx], basep)
-    G0 = r0 = None
+    append_bias = (not implicit and return_bias
+                   and model.user_bias_ is not None)
+
     if implicit:
+        # WRMF warm solve on Bm, attributes ignored (offsets.c:707-729).
+        k_pad = round_up(kk, 8)
+        ext = np.zeros((n, k_pad))
+        ext[:, :kk] = Bm
         av = alpha * v
         cw = av * msk
-        cv = ((1.0 + av) - av * dot) * msk
-        BtB = ext.T @ ext
-        G0 = jnp.asarray(BtB, dtype)
-        r0 = jnp.asarray(-(basep @ BtB), dtype)
-    else:
-        vv = v - model.glob_mean_
-        if model.item_bias_ is not None and L > 0:
-            vv = vv - np.asarray(model.item_bias_)[idx]
-        ww = np.ones((R, L)) if wgt is None else np.asarray(wgt, np.float64)
+        cv = (1.0 + av) * msk
+        G0 = jnp.asarray(ext.T @ ext, dtype)
+        lam_vec = np.full(k_pad, lam)
+        part = SparsePart(
+            jnp.asarray(ext, dtype), jnp.asarray(idx),
+            jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
+        )
+        G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype),
+                                          G0=G0)
+        a = np.array(rowsolve.solve_chol(G, rhs))[:, :kk]
+        a[np.asarray(lengths) == 0] = 0.0
+        return a
+
+    vv = v - model.glob_mean_
+    if model.item_bias_ is not None and L > 0:
+        vv = vv - np.asarray(model.item_bias_)[idx]
+    ww = np.ones((R, L)) if wgt is None else np.asarray(wgt, np.float64)
+
+    if not exact and ks == 0:
+        # Ridge over observed entries on the full Am width; u_vec ignored
+        # (regularization applied to Am, offsets.c:665 comment).
+        width = kk + append_bias
+        k_pad = round_up(width, 8)
+        ext = np.zeros((n, k_pad))
+        ext[:, :kk] = Bm
+        if append_bias:
+            ext[:, kk] = 1.0
         cw = ww * msk
-        cv = cw * (vv - dot)
+        cv = cw * vv
+        lam_vec = np.full(k_pad, lam)
+        if append_bias:
+            lam_vec[kk] = lam_bias
+        part = SparsePart(
+            jnp.asarray(ext, dtype), jnp.asarray(idx),
+            jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
+        )
+        G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype))
+        a = np.array(rowsolve.solve_chol(G, rhs))
+        a[np.asarray(lengths) == 0] = 0.0
+        bias = a[:, kk] if append_bias else np.zeros(R)
+        return (a[:, :kk], bias) if return_bias else a[:, :kk]
+
+    # Exact / k_sec path: full-dense transformed solve on the free block.
+    if base is None:
+        base = np.zeros((R, kk))
+    uc = np.asarray(base, np.float64)[:, : ks + k]
+    out = np.zeros((R, kk))
+    out[:, : ks + k] = uc
+    kf = k + km
+    if kf == 0:
+        return (out, np.zeros(R)) if return_bias else out
+    Bc = Bm[:, : ks + k]
+    Bf = Bm[:, ks:]
+    width = kf + append_bias
+    k_pad = round_up(width, 8)
+    ext = np.zeros((n, k_pad))
+    ext[:, :kf] = Bf
+    if append_bias:
+        ext[:, kf] = 1.0
+    # Full-dense Gram: ext^T ext; observed entries carry weight w (so the
+    # sparse correction uses (w - 1)); rhs gets -Bf^T Bc uc from the
+    # unobserved projection plus the observed-entry terms.
+    G0 = jnp.asarray(ext.T @ ext, dtype)
+    M = Bc.T @ ext  # [ks+k, k_pad]
+    r0 = jnp.asarray(-(uc @ M), dtype)
+    proj = np.einsum("rlk,rk->rl", Bc[idx], uc)
+    cw = (ww - 1.0) * msk
+    cv = (ww * vv - (ww - 1.0) * proj) * msk
     lam_vec = np.full(k_pad, lam)
-    lam_vec[kk:] = 1.0
+    if append_bias:
+        lam_vec[kf] = lam_bias
     part = SparsePart(
         jnp.asarray(ext, dtype), jnp.asarray(idx),
         jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
     )
     G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype),
                                       G0=G0, r0=r0)
-    delta = np.asarray(rowsolve.solve_chol(G, rhs))
-    return base + delta[:, :kk]
+    a = np.asarray(rowsolve.solve_chol(G, rhs))
+    out[:, ks:] += a[:, :kf]
+    bias = a[:, kf] if append_bias else np.zeros(R)
+    return (out, bias) if return_bias else out
+
+
+@partial(jax.jit, static_argnames=("n_steps", "memory", "kc"))
+def _lbfgs_rows(a0, args, n_steps, memory, kc):
+    """Minimize the summed per-row objective with optax.lbfgs.
+
+    Rows are independent, so the joint minimizer equals the per-row
+    minimizers (the batched analog of the reference's per-row liblbfgs,
+    /root/reference/src/collective.c:1146 collective_factors_lbfgs)."""
+    (Bx, idx, cw, cv, Cm, u, umask, Cb, ub, ubmask, lam_vec,
+     w_main, w_user) = args
+
+    def loss_fn(a):
+        f = jnp.asarray(0.0, a.dtype)
+        if Bx is not None:
+            # X part: coords [ku:] of a vs B[:, ki:] (+ bias column)
+            pred = jnp.einsum("rlk,rk->rl", jnp.take(Bx, idx, axis=0), a)
+            r = cv - pred
+            f = f + 0.5 * w_main * jnp.sum(cw * r * r)
+        au = a[:, :kc]
+        if Cm is not None:
+            ru = (u - au @ Cm.T) * umask
+            f = f + 0.5 * w_user * jnp.sum(ru * ru)
+        if Cb is not None:
+            rb = (ub - jax.nn.sigmoid(au @ Cb.T)) * ubmask
+            f = f + 0.5 * w_user * jnp.sum(rb * rb)
+        f = f + 0.5 * jnp.sum(lam_vec[None, :] * a * a)
+        return f
+
+    opt = optax.lbfgs(memory_size=memory)
+    state = opt.init(a0)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def body(carry, _):
+        a, state = carry
+        value, grad = value_and_grad(a, state=state)
+        updates, state2 = opt.update(
+            grad, state, a, value=value, grad=grad, value_fn=loss_fn
+        )
+        a = optax.apply_updates(a, updates)
+        return (a, state2), value
+
+    (a, _), _ = jax.lax.scan(body, (a0, state), None, length=n_steps)
+    return a
+
+
+def factors_bin_batch(model, idx, vals, wgt, lengths, U=None, U_bin=None,
+                      cold=False, return_bias=False):
+    """Warm/cold factors when binary side info is involved: no closed form
+    exists, so run the reference's per-row gradient solve
+    (collective_factors_lbfgs, /root/reference/src/collective.c:1146;
+    gated at /root/reference/src/collective.c:3825-3862) as ONE batched
+    device L-BFGS over all R rows.
+
+    idx/vals/wgt: [R, L] padded X observations (ignored when cold);
+    U: [R, p] dense (NaN = missing) or None; U_bin: [R, pbin] dense.
+    """
+    dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
+    k = model.k
+    ku = getattr(model, "k_user", 0)
+    km = getattr(model, "k_main", 0)
+    ki = getattr(model, "k_item", 0)
+    kc = ku + k
+    lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
+    w_main = float(getattr(model, "w_main", 1.0))
+    w_user = float(getattr(model, "w_user", 1.0))
+    R = int(np.asarray(lengths).shape[0])
+    append_bias = (not cold and return_bias and model.user_bias_ is not None)
+
+    if cold:
+        width = kc  # k_main coords stay zero (collective.c:3412 passes 0,0)
+        w_main = 1.0
+        Bx = idxj = cwj = cvj = None
+    else:
+        width = ku + k + km + (1 if append_bias else 0)
+        B = np.asarray(model.B_, np.float64)
+        Bx = np.zeros((B.shape[0], width - ku))
+        Bx[:, : k + km] = B[:, ki:]
+        if append_bias:
+            Bx[:, k + km] = 1.0
+        L = idx.shape[1]
+        msk = (np.arange(max(L, 1))[None, :]
+               < np.asarray(lengths)[:, None]).astype(np.float64)
+        v = np.asarray(vals, np.float64) - model.glob_mean_
+        if model.item_bias_ is not None and L > 0:
+            v = v - np.asarray(model.item_bias_)[np.asarray(idx, np.int64)]
+        ww = msk if wgt is None else np.asarray(wgt, np.float64) * msk
+        idxj = jnp.asarray(np.asarray(idx, np.int64))
+        cwj = jnp.asarray(ww, dtype)
+        cvj = jnp.asarray(v * msk, dtype)
+
+    # pad the X-coordinate block so a[:, ku:] aligns with Bx columns
+    a0 = jnp.zeros((R, width), dtype)
+
+    Cm = u = umask = None
+    if U is not None and model.C_ is not None:
+        Uarr = np.asarray(U, np.float64)
+        if model.U_colmeans_ is not None:
+            Uarr = Uarr - np.asarray(model.U_colmeans_)[None, :]
+        umask = jnp.asarray((~np.isnan(Uarr)).astype(np.float64), dtype)
+        u = jnp.asarray(np.nan_to_num(Uarr), dtype)
+        Cm = jnp.asarray(np.asarray(model.C_, np.float64), dtype)
+    Cb = ub = ubmask = None
+    if U_bin is not None:
+        if getattr(model, "Cb_", None) is None:
+            raise ValueError("Model was fit without binary user side info")
+        Ub = np.asarray(U_bin, np.float64)
+        ubmask = jnp.asarray((~np.isnan(Ub)).astype(np.float64), dtype)
+        ub = jnp.asarray(np.nan_to_num(Ub), dtype)
+        Cb = jnp.asarray(np.asarray(model.Cb_, np.float64), dtype)
+
+    lam_vec = np.full(width, float(lam6[2]))
+    if append_bias:
+        lam_vec[width - 1] = float(lam6[0])
+
+    # The X part sees a[:, ku:]; fold that into the objective by expanding
+    # Bx to full width with zeros on the k_user block.
+    if Bx is not None:
+        Bfull = np.zeros((Bx.shape[0], width))
+        Bfull[:, ku:] = Bx
+        Bxj = jnp.asarray(Bfull, dtype)
+    else:
+        Bxj = None
+
+    args = (Bxj, idxj if Bx is not None else None,
+            cwj if Bx is not None else None,
+            cvj if Bx is not None else None,
+            Cm, u, umask, Cb, ub, ubmask,
+            jnp.asarray(lam_vec, dtype),
+            jnp.asarray(w_main, dtype), jnp.asarray(w_user, dtype))
+    a = np.array(_lbfgs_rows(a0, args, n_steps=200, memory=5, kc=kc))
+    if cold:
+        out = np.zeros((R, ku + k + km))
+        out[:, :kc] = a
+        return out
+    bias = a[:, width - 1] if append_bias else np.zeros(R)
+    out = a[:, : ku + k + km]
+    return (out, bias) if return_bias else out
 
 
 def factors_cold_implicit(model, U):
@@ -317,33 +574,102 @@ def factors_cold_implicit(model, U):
 
 def build_precomputed(model) -> dict:
     """Prediction caches (precompute_collective_explicit,
-    /root/reference/src/collective.c:10209).
+    /root/reference/src/collective.c:10209-10470).
 
-    Cached pieces:
-      extB        — extended opposing matrix [n, k_pad] (B_plus_bias analog)
-      BtB         — extB^T extB (warm NA-as-zero base / diagnostics)
-      extC / CtC  — side-info projection matrix and its Gram
-      TransCtCinvCt — (w_u·CtC + lam)^-1 w_u·C^T: one matmul per cold call
-                    (the reference's TransCtCinvCt cache)
-    All device-resident so repeated warm/cold calls never re-download the
-    factor matrices."""
+    Cached pieces (coordinate space = the extended [k_user|k|k_main|bias]
+    layout used by every warm/cold solve):
+      extB          — extended opposing matrix [n, k_pad] (B_plus_bias)
+      BtB           — extB^T extB (unweighted Gram)
+      BtBw          — w_main * BtB: the shared G0 of NA-as-zero warm solves
+      BtXbias       — w_main * extB^T (-mu - biasB): the shared r0 of
+                      NA-as-zero warm solves (collective.c:10300-10342)
+      TransBtBinvBt — (w_main BtB + diag(lam))^-1 extB^T: one matmul for
+                      fully-dense unweighted warm rows (collective.c:10363)
+      BiTBi         — w_implicit * Bi^T Bi (add_implicit_features)
+      extC / CtC / CtCw — side-info projection matrix, Gram, w_user-scaled
+      TransCtCinvCt — (w_u CtC + lam_C)^-1 w_u C^T: one matmul per cold
+                      call (collective.c:10396)
+      CtUbias       — -w_user * C^T U_colmeans (NA_as_zero_U centering,
+                      collective.c:10466)
+      BeTBeChol     — chol(w_main BtB + w_user CtC [+ BiTBi] + diag(lam)):
+                      the no-correction extended system (collective.c:10425)
+    """
     model._precomputed = {}
     out = {}
     ext, width, k_pad, user_bias = _ext_B(model)
+    lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
+    k = model.k
+    ku = getattr(model, "k_user", 0)
+    km = getattr(model, "k_main", 0)
+    w_main = float(getattr(model, "w_main", 1.0)) * float(
+        getattr(model, "w_main_multiplier_", 1.0))
+    w_u = float(getattr(model, "w_user", 1.0))
+    scale_lam = bool(getattr(model, "scale_lam", False))
+    scale_lam_side = bool(getattr(model, "scale_lam_sideinfo", False))
+    nonneg = bool(getattr(model, "nonneg", False))
+    n = ext.shape[0]
+
     out["extB"] = ext
     out["width"] = width
     out["k_pad"] = k_pad
     out["user_bias"] = user_bias
-    out["BtB"] = np.asarray(gram_matrix(jnp.asarray(ext)))
+    BtB = np.asarray(gram_matrix(jnp.asarray(ext)))
+    out["BtB"] = BtB
+    out["BtBw"] = w_main * BtB
+
+    lam_vec = np.ones(k_pad)
+    lam_vec[: ku + k + km] = lam6[2]
+    if user_bias:
+        lam_vec[width] = lam6[0]
+    mult = 1.0
+    if scale_lam or scale_lam_side:
+        p_side = np.asarray(model.C_).shape[0] if model.C_ is not None else 0
+        mult = float(n + (p_side if scale_lam_side else 0))
+    if not nonneg and not getattr(model, "add_implicit_features", False):
+        G = w_main * BtB + np.diag(lam_vec * mult)
+        out["TransBtBinvBt"] = np.linalg.solve(G, w_main * ext.T)
+
+    # NA-as-zero rhs base: w_main * extB^T (-mu - biasB)
+    if getattr(model, "NA_as_zero", False):
+        t = -float(model.glob_mean_) * np.ones(n)
+        if model.item_bias_ is not None:
+            t = t - np.asarray(model.item_bias_)
+        out["BtXbias"] = w_main * (ext.T @ t)
+
+    if getattr(model, "Bi_", None) is not None:
+        Bi = np.asarray(model.Bi_, np.float64)
+        BiTBi = np.zeros((k_pad, k_pad))
+        wi = float(getattr(model, "w_implicit", 0.5))
+        kiw = Bi.shape[1]
+        BiTBi[ku : ku + kiw, ku : ku + kiw] = wi * (Bi.T @ Bi)
+        out["BiTBi"] = BiTBi
+
     if model.C_ is not None:
         Ce = _ext_C(model, k_pad)
         out["extC"] = Ce
-        out["CtC"] = Ce.T @ Ce
-        lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
-        w_u = getattr(model, "w_user", 1.0)
+        CtC = Ce.T @ Ce
+        out["CtC"] = CtC
+        out["CtCw"] = w_u * CtC
         kc = np.asarray(model.C_).shape[1]
-        G = w_u * out["CtC"][:kc, :kc] + lam6[2] * np.eye(kc)
-        out["TransCtCinvCt"] = np.linalg.solve(G, w_u * Ce[:, :kc].T)
+        lam_C = lam6[2]
+        if scale_lam_side:
+            # cold solves scale lam by the side-info column count only
+            # under scale_lam_sideinfo (collective.c:3389 passes it as
+            # both scale flags)
+            lam_C = lam_C * float(Ce.shape[0])
+        if not nonneg:
+            Gc = w_u * CtC[:kc, :kc] + lam_C * np.eye(kc)
+            out["TransCtCinvCt"] = np.linalg.solve(Gc, w_u * Ce[:, :kc].T)
+        if (getattr(model, "NA_as_zero_user", False)
+                and model.U_colmeans_ is not None):
+            out["CtUbias"] = -w_u * (
+                Ce[:, :kc].T @ np.asarray(model.U_colmeans_)
+            )
+        if not nonneg:
+            Ge = w_main * BtB + w_u * CtC + np.diag(lam_vec * mult)
+            if "BiTBi" in out:
+                Ge = Ge + out["BiTBi"]
+            out["BeTBeChol"] = np.linalg.cholesky(Ge)
     if model.item_bias_ is not None:
         out["B_plus_bias"] = ext
     return out

@@ -109,6 +109,40 @@ def test_weighted_fixed_point(rng):
     np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
 
 
+def test_bias_init_twosided_oracle(rng):
+    """initialize_biases must match a direct per-entry re-implementation of
+    the reference's iterated two-sided loop
+    (initialize_biases_twosided, /root/reference/src/common.c:4410)."""
+    from cmfrec_tpu.solvers.preprocess import initialize_biases
+
+    rows, cols, vals, m, n = make_synthetic(rng)
+    v = vals - vals.mean()
+    for wgt in (None, rng.uniform(0.5, 2.0, size=vals.size)):
+        for scale_lam in (False, True):
+            lam_u, lam_i = 0.8, 1.3
+            biasA, biasB = initialize_biases(
+                rows, cols, v, m, n, lam_u, lam_i, wgt=wgt,
+                user_bias=True, item_bias=True, scale_lam=scale_lam,
+            )
+            # oracle: literal alternating loop, items first, 5 iterations
+            bA = np.zeros(m)
+            bB = np.zeros(n)
+            w = np.ones_like(v) if wgt is None else wgt
+            for _ in range(5):
+                for j in range(n):
+                    sel = cols == j
+                    s = np.sum(w[sel] * (v[sel] - bA[rows[sel]]))
+                    c = np.sum(w[sel])
+                    bB[j] = s / (c + lam_i * (max(c, 1.0) if scale_lam else 1.0))
+                for i in range(m):
+                    sel = rows == i
+                    s = np.sum(w[sel] * (v[sel] - bB[cols[sel]]))
+                    c = np.sum(w[sel])
+                    bA[i] = s / (c + lam_u * (max(c, 1.0) if scale_lam else 1.0))
+            np.testing.assert_allclose(biasA, bA, rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(biasB, bB, rtol=1e-10, atol=1e-12)
+
+
 def test_scale_lam_fixed_point(rng):
     rows, cols, vals, m, n = make_synthetic(rng)
     lam = 0.05

@@ -73,6 +73,92 @@ def test_sparse_and_dense_inputs(rng):
     assert np.isfinite(p)
 
 
+def test_precompute_caches_used_and_exact(ratings_df, rng):
+    """precompute_for_predictions=True (default) builds the caches at fit
+    time (precompute_collective_explicit,
+    /root/reference/src/collective.c:10209) and cold factors become ONE
+    matmul through TransCtCinvCt — no per-call factorization — with
+    identical output to the uncached path."""
+    df, rows, cols, vals, m, n = ratings_df
+    U = rng.normal(size=(m, 6))
+    model = CMF(k=5, lambda_=0.5, niter=5, use_float=False).fit(df, U=U)
+    pre = model._precomputed
+    for key in ("extB", "BtB", "BtBw", "TransBtBinvBt", "extC", "CtC",
+                "CtCw", "TransCtCinvCt", "BeTBeChol"):
+        assert key in pre, f"missing precompute cache {key}"
+    u_new = rng.normal(size=6)
+    a_cached = model.factors_cold(U=u_new)
+    assert model._cache_stats.get("cold_matmul", 0) >= 1
+    # the cached path must not run any Cholesky solve
+    import cmfrec_tpu.ops.rowsolve as rs
+
+    orig = rs.solve_chol
+    calls = {"n": 0}
+
+    def counting(G, rhs):
+        calls["n"] += 1
+        return orig(G, rhs)
+
+    rs.solve_chol = counting
+    try:
+        a2 = model.factors_cold(U=u_new)
+    finally:
+        rs.solve_chol = orig
+    assert calls["n"] == 0
+    np.testing.assert_allclose(a2, a_cached)
+    # identical to the uncached general path
+    model._precomputed = {}
+    a_uncached = model.factors_cold(U=u_new)
+    np.testing.assert_allclose(a_cached, a_uncached, rtol=1e-8, atol=1e-10)
+    # disabling the flag skips cache building
+    m2 = CMF(k=5, lambda_=0.5, niter=2, use_float=False,
+             precompute_for_predictions=False).fit(df, U=U)
+    assert m2._precomputed == {}
+
+
+def test_na0_warm_uses_btxbias_cache(rng):
+    """NA-as-zero warm factors serve G0/r0 from the BtBw/BtXbias caches
+    (/root/reference/src/collective.c:10300) with unchanged output."""
+    m, n = 50, 30
+    X = rng.uniform(1, 5, size=(m, n))
+    X[rng.uniform(size=(m, n)) < 0.6] = np.nan
+    model = CMF(k=4, lambda_=1.0, niter=4, NA_as_zero=True,
+                use_float=False).fit(X)
+    assert "BtXbias" in model._precomputed
+    obs = np.arange(0, n, 3)
+    a1 = model.factors_warm(X_col=obs, X_val=np.linspace(1, 5, obs.size))
+    assert model._cache_stats.get("na0_base", 0) >= 1
+    model._precomputed = {}
+    a2 = model.factors_warm(X_col=obs, X_val=np.linspace(1, 5, obs.size))
+    np.testing.assert_allclose(a1, a2, rtol=1e-7, atol=1e-9)
+
+
+def test_side_info_appends_rows(ratings_df, rng):
+    """Ids present in U but not in X are appended (m_u > m): their factor
+    rows are solved from side info only and predict/topN work for them
+    (the reference's _append_NAs, /root/reference/cmfrec/__init__.py:342)."""
+    df, rows, cols, vals, m, n = ratings_df
+    p_feat = 6
+    U = pd.DataFrame(
+        rng.normal(size=(m + 3, p_feat)),
+        columns=[f"f{j}" for j in range(p_feat)],
+    )
+    U.insert(0, "UserId", [f"u{i}" for i in range(m)] + ["new1", "new2",
+                                                         "new3"])
+    model = CMF(k=5, lambda_=0.5, niter=5, use_float=False).fit(df, U=U)
+    assert len(model.user_mapping_) == m + 3
+    assert model.A_.shape[0] == m + 3
+    # appended users predict finitely and rank items
+    pnew = model.predict("new2", "it3")
+    assert np.isfinite(pnew)
+    top = model.topN("new1", n=5)
+    assert len(top) == 5
+    # the appended row must match a cold solve from its side info
+    a_new = np.asarray(model.A_)[m]
+    a_cold = model.factors_cold(U=U.iloc[m, 1:].to_numpy(np.float64))
+    np.testing.assert_allclose(a_new, a_cold, rtol=1e-4, atol=1e-6)
+
+
 def test_factors_warm_matches_training_user(ratings_df):
     """A warm solve on a training user's own data approximately reproduces
     that user's factors.  (Not exact: A is solved against the pre-update B

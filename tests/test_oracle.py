@@ -107,24 +107,27 @@ def test_nonneg_warm_matches_scipy(rng):
 
 
 def test_bias_init_matches_numpy(rng):
-    """initialize_biases vs direct shrunken means
-    (/root/reference/src/common.c:3733)."""
+    """One-sided bias init = single shrunken-mean pass
+    (initialize_biases_onesided, /root/reference/src/common.c:4130); the
+    two-sided ITERATED loop is pinned in
+    test_explicit_als.test_bias_init_twosided_oracle."""
     from cmfrec_tpu.solvers.preprocess import initialize_biases
 
     m, n = 30, 20
     rows = rng.integers(0, m, 300)
     cols = rng.integers(0, n, 300)
     vals = rng.normal(size=300)
-    bA, bB = initialize_biases(rows, cols, vals, m, n, lam_user=0.5,
-                               lam_item=0.5)
+    _, bB = initialize_biases(rows, cols, vals, m, n, lam_user=0.5,
+                              lam_item=0.5, user_bias=False, item_bias=True)
     for j in range(n):
         sel = cols == j
         ref = vals[sel].sum() / (sel.sum() + 0.5) if sel.any() else 0.0
         assert abs(bB[j] - ref) < 1e-12
-    resid = vals - bB[cols]
+    bA, _ = initialize_biases(rows, cols, vals, m, n, lam_user=0.5,
+                              lam_item=0.5, user_bias=True, item_bias=False)
     for i in range(m):
         sel = rows == i
-        ref = resid[sel].sum() / (sel.sum() + 0.5) if sel.any() else 0.0
+        ref = vals[sel].sum() / (sel.sum() + 0.5) if sel.any() else 0.0
         assert abs(bA[i] - ref) < 1e-12
 
 

@@ -75,6 +75,93 @@ class TestLBFGS:
         with pytest.raises(ValueError):
             CMF(method="als", k=3).fit(Xd, U_bin=Ub)
 
+    def test_factors_warm_with_binary_oracle(self, small_problem, rng):
+        """factors_warm(U_bin=...) must minimize the reference's per-row
+        objective (collective_fun_grad_single,
+        /root/reference/src/collective.c:962-1110): squared error on X +
+        squared error through a sigmoid on U_bin + L2.  Verified against
+        scipy.optimize on the same objective."""
+        from scipy.optimize import minimize
+
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        Ub = (U[:, :4] > 0).astype(np.float64)
+        lam = 1.0
+        model = CMF(method="lbfgs", k=3, lambda_=lam, maxiter=300,
+                    user_bias=False, item_bias=False,
+                    use_float=False).fit(Xd, U=U, U_bin=Ub)
+        sel = rows == 5
+        xc, xv = cols[sel], vals[sel]
+        a = model.factors_warm(X_col=xc, X_val=xv, U=U[5], U_bin=Ub[5])
+
+        B = np.asarray(model.B_)
+        C = np.asarray(model.C_)
+        Cb = np.asarray(model.Cb_)
+        mu = model.glob_mean_
+        ucm = model.U_colmeans_
+        u5 = U[5] - (ucm if ucm is not None else 0.0)
+
+        def obj(av):
+            f = 0.5 * np.sum((xv - mu - B[xc] @ av) ** 2)
+            f += 0.5 * np.sum((u5 - C @ av) ** 2)
+            f += 0.5 * np.sum(
+                (Ub[5] - 1.0 / (1.0 + np.exp(-(Cb @ av)))) ** 2)
+            f += 0.5 * lam * np.sum(av ** 2)
+            return f
+
+        want = minimize(obj, np.zeros(3), method="L-BFGS-B",
+                        options={"maxiter": 500, "ftol": 1e-14}).x
+        assert obj(a) <= obj(want) * (1 + 1e-6) + 1e-9
+        np.testing.assert_allclose(a, want, rtol=1e-3, atol=1e-5)
+        # cold variant: X term absent, k_main frozen (collective.c:3412)
+        a_cold = model.factors_cold(U=U[5], U_bin=Ub[5])
+
+        def obj_cold(av):
+            f = 0.5 * np.sum((u5 - C @ av) ** 2)
+            f += 0.5 * np.sum(
+                (Ub[5] - 1.0 / (1.0 + np.exp(-(Cb @ av)))) ** 2)
+            f += 0.5 * lam * np.sum(av ** 2)
+            return f
+
+        want_c = minimize(obj_cold, np.zeros(3), method="L-BFGS-B",
+                          options={"maxiter": 500, "ftol": 1e-14}).x
+        np.testing.assert_allclose(a_cold, want_c, rtol=1e-3, atol=1e-5)
+        # U_bin on a model without Cb must raise
+        m2 = CMF(method="als", k=3, niter=2, use_float=False).fit(Xd)
+        with pytest.raises(ValueError):
+            m2.factors_warm(X_col=xc, X_val=xv, U_bin=Ub[5])
+
+    def test_validation_parity(self, small_problem):
+        """Unsupported option combinations raise like the reference's
+        _take_params (/root/reference/cmfrec/__init__.py:156-167)."""
+        with pytest.raises(ValueError):
+            CMF(method="lbfgs", NA_as_zero=True)
+        with pytest.raises(ValueError):
+            CMF(method="lbfgs", nonneg=True)
+        with pytest.raises(ValueError):
+            CMF(method="lbfgs", scale_lam=True)
+        with pytest.raises(ValueError):
+            CMF(method="lbfgs", l1_lambda=0.5)
+        with pytest.raises(ValueError):
+            CMF(method="lbfgs", add_implicit_features=True)
+        with pytest.raises(ValueError):
+            CMF(method="badmethod")
+        with pytest.raises(ValueError):
+            CMF(lambda_=-1.0)
+        with pytest.raises(ValueError):
+            CMF(lambda_=[1.0, 2.0])  # must be scalar or size 6
+        with pytest.raises(ValueError):
+            OMF_explicit(method="als", k_sec=2)
+        with pytest.raises(ValueError):
+            OMF_explicit(method="als", w_user=2.0)
+        with pytest.raises(ValueError):
+            OMF_explicit(method="als", lambda_=np.ones(6))
+        # set_params then fit re-validates
+        Xd = small_problem[0]
+        m = CMF(method="lbfgs", k=3, maxiter=5)
+        m.set_params(NA_as_zero=True)
+        with pytest.raises(ValueError):
+            m.fit(Xd)
+
 
 class TestOMF:
     def test_omf_explicit_lbfgs(self, small_problem):
@@ -130,6 +217,108 @@ class TestOMF:
         obs = np.isfinite(Xd[:6])
         np.testing.assert_allclose(out[obs], Xd[:6][obs])
         assert np.isfinite(out).all()
+
+    @staticmethod
+    def _warm_oracle(model, cols, vals, u=None, wgt=None):
+        """NumPy re-implementation of offsets_factors_warm
+        (/root/reference/src/offsets.c:578): the three reference cases."""
+        Bm = np.asarray(model.Bm_)
+        n, kk = Bm.shape
+        ks = int(getattr(model, "k_sec", 0))
+        k, km = model.k, int(getattr(model, "k_main", 0))
+        lam6 = np.atleast_1d(np.asarray(model.lambda_, np.float64))
+        lam = float(lam6[2] if lam6.size == 6 else lam6[0])
+        v = np.asarray(vals, np.float64) - model.glob_mean_
+        if model.item_bias_ is not None:
+            v = v - np.asarray(model.item_bias_)[cols]
+        if not getattr(model, "exact", False) and ks == 0:
+            # ridge on observed entries over the full Am width; u ignored
+            Bs = Bm[cols]
+            w = np.ones(len(v)) if wgt is None else np.asarray(wgt)
+            G = (Bs * w[:, None]).T @ Bs + lam * np.eye(kk)
+            return np.linalg.solve(G, (Bs * w[:, None]).T @ v)
+        # exact / k_sec path: X' = X - uc @ Bm[:, :ks+k]^T, FULL dense
+        uc = np.zeros(ks + k)
+        if u is not None and model.C_ is not None:
+            uc = model.factors_cold(U=u)[: ks + k]
+        Xp = -(Bm[:, : ks + k] @ uc)
+        Xp[cols] += v
+        w_full = np.ones(n)
+        if wgt is not None:
+            w_full[cols] = wgt
+        Bf = Bm[:, ks:]
+        G = (Bf * w_full[:, None]).T @ Bf + lam * np.eye(k + km)
+        a = np.linalg.solve(G, (Bf * w_full[:, None]).T @ Xp)
+        out = np.zeros(kk)
+        out[: ks + k] = uc
+        out[ks:] += a
+        return out
+
+    def test_omf_warm_oracle_ksec(self, small_problem):
+        """Warm factors with k_sec>0 must freeze the attribute block and
+        solve the free delta only over [k_sec:] (offsets.c:747-852)."""
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=3, k_sec=2, k_main=1, lambda_=0.7,
+                             method="lbfgs", maxiter=120,
+                             use_float=False).fit(Xd, U=U, I=I)
+        sel = rows == 4
+        a = model.factors_warm(X_col=cols[sel], X_val=vals[sel], U=U[4])
+        expect = self._warm_oracle(model, cols[sel], vals[sel], u=U[4])
+        np.testing.assert_allclose(a, expect, rtol=1e-6, atol=1e-8)
+        # attribute block must equal the cold projection over [:ks+k]
+        uc = model.factors_cold(U=U[4])[:5]
+        np.testing.assert_allclose(a[:2], uc[:2], rtol=1e-6, atol=1e-8)
+        # without U: free block only, first k_sec coords stay zero
+        a0 = model.factors_warm(X_col=cols[sel], X_val=vals[sel])
+        expect0 = self._warm_oracle(model, cols[sel], vals[sel])
+        np.testing.assert_allclose(a0, expect0, rtol=1e-6, atol=1e-8)
+        assert np.allclose(a0[:2], 0.0)
+
+    def test_omf_warm_oracle_plain_and_exact(self, small_problem):
+        """k_sec=0: non-exact ignores attributes (ridge on Am); exact=True
+        solves the transformed full-dense system (offsets.c:654,747)."""
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        sel = rows == 7
+        w = np.linspace(0.5, 2.0, sel.sum())
+        for exact in (False, True):
+            model = OMF_explicit(k=4, lambda_=0.5, method="als", niter=6,
+                                 exact=exact, use_float=False)
+            if exact:
+                model.method = "lbfgs"
+                model.maxiter = 120
+            model.fit(Xd, U=U, I=I)
+            a = model.factors_warm(X_col=cols[sel], X_val=vals[sel], U=U[7],
+                                   W=w)
+            expect = self._warm_oracle(model, cols[sel], vals[sel], u=U[7],
+                                       wgt=w)
+            np.testing.assert_allclose(a, expect, rtol=1e-6, atol=1e-8)
+
+    def test_omf_implicit_warm_ignores_attributes(self, rng):
+        """Implicit warm factors are a plain WRMF solve on Bm; the
+        reference ignores u_vec entirely (offsets.c:654-729)."""
+        import scipy.sparse as sp
+
+        m, n = 50, 30
+        A = rng.normal(size=(m, 3))
+        B = rng.normal(size=(n, 3))
+        mask = rng.uniform(size=(m, n)) < 1 / (1 + np.exp(-(A @ B.T)))
+        rows, cols = np.nonzero(mask)
+        vals = rng.integers(1, 6, rows.size).astype(float)
+        U = A @ rng.normal(size=(3, 6))
+        Xs = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+        model = OMF_implicit(k=4, lambda_=1.0, alpha=2.0, niter=6,
+                             use_float=False).fit(Xs, U=U)
+        sel = rows == 3
+        a = model.factors_warm(cols[sel], vals[sel], U=U[3])
+        a_nou = model.factors_warm(cols[sel], vals[sel])
+        np.testing.assert_allclose(a, a_nou, rtol=1e-12)
+        Bm = np.asarray(model.Bm_)
+        av = 2.0 * vals[sel]
+        G = Bm.T @ Bm + 1.0 * np.eye(Bm.shape[1])
+        G += (Bm[cols[sel]] * av[:, None]).T @ Bm[cols[sel]]
+        rhs = ((1.0 + av)[:, None] * Bm[cols[sel]]).sum(axis=0)
+        np.testing.assert_allclose(a, np.linalg.solve(G, rhs), rtol=1e-6,
+                                   atol=1e-8)
 
     def test_omf_implicit_warm_multiple_matches_single(self, rng):
         import scipy.sparse as sp

@@ -202,6 +202,61 @@ class TestCD:
             assert f(got[r]) <= f(want) + 1e-7
 
 
+    def test_per_row_l1(self, rng):
+        """2-D [R, K] l1 (scale_lam x l1_lambda): each row must match a
+        solo solve with that row's own scaled penalty
+        (/root/reference/src/common.c:717-722)."""
+        mat, idx, val, wgt, msk, length = random_problem(rng, R=6, K=5)
+        cw, cv = msk, val * msk
+        lam_vec = np.full(5, 0.1)
+        l1_base = np.full(5, 0.25)
+        mult = length.astype(np.float64)  # heterogeneous row counts
+        part = SparsePart(jnp.array(mat), jnp.array(idx), jnp.array(cw),
+                          jnp.array(cv))
+        G, rhs = assemble_system([part], jnp.array(lam_vec),
+                                 lam_mult=jnp.array(mult))
+        l1_rows = l1_base[None, :] * mult[:, None]
+        got = np.array(solve_cd(G, rhs, jnp.array(l1_rows), nonneg=False,
+                                max_steps=800))
+        for r in range(6):
+            solo = np.array(solve_cd(G[r][None], rhs[r][None],
+                                     jnp.array(l1_base * mult[r]),
+                                     nonneg=False, max_steps=800))[0]
+            np.testing.assert_allclose(got[r], solo, rtol=1e-7, atol=1e-9)
+
+
+def test_solve_bucket_scale_lam_l1(rng):
+    """End-to-end: solve_bucket under scale_lam + l1 uses the PER-ROW
+    multiplier, not a bucket mean (common.c:717-722)."""
+    from cmfrec_tpu.solvers.als import PartData, solve_bucket
+
+    mat, idx, val, wgt, msk, length = random_problem(rng, R=6, K=5)
+    cw, cv = msk, val * msk
+    lam_vec = np.full(5, 0.1)
+    l1_base = np.full(5, 0.3)
+    p = PartData(
+        idx=jnp.array(idx), val=jnp.array(val), length=jnp.array(length),
+        wgt=None, opp=jnp.array(mat), opp_bias=None,
+        w=jnp.asarray(1.0, jnp.float64), alpha=None, mu=None,
+    )
+    got = np.array(solve_bucket(
+        (p,), None, None, None, None, jnp.array(lam_vec), None,
+        jnp.array(l1_base), modes=("explicit",), method="chol", n_steps=0,
+        nonneg=False, max_cd_steps=800, scale_lam=True,
+        n_totals=(mat.shape[0],),
+    ))
+    part = SparsePart(jnp.array(mat), jnp.array(idx), jnp.array(cw),
+                      jnp.array(cv))
+    mult = np.maximum(length.astype(np.float64), 1.0)
+    G, rhs = assemble_system([part], jnp.array(lam_vec),
+                             lam_mult=jnp.array(mult))
+    for r in range(6):
+        solo = np.array(solve_cd(G[r][None], rhs[r][None],
+                                 jnp.array(l1_base * mult[r]),
+                                 nonneg=False, max_steps=800))[0]
+        np.testing.assert_allclose(got[r], solo, rtol=1e-7, atol=1e-9)
+
+
 if __name__ == "__main__":
     import sys
 

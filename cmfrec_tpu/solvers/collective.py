@@ -50,11 +50,42 @@ from .drivers import (
     _ext_with_zeros,
     _make_l1_vec,
     _make_lam_vec,
+    _mesh_row_block,
     _na0_rhs_base,
     _resolve_lambdas,
     _set_bias_coord,
     round_up,
 )
+
+
+def _mesh_place_collective(mesh, state, dat):
+    """Shard a collective fit's state/dat pytrees over the mesh: bucketed
+    interaction data, factor blocks, aligned side parts, dense slices and
+    mean slices row-sharded on the data axis; opposing/full matrices
+    (C_orig/D_orig, dense side matrices) and permutations replicated
+    (SURVEY §2.4 P1/P5 — XLA inserts the psum/all-gather collectives)."""
+    from ..parallel.mesh import replicated, row_sharding
+
+    rs, rep = row_sharding(mesh), replicated(mesh)
+
+    def put(t, sh):
+        return jax.tree.map(lambda x: jax.device_put(x, sh), t)
+
+    d = list(dat)
+    for i in range(8):  # dataA, dataB, dataU, dataI, U_al, I_al, U_ds, I_ds
+        d[i] = put(d[i], rs)
+    d[8] = put(d[8], rep)  # U dense matrix (C full solve)
+    d[9] = put(d[9], rep)  # I dense matrix
+    d[10] = put(d[10], rs)  # U mean slices
+    d[11] = put(d[11], rs)  # I mean slices
+    for i in range(12, 16):  # perms
+        d[i] = put(d[i], rep)
+    s = list(state)
+    for i, v in enumerate(s):
+        if v is None:
+            continue
+        s[i] = put(v, rs if isinstance(v, list) else rep)
+    return tuple(s), tuple(d)
 
 
 # --------------------------------------------------------------------- #
@@ -214,6 +245,7 @@ def fit_collective_explicit_als(
     NA_as_zero=False, NA_as_zero_user=False, NA_as_zero_item=False,
     nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
     weights=None, dtype=np.float32, seed=1, verbose=False,
+    mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
 ) -> dict:
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
@@ -239,7 +271,8 @@ def fit_collective_explicit_als(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
     use_dense_pallas = (
-        jax.default_backend() == "tpu"
+        mesh is None
+        and jax.default_backend() == "tpu"
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
         and use_cg
@@ -293,15 +326,19 @@ def fit_collective_explicit_als(
 
     from .drivers import _build_pair
 
+    _rb = _mesh_row_block(mesh)
+    _rbkw = {} if _rb is None else {"row_block": _rb}
     if m_eff == m and n_eff == n:
-        RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype)
+        RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
+                             row_block=_rb)
     else:
         RB = build_bucketed_rows(rows, cols, vals_c, m_eff, n, weights,
-                                 dtype=dtype)
+                                 dtype=dtype, **_rbkw)
         CB = build_bucketed_rows(cols, rows, vals_c, n_eff, m, weights,
-                                 dtype=dtype)
-    RB.device_put()
-    CB.device_put()
+                                 dtype=dtype, **_rbkw)
+    if mesh is None:
+        RB.device_put()
+        CB.device_put()
 
     ka = k_user + k + k_main  # width of A rows (w/o bias)
     kb = k_item + k + k_main
@@ -332,7 +369,7 @@ def fit_collective_explicit_als(
             return None, None, dense_slices, None
         r_s, c_s, v_s = S.coo
         feat_b = build_bucketed_rows(c_s, r_s, v_s.astype(np.float64), S.p,
-                                     S.n_ent, dtype=dtype)
+                                     S.n_ent, dtype=dtype, **_rbkw)
         aligned = build_aligned_parts(main_bucketed, r_s, c_s, v_s, S.n_ent, dtype)
         mean_slices = None
         if S.na0 and S.colmeans is not None:
@@ -647,6 +684,8 @@ def fit_collective_explicit_als(
     dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
            U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
            U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+    if mesh is not None:
+        state, dat = _mesh_place_collective(mesh, state, dat)
 
     try:
         for it in range(niter):
@@ -708,6 +747,7 @@ def fit_collective_implicit_als(
     NA_as_zero_user=False, NA_as_zero_item=False,
     nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
     dtype=np.float32, seed=1, verbose=False,
+    mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
 ) -> dict:
     """WRMF with side info (/root/reference/src/collective.c:9375)."""
     dtype = np.dtype(dtype)
@@ -735,7 +775,8 @@ def fit_collective_implicit_als(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
     use_dense_pallas = (
-        jax.default_backend() == "tpu"
+        mesh is None
+        and jax.default_backend() == "tpu"
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
         and use_cg
@@ -775,15 +816,19 @@ def fit_collective_implicit_als(
 
     from .drivers import _build_pair
 
+    _rb = _mesh_row_block(mesh)
+    _rbkw = {} if _rb is None else {"row_block": _rb}
     if m_eff == m and n_eff == n:
-        RB, CB = _build_pair(rows, cols, vals.astype(dtype), m, n, None, dtype)
+        RB, CB = _build_pair(rows, cols, vals.astype(dtype), m, n, None,
+                             dtype, row_block=_rb)
     else:
         RB = build_bucketed_rows(rows, cols, vals.astype(dtype), m_eff, n,
-                                 dtype=dtype)
+                                 dtype=dtype, **_rbkw)
         CB = build_bucketed_rows(cols, rows, vals.astype(dtype), n_eff, m,
-                                 dtype=dtype)
-    RB.device_put()
-    CB.device_put()
+                                 dtype=dtype, **_rbkw)
+    if mesh is None:
+        RB.device_put()
+        CB.device_put()
 
     ka = k_user + k + k_main
     kb = k_item + k + k_main
@@ -805,7 +850,7 @@ def fit_collective_implicit_als(
             return None, None, _bucket_dense_slices(main_bucketed, S.dense, dtype), None
         r_s, c_s, v_s = S.coo
         feat_b = build_bucketed_rows(c_s, r_s, v_s.astype(np.float64), S.p,
-                                     S.n_ent, dtype=dtype)
+                                     S.n_ent, dtype=dtype, **_rbkw)
         aligned = build_aligned_parts(main_bucketed, r_s, c_s, v_s, S.n_ent, dtype)
         mean_slices = None
         if S.na0 and S.colmeans is not None:
@@ -1017,6 +1062,8 @@ def fit_collective_implicit_als(
     dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
            U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
            U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+    if mesh is not None:
+        state, dat = _mesh_place_collective(mesh, state, dat)
 
     try:
         for it in range(niter):

@@ -87,17 +87,57 @@ def _resolve_lambdas(lambda_, l1_lambda):
     return expand(lambda_), expand(l1_lambda)
 
 
-def _build_pair(rows, cols, vals_c, m, n, weights, dtype):
+def _mesh_row_block(mesh) -> Optional[int]:
+    """Bucket row counts must divide evenly over the mesh axis; widen the
+    row block when the mesh is larger than the default."""
+    if mesh is None:
+        return None
+    msize = int(mesh.size)
+    from ..config import DEFAULT_ROW_BLOCK
+
+    rb = DEFAULT_ROW_BLOCK
+    while rb % msize != 0:
+        rb *= 2
+    return rb
+
+
+def _shard_driver_state(mesh, bucketed_list, block_lists, replicated_arrays):
+    """Place bucketed data + factor blocks row-sharded over the mesh and
+    replicate the small arrays (SURVEY §2.4 P1/P5: rows over the data axis,
+    opposing factors everywhere, XLA inserts the collectives)."""
+    from ..parallel.mesh import replicated, row_sharding
+
+    rs, rep = row_sharding(mesh), replicated(mesh)
+    for bk in bucketed_list:
+        if bk is not None:
+            bk.device_put(rs)
+    out_blocks = [
+        None if bl is None else [jax.device_put(b, rs) for b in bl]
+        for bl in block_lists
+    ]
+    out_rep = [
+        None if a is None else jax.device_put(a, rep)
+        for a in replicated_arrays
+    ]
+    return out_blocks, out_rep
+
+
+def _build_pair(rows, cols, vals_c, m, n, weights, dtype, row_block=None):
     """Dual-orientation bucketed layout: device-side fill on TPU (one
-    compact CSR upload), host fill elsewhere."""
-    if (jax.default_backend() == "tpu"
+    compact CSR upload), host fill elsewhere.  An explicit row_block
+    (mesh-divisible) forces the host path."""
+    if (row_block is None
+            and jax.default_backend() == "tpu"
             and os.environ.get("CMFREC_TPU_DEVICE_FILL", "1") == "1"):
         from ..data.device_fill import build_bucketed_pair_device
 
         return build_bucketed_pair_device(rows, cols, vals_c, m, n,
                                           weights, dtype=dtype)
-    RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype)
-    CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype)
+    kw = {} if row_block is None else {"row_block": row_block}
+    RB = build_bucketed_rows(rows, cols, vals_c, m, n, weights, dtype=dtype,
+                             **kw)
+    CB = build_bucketed_rows(cols, rows, vals_c, n, m, weights, dtype=dtype,
+                             **kw)
     return RB, CB
 
 
@@ -239,9 +279,11 @@ def fit_explicit_als(
             dtype=dtype, seed=seed, verbose=verbose,
         )
 
-    RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype)
-    RB.device_put()
-    CB.device_put()
+    RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
+                         row_block=_mesh_row_block(mesh))
+    if mesh is None:
+        RB.device_put()
+        CB.device_put()
     perm_A = jnp.asarray(RB.perm)
     perm_B = jnp.asarray(CB.perm)
 
@@ -264,6 +306,10 @@ def fit_explicit_als(
         if item_bias and init.get("biasB") is not None:
             B_blocks = _set_bias_coord(B_blocks, CB,
                                        np.asarray(init["biasB"]), k, dtype)
+    if mesh is not None:
+        (A_blocks, B_blocks), (perm_A, perm_B) = _shard_driver_state(
+            mesh, [RB, CB], [A_blocks, B_blocks], [perm_A, perm_B],
+        )
 
     lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], lam6[0], user_bias, dtype)
     lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], lam6[1], item_bias, dtype)
@@ -458,6 +504,7 @@ def fit_implicit_als(
     dtype=np.float32,
     seed: int = 1,
     verbose: bool = False,
+    mesh=None,  # jax.sharding.Mesh for multi-chip row-parallel solves
     init=None,  # warm restart: dict(A=, B=)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
@@ -476,7 +523,8 @@ def fit_implicit_als(
 
     # Fused dense-confidence engine when the padded [m, n] form fits HBM
     # (Wx/Xp bf16 + int8 mask, both orientations = 10 bytes/padded entry).
-    if (jax.default_backend() == "tpu"
+    if (mesh is None
+            and jax.default_backend() == "tpu"
             and np.dtype(dtype) == np.float32
             and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
             and use_cg and not nonneg and not np.any(l16 > 0)):
@@ -503,9 +551,11 @@ def fit_implicit_als(
                 verbose=verbose, init=init,
             )
 
-    RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype)
-    RB.device_put()
-    CB.device_put()
+    RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype,
+                         row_block=_mesh_row_block(mesh))
+    if mesh is None:
+        RB.device_put()
+        CB.device_put()
     perm_A = jnp.asarray(RB.perm)
     perm_B = jnp.asarray(CB.perm)
 
@@ -516,6 +566,10 @@ def fit_implicit_als(
     if init is not None:
         A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
         B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
+    if mesh is not None:
+        (A_blocks, B_blocks), (perm_A, perm_B) = _shard_driver_state(
+            mesh, [RB, CB], [A_blocks, B_blocks], [perm_A, perm_B],
+        )
 
     lam_vec_A = _make_lam_vec(k, k_pad, lam6[2], 0.0, False, dtype)
     lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], 0.0, False, dtype)

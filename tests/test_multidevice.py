@@ -98,6 +98,73 @@ def test_full_fit_parity_sharded_inputs(problem):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_explicit_driver_mesh_param_parity(problem):
+    """fit_explicit_als(mesh=...) shards the buckets/blocks over the mesh
+    and must reproduce the single-device fit (SURVEY §2.4 P5)."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    r1 = drivers.fit_explicit_als(rows, cols, vals, m, n, k=5, lambda_=0.7,
+                                  niter=4, engine="sparse", seed=3)
+    r2 = drivers.fit_explicit_als(rows, cols, vals, m, n, k=5, lambda_=0.7,
+                                  niter=4, engine="sparse", seed=3,
+                                  mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["biasB"]),
+                               np.asarray(r2["biasB"]), rtol=1e-4, atol=1e-5)
+
+
+def test_implicit_driver_mesh_param_parity(problem):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    v = np.abs(vals) + 1.0
+    r1 = drivers.fit_implicit_als(rows, cols, v, m, n, k=5, lambda_=1.0,
+                                  niter=4, seed=3)
+    r2 = drivers.fit_implicit_als(rows, cols, v, m, n, k=5, lambda_=1.0,
+                                  niter=4, seed=3, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_collective_explicit_mesh_param_parity(problem, rng):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    U = rng.normal(size=(m, 7))
+    side_U = (None, None, None, m, 7, True, U)
+    common = dict(side_U=side_U, k=4, k_user=1, k_main=1, lambda_=0.8,
+                  niter=3, use_cg=True, max_cg_steps=3, seed=3,
+                  dtype=np.float32)
+    r1 = fit_collective_explicit_als(rows, cols, vals, m, n, **common)
+    r2 = fit_collective_explicit_als(rows, cols, vals, m, n,
+                                     mesh=make_mesh(8), **common)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["C"]), np.asarray(r2["C"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_collective_implicit_mesh_param_parity(problem, rng):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
+
+    v = np.abs(vals) + 1.0
+    # sparse side info exercises the aligned-parts + feature-bucket path
+    Ur = rng.integers(0, m, 300)
+    Uc = rng.integers(0, 6, 300)
+    Uv = rng.normal(size=300)
+    side_U = (Ur, Uc, Uv, m, 6, False, None)
+    common = dict(side_U=side_U, k=4, lambda_=1.0, niter=3, seed=3,
+                  dtype=np.float32)
+    r1 = fit_collective_implicit_als(rows, cols, v, m, n, **common)
+    r2 = fit_collective_implicit_als(rows, cols, v, m, n,
+                                     mesh=make_mesh(8), **common)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_distributed_topn_matches_single(rng):
     """P6: sharded scoring + per-shard top-k + global merge == plain top-k."""
     from cmfrec_tpu.parallel.topn import topn_sharded

@@ -68,3 +68,24 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+# ----------------------------------------------------------------------- #
+# interrupt handling (the reference's handle_interrupt flag,               #
+# /root/reference/src/helpers.c:1493 act_on_interrupt)                     #
+# ----------------------------------------------------------------------- #
+
+_HANDLE_INTERRUPT = True
+
+
+def set_handle_interrupt(flag: bool) -> bool:
+    """Set whether fit loops catch SIGINT and return the partial model
+    (True, reference default) or re-raise (False).  Returns the old value."""
+    global _HANDLE_INTERRUPT
+    old = _HANDLE_INTERRUPT
+    _HANDLE_INTERRUPT = bool(flag)
+    return old
+
+
+def should_handle_interrupt() -> bool:
+    return _HANDLE_INTERRUPT

@@ -91,7 +91,15 @@ def build_bucketed_pair_device(
     # kick off the big uploads NOW — they stream over the slow host link
     # while the host does degree ordering and bucket planning below
     ship_bf16 = dt == np.float32
-    ids_dev = jnp.asarray(csr_cols)
+    if n < (1 << 24):
+        # compact id shipping: 3 bytes/entry instead of 4 (the host link
+        # is the scarcest resource; ids re-assemble on device)
+        lo = (csr_cols & 0xFFFF).astype(np.uint16)
+        hi = (csr_cols >> 16).astype(np.uint8)
+        ids_dev = (jnp.asarray(lo).astype(jnp.int32)
+                   | (jnp.asarray(hi).astype(jnp.int32) << 16))
+    else:
+        ids_dev = jnp.asarray(csr_cols)
     vals_dev = jnp.asarray(
         csr_vals.astype(jnp.bfloat16) if ship_bf16 else csr_vals
     )

@@ -98,6 +98,8 @@ class _BaseModel:
         self.is_fitted_ = False
         self.nfev_ = None
         self.niter_ = None
+        self.user_dict_ = {}
+        self.item_dict_ = {}
         self._precomputed = {}
 
     def _ingest_X(self, X, W=None):
@@ -226,6 +228,15 @@ class _BaseModel:
             return rows, cols, U[rows, cols], U.shape[0], U.shape[1], False, None
         rows, cols = None, None
         return None, None, None, U.shape[0], U.shape[1], True, U
+
+    def _build_dicts(self):
+        """id -> position dicts (the reference's produce_dicts,
+        /root/reference/cmfrec/__init__.py:2727 user_dict_/item_dict_)."""
+        if getattr(self, "produce_dicts", False) and self.reindex_:
+            self.user_dict_ = {u: i for i, u in
+                               enumerate(self.user_mapping_)}
+            self.item_dict_ = {it: i for i, it in
+                               enumerate(self.item_mapping_)}
 
     # ------------------------------------------------------------------ #
     # id mapping                                                          #

@@ -162,6 +162,9 @@ class CMF(_BaseModel):
         """Fit to explicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:3066)."""
         _validate_cmf_params(self)  # set_params may have changed options
+        from ..config import set_handle_interrupt
+
+        set_handle_interrupt(bool(self.handle_interrupt))
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)
@@ -233,6 +236,7 @@ class CMF(_BaseModel):
         self.glob_mean_ = res["glob_mean"]
         self.is_fitted_ = True
         self.niter_ = self.niter
+        self._build_dicts()
         if self.precompute_for_predictions:
             self.force_precompute_for_predictions()
         return self
@@ -271,6 +275,7 @@ class CMF(_BaseModel):
         self.nfev_ = res.get("nfev")
         self.niter_ = res.get("niter")
         self.is_fitted_ = True
+        self._build_dicts()
         if self.precompute_for_predictions:
             self.force_precompute_for_predictions()
         return self
@@ -636,6 +641,9 @@ class CMF_implicit(_BaseModel):
         """Fit to implicit-feedback data (reference:
         /root/reference/cmfrec/__init__.py:4816)."""
         _validate_cmf_params(self, implicit=True)
+        from ..config import set_handle_interrupt
+
+        set_handle_interrupt(bool(self.handle_interrupt))
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, _, m, n = self._ingest_X(X)
@@ -689,6 +697,7 @@ class CMF_implicit(_BaseModel):
         self.glob_mean_ = 0.0
         self.w_main_multiplier_ = res.get("w_main_multiplier", 1.0)
         self.is_fitted_ = True
+        self._build_dicts()
         if self.precompute_for_predictions:
             self.force_precompute_for_predictions()
         return self

@@ -41,6 +41,7 @@ class _OMFBase(_BaseModel):
         self.I_colmeans_ = res.get("I_colmeans")
         self.niter_ = res.get("niter")
         self.is_fitted_ = True
+        self._build_dicts()
 
     def _attr_vec(self, U, U_col, U_val, colmeans, C, C_bias, w):
         if U is None and U_col is None:
@@ -281,6 +282,9 @@ class OMF_explicit(_OMFBase):
 
     def fit(self, X, U=None, I=None, W=None):
         self._validate_offsets_params()
+        from ..config import set_handle_interrupt
+
+        set_handle_interrupt(bool(self.handle_interrupt))
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)

@@ -199,17 +199,62 @@ def solve_bucket(
             G0_eff = jnp.diag(lam_const_vec)
         else:
             G0_eff = G0 + jnp.diag(lam_const_vec)
-    a = rowsolve.solve_cg(
-        sparse_parts,
-        lam_eff,
-        a_prev,
-        n_steps=n_steps,
-        lam_mult=lam_mult,
-        G0=G0_eff,
-        r0=r0,
-        jacobi=precondition,
-        mxu_bf16=mxu_bf16,
-    )
+    from ..ops import sparse_cg
+
+    if sparse_cg.can_fuse_cg(sparse_parts, precondition, lam_vec.dtype):
+        # Fused Pallas CG: gather once, keep each slab tile VMEM-resident
+        # for the rhs build and ALL CG steps (ops/sparse_cg.py) — one HBM
+        # pass over the slab instead of 6+.
+        sp = sparse_parts[0]
+        K = lam_vec.shape[0]
+        L = sp.idx.shape[1]
+        packed = K <= 64 and L % 2 == 0
+        # Pad the factor width to full VPU lanes: with pack-2 (K <= 64) two
+        # slab entries share one 128-lane row so every lane does useful
+        # work; otherwise pad K to 128 (XLA lane-pads minor-K arrays in
+        # VMEM anyway, so only the dense layout is new, not the cost).
+        K2 = 64 if packed else -(-K // 128) * 128
+        pk = ((0, 0), (0, K2 - K))
+        mat2 = jnp.pad(sp.mat, pk) if K2 != K else sp.mat
+        ms = rowsolve.gather_rows(mat2, sp.idx, mxu_bf16)
+        if lam_mult is not None:
+            lam_row = jnp.pad(lam_vec, (0, K2 - K))[None, :] * \
+                lam_mult[:, None]
+            gfix = jnp.zeros((K2, K2), lam_vec.dtype)
+            if G0_eff is not None:
+                gfix = gfix.at[:K, :K].set(G0_eff)
+        else:
+            lam_row = None
+            gfix = jnp.zeros((K2, K2), lam_vec.dtype)
+            gfix = gfix.at[:K, :K].set(
+                (G0_eff + jnp.diag(lam_vec)) if G0_eff is not None
+                else jnp.diag(lam_vec)
+            )
+        r0p = None if r0 is None else (
+            jnp.pad(r0, pk) if K2 != K else r0)
+        a0p = jnp.pad(a_prev, pk) if K2 != K else a_prev
+        if packed:
+            ms2 = jnp.concatenate(
+                [ms[:, 0::2, :], ms[:, 1::2, :]], axis=2)
+            a = sparse_cg.bucket_cg_packed(
+                ms2, sp.cw[:, 0::2], sp.cw[:, 1::2],
+                sp.cv[:, 0::2], sp.cv[:, 1::2],
+                gfix, lam_row, r0p, a0p, n_steps=n_steps)[:, :K]
+        else:
+            a = sparse_cg.bucket_cg(ms, sp.cw, sp.cv, gfix, lam_row, r0p,
+                                    a0p, n_steps=n_steps)[:, :K]
+    else:
+        a = rowsolve.solve_cg(
+            sparse_parts,
+            lam_eff,
+            a_prev,
+            n_steps=n_steps,
+            lam_mult=lam_mult,
+            G0=G0_eff,
+            r0=r0,
+            jacobi=precondition,
+            mxu_bf16=mxu_bf16,
+        )
     if live is not None:
         a = jnp.where(live[:, None], a, 0.0)
     return a

@@ -699,6 +699,9 @@ def fit_collective_explicit_als(
                 print(f"iter {it + 1}/{niter} [{method}] "
                       f"{time.time() - t0:.3f}s")
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         # return the partially-fit model (the reference's handle_interrupt,
         # /root/reference/src/helpers.c:1493, act_on_interrupt cmfrec.h:622)
         print("interrupted — returning partially-fit model")
@@ -1078,6 +1081,9 @@ def fit_collective_implicit_als(
                       f"{time.time() - t0:.3f}s")
 
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig = state

@@ -393,6 +393,9 @@ def fit_explicit_dense_pallas(
                     **statics,
                 )
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     # Returned as device arrays: downloading over the host link is the
@@ -600,6 +603,9 @@ def fit_collective_dense_pallas(
                 A, B, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     if C is None and has_U:
@@ -756,6 +762,9 @@ def fit_implicit_dense_pallas(
                 A, B, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     dtype = jnp.dtype(dtype)
@@ -903,6 +912,9 @@ def fit_collective_implicit_dense_pallas(
                 A, B, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     if C is None and has_U:

@@ -371,6 +371,9 @@ def fit_explicit_als(
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         # return the partially-fit model, mirroring the reference's
         # handle_interrupt (/root/reference/src/helpers.c:1493,
         # act_on_interrupt cmfrec.h:622)
@@ -607,6 +610,9 @@ def fit_implicit_als(
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     A_orig = blocks_to_orig(A_blocks, perm_A, m)
@@ -735,6 +741,9 @@ def _fit_explicit_dense(
                 tag = "dense-cg*" if final else "dense-cg"
                 print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
     except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+        if not should_handle_interrupt():
+            raise
         print("interrupted — returning partially-fit model")
 
     A_final = np.asarray(A)

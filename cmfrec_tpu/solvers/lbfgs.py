@@ -221,20 +221,28 @@ def fit_collective_explicit_lbfgs(
     nfev = 0
     it = 0
     prev = np.inf
-    while it < int(maxiter):
-        params, state, values = run_chunk(params, state)
-        vs = np.asarray(values, np.float64)
-        if verbose:
-            for j in range(0, chunk, max(1, print_every)):
-                print(f"lbfgs iter {it + j}: f={vs[j]:.6f}")
-        it += chunk
-        nfev += chunk
-        if not np.isfinite(vs[-1]):
-            break
-        deltas = np.abs(np.diff(np.concatenate([[prev], vs])))
-        if (deltas[-2:] <= tol * np.maximum(np.abs(vs[-1]), 1.0)).all():
-            break
-        prev = vs[-1]
+    try:
+        interrupted = False
+        while it < int(maxiter):
+            params, state, values = run_chunk(params, state)
+            vs = np.asarray(values, np.float64)
+            if verbose:
+                for j in range(0, chunk, max(1, print_every)):
+                    print(f"lbfgs iter {it + j}: f={vs[j]:.6f}")
+            it += chunk
+            nfev += chunk
+            if not np.isfinite(vs[-1]):
+                break
+            deltas = np.abs(np.diff(np.concatenate([[prev], vs])))
+            if (deltas[-2:] <= tol * np.maximum(np.abs(vs[-1]), 1.0)).all():
+                break
+            prev = vs[-1]
+    except KeyboardInterrupt:
+        from ..config import should_handle_interrupt
+
+        if not should_handle_interrupt():
+            raise
+        print("interrupted — returning partially-fit model")
 
     out = {kname: np.asarray(v) for kname, v in params.items()}
     return {

@@ -474,3 +474,16 @@ def test_imputer_in_sklearn_pipeline(rng):
     ])
     out = pipe.fit_transform(X)
     assert out.shape == X.shape and np.isfinite(out).all()
+
+
+def test_produce_dicts(ratings_df):
+    """produce_dicts=True builds user_dict_/item_dict_ (id -> position),
+    matching /root/reference/cmfrec/__init__.py:2727."""
+    df, rows, cols, vals, m, n = ratings_df
+    model = CMF(k=3, niter=2, produce_dicts=True, use_float=False).fit(df)
+    assert len(model.user_dict_) == m
+    assert len(model.item_dict_) == n
+    u0 = model.user_mapping_[0]
+    assert model.user_dict_[u0] == 0
+    m2 = CMF(k=3, niter=2, produce_dicts=False, use_float=False).fit(df)
+    assert m2.user_dict_ == {}

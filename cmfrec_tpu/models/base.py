@@ -180,7 +180,11 @@ class _BaseModel:
             if id_col in U.columns:
                 n_rows = n_main
                 if self.reindex_:
-                    codes = pd.Categorical(U[id_col], mapping).codes.astype(np.int64)
+                    # Index.get_indexer avoids the Categorical
+                    # out-of-dtype deprecation (Pandas4Warning)
+                    codes = pd.Index(mapping).get_indexer(
+                        np.asarray(U[id_col])
+                    ).astype(np.int64)
                     if (codes < 0).any():
                         # ids present in U but not X are appended after
                         # n_main: their factor rows are solved from side
@@ -196,9 +200,9 @@ class _BaseModel:
                             self.user_mapping_ = mapping
                         else:
                             self.item_mapping_ = mapping
-                        codes = pd.Categorical(
-                            U[id_col], mapping
-                        ).codes.astype(np.int64)
+                        codes = pd.Index(mapping).get_indexer(
+                            np.asarray(U[id_col])
+                        ).astype(np.int64)
                     n_rows = len(mapping)
                 else:
                     codes = U[id_col].to_numpy(np.int64)
@@ -249,7 +253,7 @@ class _BaseModel:
         if self.reindex_:
             import pandas as pd
 
-            codes = pd.Categorical(ids, mapping).codes.astype(np.int64)
+            codes = pd.Index(mapping).get_indexer(ids).astype(np.int64)
             if (codes < 0).any() and not allow_missing:
                 raise ValueError(f"unknown {kind} id(s): {ids[codes < 0][:5]}")
         else:

@@ -158,9 +158,12 @@ class CMF(_BaseModel):
 
     # ------------------------------------------------------------------ #
 
-    def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None):
+    def fit(self, X, U=None, I=None, U_bin=None, I_bin=None, W=None,
+            mesh=None):
         """Fit to explicit-feedback data (reference:
-        /root/reference/cmfrec/__init__.py:3066)."""
+        /root/reference/cmfrec/__init__.py:3066).  ``mesh`` (a
+        jax.sharding.Mesh, e.g. from parallel.mesh.init_distributed) runs
+        the ALS iterations row-sharded over the device mesh."""
         _validate_cmf_params(self)  # set_params may have changed options
         from ..config import set_handle_interrupt
 
@@ -176,7 +179,7 @@ class CMF(_BaseModel):
         if U is None and I is None and not self.add_implicit_features \
                 and self.k_user == 0 and self.k_item == 0 and self.k_main == 0:
             res = drivers.fit_explicit_als(
-                rows, cols, vals, m, n,
+                rows, cols, vals, m, n, mesh=mesh,
                 k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
                 niter=self.niter, use_cg=self.use_cg,
                 max_cg_steps=self.max_cg_steps,
@@ -196,7 +199,7 @@ class CMF(_BaseModel):
             side_U = self._ingest_side(U, self.user_mapping_, m, "U")
             side_I = self._ingest_side(I, self.item_mapping_, n, "I")
             res = fit_collective_explicit_als(
-                rows, cols, vals, m, n,
+                rows, cols, vals, m, n, mesh=mesh,
                 side_U=side_U, side_I=side_I,
                 k=self.k, k_user=self.k_user, k_item=self.k_item,
                 k_main=self.k_main,
@@ -637,9 +640,10 @@ class CMF_implicit(_BaseModel):
         self.is_fitted_ = False
         _validate_cmf_params(self, implicit=True)
 
-    def fit(self, X, U=None, I=None):
+    def fit(self, X, U=None, I=None, mesh=None):
         """Fit to implicit-feedback data (reference:
-        /root/reference/cmfrec/__init__.py:4816)."""
+        /root/reference/cmfrec/__init__.py:4816).  ``mesh`` runs the
+        WRMF iterations row-sharded over the device mesh."""
         _validate_cmf_params(self, implicit=True)
         from ..config import set_handle_interrupt
 
@@ -650,7 +654,7 @@ class CMF_implicit(_BaseModel):
         if U is None and I is None and self.k_user == 0 and self.k_item == 0 \
                 and self.k_main == 0:
             res = drivers.fit_implicit_als(
-                rows, cols, vals, m, n,
+                rows, cols, vals, m, n, mesh=mesh,
                 k=self.k, lambda_=self.lambda_, l1_lambda=self.l1_lambda,
                 niter=self.niter, use_cg=self.use_cg,
                 max_cg_steps=self.max_cg_steps,
@@ -667,7 +671,7 @@ class CMF_implicit(_BaseModel):
             side_U = self._ingest_side(U, self.user_mapping_, m, "U")
             side_I = self._ingest_side(I, self.item_mapping_, n, "I")
             res = fit_collective_implicit_als(
-                rows, cols, vals, m, n,
+                rows, cols, vals, m, n, mesh=mesh,
                 side_U=side_U, side_I=side_I,
                 k=self.k, k_user=self.k_user, k_item=self.k_item,
                 k_main=self.k_main,

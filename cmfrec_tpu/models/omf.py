@@ -42,6 +42,16 @@ class _OMFBase(_BaseModel):
         self.niter_ = res.get("niter")
         self.is_fitted_ = True
         self._build_dicts()
+        if self.Bm_ is not None:
+            self.force_precompute_for_predictions()
+
+    def force_precompute_for_predictions(self):
+        """Bm-space warm-factor caches (precompute_offsets_both,
+        /root/reference/src/offsets.c:870)."""
+        from ..solvers.warm import build_precomputed_offsets
+
+        self._precomputed = build_precomputed_offsets(self)
+        return self
 
     def _attr_vec(self, U, U_col, U_val, colmeans, C, C_bias, w):
         if U is None and U_col is None:

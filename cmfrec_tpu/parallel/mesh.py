@@ -31,6 +31,27 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devices), ("d",))
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> Mesh:
+    """Multi-host entry point (SURVEY §2.4 P5): initialize
+    ``jax.distributed`` when running one process per host and return the
+    global 1-D data mesh spanning every chip in the slice.  Pass the
+    returned mesh as ``mesh=`` to any fit driver/model — interaction
+    buckets and factor blocks shard over it, collectives ride ICI.
+
+    On a single process this skips initialization and returns the local
+    mesh, so driver code is identical on 1 host and N hosts.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return make_mesh()
+
+
 def row_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (row) axis over the data axis."""
     return NamedSharding(mesh, P("d"))

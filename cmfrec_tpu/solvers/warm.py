@@ -334,7 +334,10 @@ def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
         av = alpha * v
         cw = av * msk
         cv = (1.0 + av) * msk
-        G0 = jnp.asarray(ext.T @ ext, dtype)
+        BmtBm, _, _ = _omf_gram_pieces(model, kk, ks, k, False)
+        G0np = np.zeros((k_pad, k_pad))
+        G0np[:kk, :kk] = BmtBm
+        G0 = jnp.asarray(G0np, dtype)
         lam_vec = np.full(k_pad, lam)
         part = SparsePart(
             jnp.asarray(ext, dtype), jnp.asarray(idx),
@@ -394,9 +397,20 @@ def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
         ext[:, kf] = 1.0
     # Full-dense Gram: ext^T ext; observed entries carry weight w (so the
     # sparse correction uses (w - 1)); rhs gets -Bf^T Bc uc from the
-    # unobserved projection plus the observed-entry terms.
-    G0 = jnp.asarray(ext.T @ ext, dtype)
-    M = Bc.T @ ext  # [ks+k, k_pad]
+    # unobserved projection plus the observed-entry terms.  The blocks come
+    # from the BmtBm/colsum caches when precomputed (offsets.c:870).
+    BmtBm, colsum, n_cache = _omf_gram_pieces(model, kk, ks, k, append_bias)
+    G0np = np.zeros((k_pad, k_pad))
+    G0np[:kf, :kf] = BmtBm[ks:, ks:]
+    if append_bias:
+        G0np[kf, :kf] = colsum[ks:]
+        G0np[:kf, kf] = colsum[ks:]
+        G0np[kf, kf] = float(n_cache)
+    G0 = jnp.asarray(G0np, dtype)
+    M = np.zeros((ks + k, k_pad))  # Bc^T ext
+    M[:, :kf] = BmtBm[: ks + k, ks:]
+    if append_bias:
+        M[:, kf] = colsum[: ks + k]
     r0 = jnp.asarray(-(uc @ M), dtype)
     proj = np.einsum("rlk,rk->rl", Bc[idx], uc)
     cw = (ww - 1.0) * msk
@@ -552,6 +566,32 @@ def factors_bin_batch(model, idx, vals, wgt, lengths, U=None, U_bin=None,
     bias = a[:, width - 1] if append_bias else np.zeros(R)
     out = a[:, : ku + k + km]
     return (out, bias) if return_bias else out
+
+
+def build_precomputed_offsets(model) -> dict:
+    """Prediction caches for the offsets models (precompute_offsets_both,
+    /root/reference/src/offsets.c:870): the combined matrix Bm, its Gram,
+    and column sums, from which every offsets_warm_batch variant derives
+    its shared base without per-call O(n k^2) matmuls."""
+    model._precomputed = {}
+    out = {}
+    Bm = np.asarray(model.Bm_, np.float64)
+    out["Bm"] = Bm
+    out["BmtBm"] = Bm.T @ Bm
+    out["Bm_colsum"] = Bm.sum(axis=0)
+    out["n"] = Bm.shape[0]
+    return out
+
+
+def _omf_gram_pieces(model, kk, ks, k, append_bias):
+    """(BmtBm, colsum, n) from the cache or computed fresh."""
+    pre = getattr(model, "_precomputed", None) or {}
+    stats = model.__dict__.setdefault("_cache_stats", {})
+    if "BmtBm" in pre:
+        stats["omf_gram"] = stats.get("omf_gram", 0) + 1
+        return pre["BmtBm"], pre["Bm_colsum"], pre["n"]
+    Bm = np.asarray(model.Bm_, np.float64)
+    return Bm.T @ Bm, Bm.sum(axis=0), Bm.shape[0]
 
 
 def factors_cold_implicit(model, U):

@@ -206,3 +206,24 @@ def test_dense_pallas_fit_sharded_matches_single(rng):
     p1 = (np.asarray(r1["A"])[ro] * np.asarray(r1["B"])[co]).sum(1)
     p2 = (np.asarray(r2["A"])[ro] * np.asarray(r2["B"])[co]).sum(1)
     np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-3)
+
+
+def test_model_level_mesh_kwarg(problem):
+    """CMF.fit(mesh=...) / CMF_implicit.fit(mesh=...) shard the fit and
+    reproduce the unsharded model."""
+    import scipy.sparse as sp
+    from cmfrec_tpu import CMF, CMF_implicit
+
+    rows, cols, vals, m, n = problem
+    Xs = sp.coo_matrix((vals, (rows, cols)), shape=(m, n))
+    m1 = CMF(k=4, lambda_=0.7, niter=3, use_float=True).fit(Xs)
+    m2 = CMF(k=4, lambda_=0.7, niter=3, use_float=True).fit(
+        Xs, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(m1.A_), np.asarray(m2.A_),
+                               rtol=1e-3, atol=1e-4)
+    Xi = sp.coo_matrix((np.abs(vals) + 1.0, (rows, cols)), shape=(m, n))
+    i1 = CMF_implicit(k=4, lambda_=1.0, niter=3).fit(Xi)
+    i2 = CMF_implicit(k=4, lambda_=1.0, niter=3).fit(Xi, mesh=make_mesh(8))
+    # sharded psums reorder f32 accumulation; iterate amplifies slightly
+    np.testing.assert_allclose(np.asarray(i1.A_), np.asarray(i2.A_),
+                               rtol=8e-3, atol=1e-4)

@@ -360,6 +360,23 @@ class TestOMF:
         assert len(top) == 5
 
 
+class TestOMFPrecompute:
+    def test_warm_uses_gram_cache(self, small_problem):
+        """OMF warm factors serve their shared Gram from the
+        precompute_offsets_both caches (offsets.c:870), unchanged output."""
+        Xd, rows, cols, vals, U, I, X, mask = small_problem
+        model = OMF_explicit(k=3, k_sec=2, k_main=1, lambda_=0.7,
+                             method="lbfgs", maxiter=80,
+                             use_float=False).fit(Xd, U=U, I=I)
+        assert "BmtBm" in model._precomputed
+        sel = rows == 4
+        a1 = model.factors_warm(X_col=cols[sel], X_val=vals[sel], U=U[4])
+        assert model._cache_stats.get("omf_gram", 0) >= 1
+        model._precomputed = {}
+        a2 = model.factors_warm(X_col=cols[sel], X_val=vals[sel], U=U[4])
+        np.testing.assert_allclose(a1, a2, rtol=1e-10, atol=1e-12)
+
+
 class TestContentBased:
     def test_fit_and_new_pairs(self, small_problem):
         Xd, rows, cols, vals, U, I, X, mask = small_problem

@@ -387,10 +387,34 @@ class _BaseModel:
         return new
 
     def drop_nonessential_matrices(self, drop_precomputed=True):
-        """Free matrices not needed for predict()/topN() on existing users
-        (reference: /root/reference/cmfrec/__init__.py:2366)."""
+        """Free everything not needed for NEW-user factor calculation
+        (factors_warm/factors_cold/factors_multiple/topN_warm/topN_cold),
+        matching the reference's production-memory trim
+        (/root/reference/cmfrec/__init__.py:2366-2440): drops the user-side
+        matrices (A, Ai, D, user biases, user id mapping) and keeps the
+        item-side ones.  `predict`/`topN`/`swap_users_and_items` stop
+        working afterwards.  With drop_precomputed, also drops the
+        less-used solve caches (TransBtBinvBt/TransCtCinvCt/BeTBeChol)."""
+        if not self.is_fitted_:
+            raise RuntimeError("Model is not fitted")
+        from .cmf import CMF, CMF_implicit
+
+        if not isinstance(self, (CMF, CMF_implicit)):
+            raise ValueError(
+                "Method is only applicable to 'CMF' and 'CMF_implicit'."
+            )
+        self._only_prediction_info = True
+        self.user_mapping_ = np.array([], dtype=object)
+        self.user_dict_ = {}
+        self.item_dict_ = {}
+        self.A_ = None
+        self.Ai_ = None
+        self.D_ = None
+        self.user_bias_ = None
+        self.I_colmeans_ = None
         if drop_precomputed:
-            self._precomputed = {}
+            for key in ("TransBtBinvBt", "TransCtCinvCt", "BeTBeChol"):
+                self._precomputed.pop(key, None)
         return self
 
     # ------------------------------------------------------------------ #

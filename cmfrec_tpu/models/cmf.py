@@ -438,7 +438,7 @@ class CMF(_BaseModel):
         """Factors for a new item from its side info (reference:
         /root/reference/cmfrec/__init__.py:3434) — the swapped-role dual of
         factors_cold, solved against D."""
-        if self.D_ is None:
+        if self.D_ is None and getattr(self, "Db_", None) is None:
             raise ValueError("Model was fit without item side info")
         return self.swap_users_and_items(precompute=False).factors_cold(
             U=I, U_bin=I_bin, U_col=I_col, U_val=I_val

@@ -487,3 +487,49 @@ def test_produce_dicts(ratings_df):
     assert model.user_dict_[u0] == 0
     m2 = CMF(k=3, niter=2, produce_dicts=False, use_float=False).fit(df)
     assert m2.user_dict_ == {}
+
+
+def test_drop_nonessential_matrices(ratings_df, rng):
+    """After the production-memory trim, warm/cold factor methods still
+    work while predict/topN for existing users stop (reference
+    /root/reference/cmfrec/__init__.py:2366)."""
+    df, rows, cols, vals, m, n = ratings_df
+    U = rng.normal(size=(m, 6))
+    model = CMF(k=4, lambda_=0.5, niter=4, use_float=False).fit(df, U=U)
+    model.drop_nonessential_matrices(drop_precomputed=False)
+    assert model.A_ is None and model.user_bias_ is None
+    obs = [f"it{j}" for j in range(0, 10)]
+    a, bias = model.factors_warm(X_col=obs, X_val=np.linspace(1, 5, 10),
+                                 return_bias=True)
+    assert np.isfinite(a).all()
+    top = model.topN_warm(n=5, X_col=obs, X_val=np.linspace(1, 5, 10))
+    assert len(top) == 5
+    a_cold = model.factors_cold(U=rng.normal(size=6))
+    assert np.isfinite(a_cold).all()
+    with pytest.raises(Exception):
+        model.predict("u1", "it2")
+    # wrong model class raises
+    from cmfrec_tpu import MostPopular
+
+    mp = MostPopular().fit(np.where(rng.uniform(size=(10, 8)) < 0.5,
+                                    3.0, np.nan))
+    with pytest.raises(ValueError):
+        mp.drop_nonessential_matrices()
+
+
+def test_swap_keeps_binary_matrices(rng):
+    """swap_users_and_items exchanges Cb/Db so item_factors_cold with
+    binary side info works through the swapped model."""
+    m, n = 40, 25
+    A = rng.normal(size=(m, 3))
+    B = rng.normal(size=(n, 3))
+    X = np.where(rng.uniform(size=(m, n)) < 0.5, 3.0 + A @ B.T, np.nan)
+    Ib = (B[:, :2] > 0).astype(np.float64)
+    model = CMF(method="lbfgs", k=3, lambda_=1.0, maxiter=100,
+                use_float=False).fit(X, I_bin=Ib)
+    assert model.Db_ is not None
+    sw = model.swap_users_and_items(precompute=False)
+    assert sw.Cb_ is not None
+    np.testing.assert_allclose(np.asarray(sw.Cb_), np.asarray(model.Db_))
+    b = model.item_factors_cold(I_bin=Ib[3])
+    assert np.isfinite(b).all()

@@ -38,6 +38,11 @@ class _BaseModel:
 
     _non_param_attrs = ("is_fitted_",)
 
+    # Whether the fit path solves factor rows for entities present only in
+    # the side info (m_u > m).  Only the CMF collective drivers do; other
+    # models raise a clear error instead of failing deep in the solver.
+    _supports_extra_side_rows = False
+
     def __repr__(self):
         return f"{self.__class__.__name__}({'fitted' if getattr(self, 'is_fitted_', False) else 'unfitted'})"
 
@@ -185,6 +190,11 @@ class _BaseModel:
                     codes = pd.Index(mapping).get_indexer(
                         np.asarray(U[id_col])
                     ).astype(np.int64)
+                    if (codes < 0).any() and not self._supports_extra_side_rows:
+                        raise ValueError(
+                            f"{name} contains ids not present in X; this "
+                            "model does not support side-info-only entities"
+                        )
                     if (codes < 0).any():
                         # ids present in U but not X are appended after
                         # n_main: their factor rows are solved from side

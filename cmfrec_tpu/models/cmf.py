@@ -90,6 +90,7 @@ class CMF(_BaseModel):
     """
 
     _unknown_pred_mean = True  # unknown ids -> mean+biases (reference note)
+    _supports_extra_side_rows = True  # m_u > m via the collective drivers
 
     def __init__(self, k=40, lambda_=1e1, method="als", use_cg=True,
                  user_bias=True, item_bias=True, center=True,
@@ -588,6 +589,8 @@ class CMF(_BaseModel):
 class CMF_implicit(_BaseModel):
     """Implicit-feedback WRMF/iALS with optional side info (reference:
     /root/reference/cmfrec/__init__.py:4358)."""
+
+    _supports_extra_side_rows = True
 
     def __init__(self, k=50, lambda_=1e0, alpha=1.0, use_cg=True,
                  k_user=0, k_item=0, k_main=0,

@@ -443,6 +443,9 @@ class OMF_implicit(_OMFBase):
         self.is_fitted_ = False
 
     def fit(self, X, U=None, I=None):
+        from ..config import set_handle_interrupt
+
+        set_handle_interrupt(bool(self.handle_interrupt))
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, _, m, n = self._ingest_X(X)
@@ -551,6 +554,9 @@ class ContentBased(_OMFBase):
     def fit(self, X, U, I, W=None):
         if U is None or I is None:
             raise ValueError("ContentBased requires both U and I")
+        from ..config import set_handle_interrupt
+
+        set_handle_interrupt(bool(self.handle_interrupt))
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)

@@ -95,10 +95,7 @@ def _mesh_row_block(mesh) -> Optional[int]:
     msize = int(mesh.size)
     from ..config import DEFAULT_ROW_BLOCK
 
-    rb = DEFAULT_ROW_BLOCK
-    while rb % msize != 0:
-        rb *= 2
-    return rb
+    return int(np.lcm(DEFAULT_ROW_BLOCK, msize))
 
 
 def _shard_driver_state(mesh, bucketed_list, block_lists, replicated_arrays):

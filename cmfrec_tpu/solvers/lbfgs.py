@@ -222,7 +222,6 @@ def fit_collective_explicit_lbfgs(
     it = 0
     prev = np.inf
     try:
-        interrupted = False
         while it < int(maxiter):
             params, state, values = run_chunk(params, state)
             vs = np.asarray(values, np.float64)

@@ -88,6 +88,22 @@ def _u_part(model, U, k_pad, dtype):
     ), counts
 
 
+def _trans_btb_inv_bt(model):
+    """Lazy TransBtBinvBt = (w BtB + diag(lam))^-1 w extB^T
+    (/root/reference/src/collective.c:10363): built on first use and
+    memoized in the precompute dict."""
+    pre = getattr(model, "_precomputed", None) or {}
+    if "TransBtBinvBt" in pre:
+        return pre["TransBtBinvBt"]
+    if "TransBtBinvBt_G" not in pre:
+        return None
+    w_main = float(getattr(model, "w_main", 1.0)) * float(
+        getattr(model, "w_main_multiplier_", 1.0))
+    T = np.linalg.solve(pre["TransBtBinvBt_G"], w_main * pre["extB"].T)
+    pre["TransBtBinvBt"] = T
+    return T
+
+
 def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     """Closed-form warm factors for a batch of new users.
 
@@ -129,6 +145,28 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     w_main = getattr(model, "w_main", 1.0)
     ww = np.ones((R, L)) if wgt is None else np.asarray(wgt, np.float64)
     na0 = bool(getattr(model, "NA_as_zero", False))
+
+    # Fully-observed unweighted warm rows (dense transform workloads):
+    # ONE matmul through the lazy TransBtBinvBt cache
+    # (/root/reference/src/collective.c:10363 usage at :3790).
+    n_items = ext.shape[0]
+    if (L == n_items and wgt is None and not na0 and U is None
+            and not getattr(model, "nonneg", False)
+            and not np.any(l16 > 0)
+            and not getattr(model, "scale_lam", False)
+            and not getattr(model, "scale_lam_sideinfo", False)
+            and "TransBtBinvBt_G" in pre
+            and np.all(np.asarray(lengths) == n_items)
+            and np.array_equal(
+                np.asarray(idx),
+                np.broadcast_to(np.arange(n_items), (R, n_items)))):
+        T = _trans_btb_inv_bt(model)
+        if T is not None:
+            a = v @ T.T  # [R, k_pad]
+            stats["warm_dense_matmul"] = stats.get(
+                "warm_dense_matmul", 0) + 1
+            bias = a[:, width] if user_bias else np.zeros(R)
+            return a[:, : ku + k + km], bias
 
     parts = []
     G0 = None
@@ -339,6 +377,7 @@ def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
         G0np[:kk, :kk] = BmtBm
         G0 = jnp.asarray(G0np, dtype)
         lam_vec = np.full(k_pad, lam)
+        lam_vec[kk:] = 1.0  # padded coords stay exactly zero even at lam=0
         part = SparsePart(
             jnp.asarray(ext, dtype), jnp.asarray(idx),
             jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
@@ -366,6 +405,7 @@ def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
         cw = ww * msk
         cv = cw * vv
         lam_vec = np.full(k_pad, lam)
+        lam_vec[width:] = 1.0  # padding guard (singular at lam=0 otherwise)
         if append_bias:
             lam_vec[kk] = lam_bias
         part = SparsePart(
@@ -416,6 +456,7 @@ def offsets_warm_batch(model, idx, vals, lengths, wgt=None, base=None,
     cw = (ww - 1.0) * msk
     cv = (ww * vv - (ww - 1.0) * proj) * msk
     lam_vec = np.full(k_pad, lam)
+    lam_vec[kf + (1 if append_bias else 0):] = 1.0  # padding guard
     if append_bias:
         lam_vec[kf] = lam_bias
     part = SparsePart(
@@ -666,8 +707,10 @@ def build_precomputed(model) -> dict:
         p_side = np.asarray(model.C_).shape[0] if model.C_ is not None else 0
         mult = float(n + (p_side if scale_lam_side else 0))
     if not nonneg and not getattr(model, "add_implicit_features", False):
-        G = w_main * BtB + np.diag(lam_vec * mult)
-        out["TransBtBinvBt"] = np.linalg.solve(G, w_main * ext.T)
+        # TransBtBinvBt itself is O(n k^2) on the (slow, single-core) host
+        # and only serves FULLY-observed unweighted warm rows — store the
+        # ingredients and build it lazily on first use (_trans_btb_inv_bt)
+        out["TransBtBinvBt_G"] = w_main * BtB + np.diag(lam_vec * mult)
 
     # NA-as-zero rhs base: w_main * extB^T (-mu - biasB)
     if getattr(model, "NA_as_zero", False):

@@ -83,7 +83,7 @@ def test_precompute_caches_used_and_exact(ratings_df, rng):
     U = rng.normal(size=(m, 6))
     model = CMF(k=5, lambda_=0.5, niter=5, use_float=False).fit(df, U=U)
     pre = model._precomputed
-    for key in ("extB", "BtB", "BtBw", "TransBtBinvBt", "extC", "CtC",
+    for key in ("extB", "BtB", "BtBw", "TransBtBinvBt_G", "extC", "CtC",
                 "CtCw", "TransCtCinvCt", "BeTBeChol"):
         assert key in pre, f"missing precompute cache {key}"
     u_new = rng.normal(size=6)
@@ -533,3 +533,20 @@ def test_swap_keeps_binary_matrices(rng):
     np.testing.assert_allclose(np.asarray(sw.Cb_), np.asarray(model.Db_))
     b = model.item_factors_cold(I_bin=Ib[3])
     assert np.isfinite(b).all()
+
+
+def test_fully_observed_warm_uses_transbtbinvbt(rng):
+    """Warm factors for fully-observed unweighted rows route through the
+    lazily-built TransBtBinvBt cache (one matmul) with output identical to
+    the general solve (/root/reference/src/collective.c:10363)."""
+    m, n = 40, 20
+    X = 3.0 + rng.normal(size=(m, n))
+    model = CMF(k=4, lambda_=0.8, niter=4, use_float=False).fit(X)
+    Xnew = 3.0 + rng.normal(size=(3, n))
+    a1, b1 = model.factors_multiple(X=Xnew, return_bias=True)
+    assert model._cache_stats.get("warm_dense_matmul", 0) >= 1
+    assert "TransBtBinvBt" in model._precomputed  # built lazily on use
+    model._precomputed = {}
+    a2, b2 = model.factors_multiple(X=Xnew, return_bias=True)
+    np.testing.assert_allclose(a1, a2, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(b1, b2, rtol=1e-7, atol=1e-9)

@@ -227,3 +227,20 @@ def test_model_level_mesh_kwarg(problem):
     # sharded psums reorder f32 accumulation; iterate amplifies slightly
     np.testing.assert_allclose(np.asarray(i1.A_), np.asarray(i2.A_),
                                rtol=8e-3, atol=1e-4)
+
+
+def test_non_power_of_two_mesh(problem):
+    """Mesh sizes with odd prime factors (6 devices) must not hang the
+    row-block computation (regression: lcm, not doubling) and still give
+    parity."""
+    from cmfrec_tpu.solvers import drivers
+
+    assert drivers._mesh_row_block(make_mesh(6)) == 24
+    rows, cols, vals, m, n = problem
+    r1 = drivers.fit_explicit_als(rows, cols, vals, m, n, k=4, lambda_=0.7,
+                                  niter=2, engine="sparse", seed=3)
+    r2 = drivers.fit_explicit_als(rows, cols, vals, m, n, k=4, lambda_=0.7,
+                                  niter=2, engine="sparse", seed=3,
+                                  mesh=make_mesh(6))
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=5e-3, atol=1e-4)

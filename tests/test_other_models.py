@@ -446,3 +446,14 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_omf_warm_zero_lambda_finite(small_problem):
+    """lambda_=0 must not poison the padded coordinates (regression:
+    padding diagonal needs a positive guard)."""
+    Xd, rows, cols, vals, U, I, X, mask = small_problem
+    model = OMF_explicit(k=4, method="als", lambda_=0.0, niter=4,
+                         use_float=False).fit(Xd, U=U, I=I)
+    sel = rows == 2
+    a = model.factors_warm(X_col=cols[sel], X_val=vals[sel])
+    assert np.isfinite(a).all()

@@ -66,11 +66,19 @@ def _ext_C(model, k_pad):
 
 
 def _u_part(model, U, k_pad, dtype):
-    """Dense new-user side-info rows (NaN = missing) -> SparsePart inputs."""
+    """Dense new-user side-info rows (NaN = missing) -> SparsePart inputs.
+
+    Under NA_as_zero_user the missing entries participate with value 0
+    (minus the column means): the part carries only observed-entry
+    corrections (cw = 0, cv = w_u * raw value) on top of the shared
+    G0 = w_u CtC and r0 = CtUbias bases returned alongside
+    (/root/reference/src/collective.c:3389 NA_as_zero_U + :10466).
+    Returns (part, counts, G0_extra, r0_vec_extra)."""
     if U is None or model.C_ is None:
         return None
+    na0_u = bool(getattr(model, "NA_as_zero_user", False))
     U = np.asarray(U, np.float64)
-    if model.U_colmeans_ is not None:
+    if model.U_colmeans_ is not None and not na0_u:
         U = U - model.U_colmeans_[None, :]
     R, p = U.shape
     obs = ~np.isnan(U)
@@ -80,12 +88,44 @@ def _u_part(model, U, k_pad, dtype):
     Ce = _ext_C(model, k_pad)
     msk = (np.arange(L)[None, :] < counts[:, None]).astype(np.float64)
     w_user = getattr(model, "w_user", 1.0)
-    cw = w_user * msk
-    cv = w_user * vals * msk
-    return SparsePart(
+    G0x = r0x = None
+    if na0_u:
+        cw = np.zeros_like(msk)
+        cv = w_user * vals * msk
+        pre = getattr(model, "_precomputed", None) or {}
+        stats = model.__dict__.setdefault("_cache_stats", {})
+        if "CtCw" in pre:
+            CtCw = pre["CtCw"]
+            stats["ctcw"] = stats.get("ctcw", 0) + 1
+        else:
+            CtCw = w_user * (Ce.T @ Ce)
+        G0x = jnp.asarray(_pad_sq(CtCw, k_pad), dtype)
+        if model.U_colmeans_ is not None:
+            if "CtUbias" in pre:
+                ctu = pre["CtUbias"]
+            else:
+                kc = np.asarray(model.C_).shape[1]
+                ctu = -w_user * (Ce[:, :kc].T
+                                 @ np.asarray(model.U_colmeans_))
+            r0np = np.zeros(k_pad)
+            r0np[: ctu.shape[0]] = ctu
+            r0x = jnp.asarray(r0np, dtype)
+    else:
+        cw = w_user * msk
+        cv = w_user * vals * msk
+    part = SparsePart(
         jnp.asarray(Ce, dtype), jnp.asarray(idx), jnp.asarray(cw, dtype),
         jnp.asarray(cv, dtype),
-    ), counts
+    )
+    return part, counts, G0x, r0x
+
+
+def _pad_sq(M, k_pad):
+    if M.shape[0] == k_pad:
+        return M
+    out = np.zeros((k_pad, k_pad))
+    out[: M.shape[0], : M.shape[1]] = M
+    return out
 
 
 def _trans_btb_inv_bt(model):
@@ -127,6 +167,7 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     # (the reference's use at /root/reference/src/collective.c:3389).
     if (L == 0 and U is not None and "TransCtCinvCt" in pre
             and not getattr(model, "NA_as_zero", False)
+            and not getattr(model, "NA_as_zero_user", False)
             and not getattr(model, "nonneg", False)
             and not np.any(l16 > 0)):
         Uarr = np.asarray(U, np.float64)
@@ -200,12 +241,42 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
             r0 = jnp.asarray(w_main * ext.T @ t, dtype)[None, :] * jnp.ones(
                 (R, 1), dtype)
 
+    # implicit-features part (add_implicit_features): Xones ~ a[ku:] Bi^T
+    # treated NA-as-zero — Gram base w_imp*BiTBi, rhs w_imp * sum_obs Bi_j
+    # (/root/reference/src/collective.c:1428-1443 + BiTBi at :1465)
+    if getattr(model, "Bi_", None) is not None:
+        Bi = np.asarray(model.Bi_, np.float64)
+        kiw = Bi.shape[1]
+        wi = float(getattr(model, "w_implicit", 0.5))
+        if "extBi" in pre and "BiTBi" in pre:
+            ext_bi = pre["extBi"]
+            Gi = jnp.asarray(pre["BiTBi"], dtype)
+            stats["bitbi"] = stats.get("bitbi", 0) + 1
+        else:
+            ext_bi = np.zeros((Bi.shape[0], k_pad))
+            ext_bi[:, ku : ku + kiw] = Bi
+            Gnp = np.zeros((k_pad, k_pad))
+            Gnp[ku : ku + kiw, ku : ku + kiw] = wi * (Bi.T @ Bi)
+            Gi = jnp.asarray(Gnp, dtype)
+        G0 = Gi if G0 is None else G0 + Gi
+        if L > 0:
+            parts.append(SparsePart(
+                jnp.asarray(ext_bi, dtype), jnp.asarray(idx),
+                jnp.asarray(np.zeros((R, L)), dtype),
+                jnp.asarray(wi * msk, dtype),
+            ))
+
     lam_mult = None
     u_counts = 0
     up = _u_part(model, U, k_pad, dtype) if U is not None else None
     if up is not None:
         parts.append(up[0])
         u_counts = up[1]
+        if up[2] is not None:  # NA_as_zero_user: shared w_u CtC base
+            G0 = up[2] if G0 is None else G0 + up[2]
+        if up[3] is not None:  # CtUbias centering term
+            r0u = up[3][None, :] * jnp.ones((R, 1), dtype)
+            r0 = r0u if r0 is None else r0 + r0u
 
     if getattr(model, "scale_lam", False):
         if na0:
@@ -645,10 +716,14 @@ def factors_cold_implicit(model, U):
     width = ku + k + km
     k_pad = round_up(width, 8)
     lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
-    up, _ = _u_part(model, U, k_pad, dtype)
+    up, _, G0x, r0x = _u_part(model, U, k_pad, dtype)
     lam_vec = np.ones(k_pad)
     lam_vec[:width] = lam6[2]
-    G, rhs = rowsolve.assemble_system([up], jnp.asarray(lam_vec, dtype))
+    r0 = None
+    if r0x is not None:
+        r0 = r0x[None, :] * jnp.ones((np.asarray(U).shape[0], 1), dtype)
+    G, rhs = rowsolve.assemble_system([up], jnp.asarray(lam_vec, dtype),
+                                      G0=G0x, r0=r0)
     a = np.asarray(rowsolve.solve_chol(G, rhs))
     return a[:, :width]
 
@@ -726,6 +801,9 @@ def build_precomputed(model) -> dict:
         kiw = Bi.shape[1]
         BiTBi[ku : ku + kiw, ku : ku + kiw] = wi * (Bi.T @ Bi)
         out["BiTBi"] = BiTBi
+        ext_bi = np.zeros((Bi.shape[0], k_pad))
+        ext_bi[:, ku : ku + kiw] = Bi
+        out["extBi"] = ext_bi
 
     if model.C_ is not None:
         Ce = _ext_C(model, k_pad)

@@ -244,3 +244,35 @@ def test_non_power_of_two_mesh(problem):
                                   mesh=make_mesh(6))
     np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
                                rtol=5e-3, atol=1e-4)
+
+
+def test_sharded_opposing_matrix_halfstep(problem):
+    """P7 / big-axis scaling: when n*k outgrows one device's HBM the
+    opposing matrix B can be ROW-SHARDED over the mesh instead of
+    replicated; the gather then rides an XLA collective and the half-step
+    result is unchanged (SURVEY §2.4 P7, shard_opposing)."""
+    from cmfrec_tpu.parallel.mesh import shard_opposing
+
+    rows, cols, vals, m, n = problem
+    dtype = np.float32
+    k, k_pad = 6, 8
+    RB = build_bucketed_rows(rows, cols, vals, m, n, dtype=dtype,
+                             row_block=8)
+    mesh = make_mesh(8)
+    shard_bucketed(RB, mesh)
+    key = jax.random.PRNGKey(0)
+    key, A_blocks = init_blocks(key, RB, k, k_pad, dtype)
+    rs = row_sharding(mesh)
+    A_blocks = [jax.device_put(b, rs) for b in A_blocks]
+    B0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n, k_pad), dtype)
+    B0_sharded = shard_opposing(B0, mesh, shard_rows=True)
+    lam_vec = jnp.ones(k_pad, dtype)
+    plan = SidePlan(RB, "explicit", n)
+    out_sharded = update_side(plan, A_blocks, B0_sharded, None, lam_vec,
+                              method="chol", dtype=dtype)
+    out_repl = update_side(plan, [jax.device_put(b, rs) for b in A_blocks],
+                           jax.device_put(B0, None), None, lam_vec,
+                           method="chol", dtype=dtype)
+    for a, b in zip(out_sharded, out_repl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

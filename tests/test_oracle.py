@@ -222,3 +222,67 @@ def test_collective_block_closed_form_with_splits(rng):
     ref = np.linalg.solve(G, rhs)
     got = np.concatenate([np.asarray(a), [bias]])
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_factors_warm_with_implicit_features(rng):
+    """Warm factors for a model fit with add_implicit_features include the
+    w_implicit * BiTBi Gram base and the sum-of-observed-Bi rhs term
+    (/root/reference/src/collective.c:1428-1467)."""
+    m, n, k = 50, 30, 4
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.6
+    rows, cols = np.nonzero(mask)
+    vals = (A0 @ B0.T)[rows, cols] + 3.0
+    model = CMF(k=k, lambda_=0.8, niter=6, add_implicit_features=True,
+                w_implicit=0.5, user_bias=False, item_bias=False,
+                center=False, use_float=False).fit_triplets(
+                    rows, cols, vals, m, n)
+    assert model.Bi_ is not None
+    obs = np.arange(0, n, 2)
+    x = 3.0 + rng.normal(size=obs.size)
+    a = model.factors_warm(X_col=obs, X_val=x)
+    assert model._cache_stats.get("bitbi", 0) >= 1
+
+    B = np.asarray(model.B_, np.float64)
+    Bi = np.asarray(model.Bi_, np.float64)
+    Bs = B[obs]
+    G = Bs.T @ Bs + 0.5 * (Bi.T @ Bi) + 0.8 * np.eye(k)
+    rhs = Bs.T @ x + 0.5 * Bi[obs].sum(axis=0)
+    want = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(a, want, rtol=1e-5, atol=1e-7)
+
+
+def test_factors_cold_na_as_zero_user(rng):
+    """Cold/warm factors for NA_as_zero_user models: missing side-info
+    entries participate as zeros — shared w_u*CtC Gram + CtUbias centering
+    (/root/reference/src/collective.c:3389,10466), served from the caches."""
+    m, n, k, p = 50, 30, 4, 6
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.5
+    rows, cols = np.nonzero(mask)
+    vals = (A0 @ B0.T)[rows, cols] + 3.0
+    Ur = rng.integers(0, m, 150)
+    Uc = rng.integers(0, p, 150)
+    Uv = rng.normal(size=150)
+    import scipy.sparse as sp
+
+    model = CMF(k=k, lambda_=0.8, niter=5, NA_as_zero_user=True, w_user=0.7,
+                user_bias=False, item_bias=False, center=False,
+                use_float=False).fit(
+        sp.coo_matrix((vals, (rows, cols)), shape=(m, n)),
+        U=sp.coo_matrix((Uv, (Ur, Uc)), shape=(m, p)))
+    u_new = np.full(p, np.nan)
+    u_new[[0, 2, 4]] = rng.normal(size=3)
+    a = model.factors_cold(U=u_new)
+    assert model._cache_stats.get("ctcw", 0) >= 1
+
+    C = np.asarray(model.C_, np.float64)
+    cm = (np.asarray(model.U_colmeans_)
+          if model.U_colmeans_ is not None else np.zeros(p))
+    u_full = np.nan_to_num(u_new, nan=0.0)
+    G = 0.7 * (C.T @ C) + 0.8 * np.eye(k)
+    rhs = 0.7 * (C.T @ (u_full - cm))
+    want = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(a, want, rtol=1e-6, atol=1e-8)

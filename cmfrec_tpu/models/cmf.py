@@ -752,8 +752,10 @@ class CMF_implicit(_BaseModel):
         return self._topN_vec(a[self.k_user:], 0.0, n, include, exclude,
                               output_score)
 
-    def predict_warm(self, items, X_col, X_val):
-        a = self.factors_warm(X_col=X_col, X_val=X_val)
+    def predict_warm(self, items, X_col, X_val, U=None, U_col=None,
+                     U_val=None):
+        a = self.factors_warm(X_col=X_col, X_val=X_val, U=U, U_col=U_col,
+                              U_val=U_val)
         i, _ = self._map_ids(items, self.item_mapping_, "item")
         return self._xB[np.atleast_1d(i)] @ a[self.k_user:]
 

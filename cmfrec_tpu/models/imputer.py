@@ -12,6 +12,12 @@ class CMF_imputer(CMF):
     """Drop-in sklearn transformer: fit() on a dense matrix with NaNs,
     transform() fills them with model predictions."""
 
+    def fit(self, X, y=None, U=None, I=None, U_bin=None, I_bin=None,
+            W=None):
+        """sklearn-style fit (y ignored)."""
+        return super().fit(np.asarray(X, np.float64), U=U, I=I,
+                           U_bin=U_bin, I_bin=I_bin, W=W)
+
     def fit_transform(self, X, y=None, **fit_params):
         X = np.asarray(X, np.float64)
         self.fit(X)

@@ -328,7 +328,7 @@ class OMF_explicit(_OMFBase):
 
     def factors_warm(self, X=None, X_col=None, X_val=None, W=None,
                      U=None, U_col=None, U_val=None, return_bias=False,
-                     exact=None):
+                     return_raw_A=False, exact=None):
         if X is not None:
             X = np.asarray(X, np.float64).ravel()
             cols = np.nonzero(~np.isnan(X))[0]
@@ -347,9 +347,17 @@ class OMF_explicit(_OMFBase):
             else np.zeros(self.Bm_.shape[1])
         )
         if return_bias:
-            return self._warm_offset(base, cols, vals, wgt=W,
-                                     return_bias=True, exact=exact)
-        return self._warm_offset(base, cols, vals, wgt=W, exact=exact)
+            a, bias = self._warm_offset(base, cols, vals, wgt=W,
+                                        return_bias=True, exact=exact)
+        else:
+            a = self._warm_offset(base, cols, vals, wgt=W, exact=exact)
+        if return_raw_A:
+            # A := Am - w_user*U*C over the shared coords
+            # (/root/reference/src/offsets.c:732-741,845-847)
+            ks = int(getattr(self, "k_sec", 0))
+            a = np.asarray(a) - np.asarray(base)
+            a = a[ks:]
+        return (a, bias) if return_bias else a
 
     def predict_warm(self, items, X=None, X_col=None, X_val=None, W=None,
                      U=None, U_col=None, U_val=None):
@@ -464,7 +472,8 @@ class OMF_implicit(_OMFBase):
         self.w_main_multiplier_ = res.get("w_main_multiplier", 1.0)
         return self
 
-    def factors_warm(self, X_col, X_val, U=None, U_col=None, U_val=None):
+    def factors_warm(self, X_col, X_val, U=None, U_col=None, U_val=None,
+                     return_raw_A=False):
         cols, _ = self._map_ids(np.asarray(X_col), self.item_mapping_, "item")
         cols = np.atleast_1d(cols)
         vals = np.asarray(X_val, np.float64).ravel()
@@ -475,8 +484,11 @@ class OMF_implicit(_OMFBase):
             if (U is not None or U_col is not None) and self.C_ is not None
             else np.zeros(self.Bm_.shape[1])
         )
-        return self._warm_offset(base, cols, vals, implicit=True,
-                                 alpha=self.alpha)
+        a = self._warm_offset(base, cols, vals, implicit=True,
+                              alpha=self.alpha)
+        if return_raw_A:
+            a = np.asarray(a) - np.asarray(base)
+        return a
 
     def predict_warm(self, items, X_col, X_val):
         a = self.factors_warm(X_col, X_val)

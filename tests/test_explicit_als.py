@@ -292,3 +292,60 @@ def test_warm_restart_continues_from_init(rng):
     # 1+7 follows a slightly different CG trajectory than straight-8 (the
     # CG momentum state resets at the boundary) but lands close
     assert abs(r_cont - r_full) < 0.3 * r_full
+
+
+def test_trajectory_matches_numpy_als(rng):
+    """Full-trajectory parity: from an IDENTICAL init, niter exact-Cholesky
+    iterations of the engine equal a literal NumPy ALS with joint
+    bias-coordinate solves (same A-then-B order, same centering) — the
+    matched-hyperparameter trajectory check of SURVEY §4."""
+    rows, cols, vals, m, n = make_synthetic(rng)
+    k, lam, lam_b, niter = 4, 0.7, 0.9, 3
+    mu = float(np.mean(vals))
+    v = vals - mu
+    A0 = rng.normal(size=(m, k)) * 0.3
+    B0 = rng.normal(size=(n, k)) * 0.3
+    bA0 = rng.normal(size=m) * 0.1
+    bB0 = rng.normal(size=n) * 0.1
+
+    res = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=[lam_b, lam_b, lam, lam, 0, 0],
+        niter=niter, use_cg=False, user_bias=True, item_bias=True,
+        center=True, engine="sparse", dtype=np.float64,
+        init=dict(A=A0, B=B0, biasA=bA0, biasB=bB0),
+    )
+
+    # literal NumPy ALS, A half-step then B half-step per iteration
+    A, B = A0.copy(), B0.copy()
+    bA, bB = bA0.copy(), bB0.copy()
+    for _ in range(niter):
+        for r in range(m):
+            sel = rows == r
+            if not sel.any():
+                A[r] = 0.0
+                bA[r] = 0.0
+                continue
+            Be = np.concatenate([B[cols[sel]],
+                                 np.ones((sel.sum(), 1))], axis=1)
+            t = v[sel] - bB[cols[sel]]
+            lamv = np.concatenate([np.full(k, lam), [lam_b]])
+            sol = np.linalg.solve(Be.T @ Be + np.diag(lamv), Be.T @ t)
+            A[r], bA[r] = sol[:k], sol[k]
+        for c in range(n):
+            sel = cols == c
+            if not sel.any():
+                B[c] = 0.0
+                bB[c] = 0.0
+                continue
+            Ae = np.concatenate([A[rows[sel]],
+                                 np.ones((sel.sum(), 1))], axis=1)
+            t = v[sel] - bA[rows[sel]]
+            lamv = np.concatenate([np.full(k, lam), [lam_b]])
+            sol = np.linalg.solve(Ae.T @ Ae + np.diag(lamv), Ae.T @ t)
+            B[c], bB[c] = sol[:k], sol[k]
+
+    np.testing.assert_allclose(np.asarray(res["A"]), A, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res["B"]), B, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res["biasA"]), bA, rtol=1e-7,
+                               atol=1e-9)
+    assert abs(res["glob_mean"] - mu) < 1e-9

@@ -349,3 +349,45 @@ def test_trajectory_matches_numpy_als(rng):
     np.testing.assert_allclose(np.asarray(res["biasA"]), bA, rtol=1e-7,
                                atol=1e-9)
     assert abs(res["glob_mean"] - mu) < 1e-9
+
+
+def test_implicit_trajectory_matches_numpy_als(rng):
+    """WRMF trajectory parity from an identical init: exact-Cholesky
+    iterations equal a literal NumPy implicit ALS (confidence 1+alpha*x,
+    shared BtB base, A-then-B order)."""
+    rows, cols, vals, m, n = make_synthetic(rng)
+    x = np.abs(vals) + 1.0
+    k, lam, alpha, niter = 4, 1.5, 0.6, 3
+    A0 = rng.normal(size=(m, k)) * 0.3
+    B0 = rng.normal(size=(n, k)) * 0.3
+
+    res = fit_implicit_als(
+        rows, cols, x, m, n, k=k, lambda_=lam, alpha=alpha, niter=niter,
+        use_cg=False, dtype=np.float64, init=dict(A=A0, B=B0),
+    )
+
+    A, B = A0.copy(), B0.copy()
+    for _ in range(niter):
+        G0 = B.T @ B
+        for r in range(m):
+            sel = rows == r
+            if not sel.any():
+                A[r] = 0.0
+                continue
+            Bs = B[cols[sel]]
+            av = alpha * x[sel]
+            G = G0 + (Bs.T * av) @ Bs + lam * np.eye(k)
+            A[r] = np.linalg.solve(G, Bs.T @ (1.0 + av))
+        G0 = A.T @ A
+        for c in range(n):
+            sel = cols == c
+            if not sel.any():
+                B[c] = 0.0
+                continue
+            As = A[rows[sel]]
+            av = alpha * x[sel]
+            G = G0 + (As.T * av) @ As + lam * np.eye(k)
+            B[c] = np.linalg.solve(G, As.T @ (1.0 + av))
+
+    np.testing.assert_allclose(np.asarray(res["A"]), A, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res["B"]), B, rtol=1e-7, atol=1e-9)

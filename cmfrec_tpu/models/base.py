@@ -216,7 +216,13 @@ class _BaseModel:
                     n_rows = len(mapping)
                 else:
                     codes = U[id_col].to_numpy(np.int64)
-                    n_rows = max(n_main, int(codes.max()) + 1 if codes.size else 0)
+                    n_ids = int(codes.max()) + 1 if codes.size else 0
+                    if n_ids > n_main and not self._supports_extra_side_rows:
+                        raise ValueError(
+                            f"{name} contains ids not present in X; this "
+                            "model does not support side-info-only entities"
+                        )
+                    n_rows = max(n_main, n_ids)
                 feat = U.drop(columns=[id_col]).to_numpy(np.float64)
                 dense = np.full((n_rows, feat.shape[1]), np.nan)
                 dense[codes] = feat

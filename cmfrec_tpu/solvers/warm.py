@@ -162,10 +162,16 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
 
     R, L = idx.shape
 
+    has_bi = getattr(model, "Bi_", None) is not None
+
     # Cold fast path: side-info-only rows with a full observation go through
     # the TransCtCinvCt cache — ONE matmul, no per-call factorization
     # (the reference's use at /root/reference/src/collective.c:3389).
+    # The reference only dispatches to collective_factors_cold when
+    # !add_implicit_features (collective.c:3656); with Bi present, cold
+    # rows go through the warm path and pick up the BiTBi Gram below.
     if (L == 0 and U is not None and "TransCtCinvCt" in pre
+            and not has_bi
             and not getattr(model, "NA_as_zero", False)
             and not getattr(model, "NA_as_zero_user", False)
             and not getattr(model, "nonneg", False)
@@ -243,8 +249,12 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
 
     # implicit-features part (add_implicit_features): Xones ~ a[ku:] Bi^T
     # treated NA-as-zero — Gram base w_imp*BiTBi, rhs w_imp * sum_obs Bi_j
-    # (/root/reference/src/collective.c:1428-1443 + BiTBi at :1465)
-    if getattr(model, "Bi_", None) is not None:
+    # (/root/reference/src/collective.c:1428-1443 + BiTBi at :1465).
+    # The Gram base applies to cold (L==0) rows too: the reference routes
+    # add_implicit_features cold solves through the warm path
+    # (collective.c:3656 requires !add_implicit_features for the cold
+    # dispatch), which adds BiTBi unconditionally (collective.c:1487).
+    if has_bi:
         Bi = np.asarray(model.Bi_, np.float64)
         kiw = Bi.shape[1]
         wi = float(getattr(model, "w_implicit", 0.5))
@@ -278,7 +288,11 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
             r0u = up[3][None, :] * jnp.ones((R, 1), dtype)
             r0 = r0u if r0 is None else r0 + r0u
 
-    if getattr(model, "scale_lam", False):
+    scale_l = bool(getattr(model, "scale_lam", False))
+    scale_si = bool(getattr(model, "scale_lam_sideinfo", False))
+    if scale_l or scale_si:
+        # scale_lam_sideinfo implies scaling even when scale_lam is off
+        # (collective.c:1286 gates on scale_lam || scale_lam_sideinfo).
         if na0:
             # weighted: wsum over observed + 1 per missing entry; unweighted
             # degenerates to the full column count (common.c:708-710)
@@ -286,7 +300,13 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
                     + (float(ext.shape[0]) - np.asarray(lengths, np.float64)))
         else:
             base = (ww * msk).sum(axis=1)
-        if getattr(model, "scale_lam_sideinfo", False) and np.ndim(u_counts):
+            # Rows with no X observations: the warm path (taken when Bi is
+            # present) uses multiplier 1 (collective.c:1332-1337); the no-Bi
+            # cold dispatch scales by the side count only (collective.c:3656
+            # -> factors_closed_form with u as the data vector).
+            base = np.where(np.asarray(lengths, np.float64) > 0, base,
+                            1.0 if has_bi else 0.0)
+        if scale_si and np.ndim(u_counts):
             base = base + u_counts
         lam_mult = jnp.asarray(np.maximum(base, 1.0), dtype)
 
@@ -297,6 +317,36 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     lam_vec = jnp.asarray(lam_vec, dtype)
 
     nonneg = bool(getattr(model, "nonneg", False))
+
+    # BeTBeChol fast path (/root/reference/src/collective.c:1365, cache
+    # built at :10425): when every row's Gram equals the cached extended
+    # system — fully-observed unweighted X (or NA-as-zero with rhs-only
+    # corrections) plus fully-observed dense U — skip the per-row Gram
+    # assembly and batched factorization entirely: one rhs matmul plus two
+    # triangular solves against the cached Cholesky factor.
+    if ("BeTBeChol" in pre and lam_mult is None and not nonneg
+            and not np.any(l16 > 0) and up is not None
+            and not np.isnan(np.asarray(U, np.float64)).any()):
+        n_items = ext.shape[0]
+        full_obs = (not na0 and wgt is None and L == n_items
+                    and np.all(np.asarray(lengths) == n_items)
+                    and np.array_equal(
+                        np.asarray(idx),
+                        np.broadcast_to(np.arange(n_items), (R, n_items))))
+        if full_obs or (na0 and wgt is None):
+            rhs = jnp.zeros((R, k_pad), dtype)
+            for prt in parts:
+                rhs = rhs + rowsolve.part_rhs(prt)
+            if r0 is not None:
+                rhs = rhs + r0
+            Lc = jnp.asarray(pre["BeTBeChol"], dtype)
+            y = jax.scipy.linalg.solve_triangular(Lc, rhs.T, lower=True)
+            a = np.array(jax.scipy.linalg.solve_triangular(
+                Lc, y, lower=True, trans=1).T)
+            stats["bechol"] = stats.get("bechol", 0) + 1
+            bias = a[:, width] if user_bias else np.zeros(R)
+            return a[:, : ku + k + km], bias
+
     G, rhs = rowsolve.assemble_system(parts, lam_vec, lam_mult=lam_mult,
                                       G0=G0, r0=r0)
     if nonneg or np.any(l16 > 0):
@@ -572,22 +622,32 @@ def _lbfgs_rows(a0, args, n_steps, memory, kc):
     opt = optax.lbfgs(memory_size=memory)
     state = opt.init(a0)
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
+    tol = jnp.asarray(1e-7, a0.dtype)
 
-    def body(carry, _):
-        a, state = carry
+    # Early-stop on the gradient sup-norm (liblbfgs-style relative
+    # criterion): avoids paying the full n_steps on every warm/cold call
+    # when the batched objective converges in a handful of iterations.
+    def cond(carry):
+        a, state, it, gnorm = carry
+        anorm = jnp.maximum(1.0, jnp.max(jnp.abs(a)))
+        return jnp.logical_and(it < n_steps, gnorm >= tol * anorm)
+
+    def body(carry):
+        a, state, it, _ = carry
         value, grad = value_and_grad(a, state=state)
         updates, state2 = opt.update(
             grad, state, a, value=value, grad=grad, value_fn=loss_fn
         )
         a = optax.apply_updates(a, updates)
-        return (a, state2), value
+        return (a, state2, it + 1, jnp.max(jnp.abs(grad)))
 
-    (a, _), _ = jax.lax.scan(body, (a0, state), None, length=n_steps)
+    init = (a0, state, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, a0.dtype))
+    a, _, _, _ = jax.lax.while_loop(cond, body, init)
     return a
 
 
 def factors_bin_batch(model, idx, vals, wgt, lengths, U=None, U_bin=None,
-                      cold=False, return_bias=False):
+                      cold=False, return_bias=False, maxiter=None):
     """Warm/cold factors when binary side info is involved: no closed form
     exists, so run the reference's per-row gradient solve
     (collective_factors_lbfgs, /root/reference/src/collective.c:1146;
@@ -670,7 +730,8 @@ def factors_bin_batch(model, idx, vals, wgt, lengths, U=None, U_bin=None,
             Cm, u, umask, Cb, ub, ubmask,
             jnp.asarray(lam_vec, dtype),
             jnp.asarray(w_main, dtype), jnp.asarray(w_user, dtype))
-    a = np.array(_lbfgs_rows(a0, args, n_steps=200, memory=5, kc=kc))
+    n_steps = int(maxiter) if maxiter is not None else 200
+    a = np.array(_lbfgs_rows(a0, args, n_steps=n_steps, memory=5, kc=kc))
     if cold:
         out = np.zeros((R, ku + k + km))
         out[:, :kc] = a

@@ -1,0 +1,252 @@
+"""Build + ctypes driver for the REAL reference binary (libcmfrec).
+
+The reference C core (/root/reference/src) builds into a shared library
+with no Cython involved (/root/reference/CMakeLists.txt:165 target
+`cmfrec`).  This module builds it on demand into `.refbuild/` (cached
+across test runs) and exposes ctypes wrappers for
+`fit_collective_explicit_als` / `fit_collective_implicit_als`
+(/tmp path: include/cmfrec.h.in), so tests can assert trajectory
+agreement between cmfrec_tpu and the actual reference binary on
+identical data, identical inits, and matched hyperparameters — a much
+stronger anchor than hand-written NumPy oracles.
+
+Used by tests/test_ref_parity.py; every consumer must tolerate
+`get_lib() is None` (missing toolchain / reference tree) by skipping.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+
+import numpy as np
+
+REF_DIR = "/root/reference"
+BUILD_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         ".refbuild")
+
+_lib = None
+_tried = False
+
+c_real = ct.c_double
+c_int_t = ct.c_int32
+
+
+def _find_blas_links(tmp):
+    """The image ships libblas.so.3/liblapack.so.3 without the dev
+    symlinks FindBLAS needs; create them in a scratch dir."""
+    os.makedirs(tmp, exist_ok=True)
+    found = False
+    for name in ("blas", "lapack"):
+        for d in ("/lib/x86_64-linux-gnu", "/usr/lib/x86_64-linux-gnu",
+                  "/usr/lib"):
+            src = os.path.join(d, f"lib{name}.so.3")
+            if os.path.exists(src):
+                dst = os.path.join(tmp, f"lib{name}.so")
+                if not os.path.exists(dst):
+                    os.symlink(src, dst)
+                found = True
+                break
+    return found
+
+
+def build_ref_lib() -> str | None:
+    """Configure+build libcmfrec.so (double precision, 32-bit ints).
+    Returns the .so path, or None when it cannot be built."""
+    so = os.path.join(BUILD_DIR, "libcmfrec.so")
+    if os.path.exists(so):
+        return so
+    if not os.path.isdir(os.path.join(REF_DIR, "src")):
+        return None
+    try:
+        os.makedirs(BUILD_DIR, exist_ok=True)
+        linkdir = os.path.join(BUILD_DIR, "_blaslinks")
+        if not _find_blas_links(linkdir):
+            return None
+        subprocess.run(
+            ["cmake", REF_DIR, "-DCMAKE_BUILD_TYPE=Release",
+             f"-DCMAKE_LIBRARY_PATH={linkdir}"],
+            cwd=BUILD_DIR, check=True, capture_output=True, timeout=300)
+        subprocess.run(["make", "-j2"], cwd=BUILD_DIR, check=True,
+                       capture_output=True, timeout=900)
+    except (subprocess.SubprocessError, OSError):
+        return None
+    return so if os.path.exists(so) else None
+
+
+def get_lib():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so = build_ref_lib()
+    if so is None:
+        return None
+    try:
+        _lib = ct.CDLL(so)
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def _ptr(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ct.POINTER(c_real))
+
+
+def _iptr(arr):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ct.POINTER(c_int_t))
+
+
+def ref_fit_explicit_als(
+    rows, cols, vals, m, n, *, k, lam, niter,
+    A0, B0, C0=None, U=None,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, w_implicit=0.5,
+    use_cg=False, max_cg_steps=3, precondition_cg=False,
+    finalize_chol=True,
+    user_bias=True, item_bias=True, center=True, center_U=True,
+    NA_as_zero=False, NA_as_zero_U=False,
+    scale_lam=False, scale_lam_sideinfo=False, scale_bias_const=False,
+    add_implicit_features=False, Ai0=None, Bi0=None,
+    weights=None, lam_unique=None, l1_lam=0.0,
+    nonneg=False, max_cd_steps=100,
+):
+    """fit_collective_explicit_als with reset_values=false: A/B (and C,
+    Ai/Bi) start from the provided inits, biases start at zero — the
+    exact analog of cmfrec_tpu's init= warm start."""
+    lib = get_lib()
+    assert lib is not None
+    width_A = k_user + k + k_main
+    width_B = k_item + k + k_main
+    p = 0 if U is None else U.shape[1]
+    m_u = 0 if U is None else U.shape[0]
+    A = np.ascontiguousarray(np.zeros((max(m, m_u), width_A)), np.float64)
+    A[: A0.shape[0], :] = A0
+    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
+    assert B.shape == (n, width_B)
+    biasA = np.zeros(max(m, m_u)) if user_bias else None
+    biasB = np.zeros(n) if item_bias else None
+    C = None
+    if U is not None:
+        C = np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
+        assert C.shape == (p, k_user + k)
+    Ai = Bi = None
+    if add_implicit_features:
+        Ai = np.ascontiguousarray(np.asarray(Ai0, np.float64)).copy()
+        Bi = np.ascontiguousarray(np.asarray(Bi0, np.float64)).copy()
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    U_colmeans = (np.zeros(p) if (U is not None and center_U) else None)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+    W = None if weights is None else np.ascontiguousarray(weights, np.float64)
+    lam_u = (None if lam_unique is None
+             else np.ascontiguousarray(lam_unique, np.float64))
+    glob_mean = c_real(0.0)
+    scaling_biasA = c_real(0.0)
+    scaling_biasB = c_real(0.0)
+
+    fn = lib.fit_collective_explicit_als
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(biasA), _ptr(biasB),
+        _ptr(A), _ptr(B),
+        _ptr(C), None,                      # C, D
+        _ptr(Ai), _ptr(Bi),
+        ct.c_bool(add_implicit_features),
+        ct.c_bool(False), c_int_t(1),       # reset_values, seed
+        ct.byref(glob_mean),
+        _ptr(U_colmeans), None,             # U_colmeans, I_colmeans
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
+        None,                               # Xfull
+        _ptr(W),
+        ct.c_bool(user_bias), ct.c_bool(item_bias), ct.c_bool(center),
+        c_real(lam), _ptr(lam_u),
+        c_real(l1_lam), None,
+        ct.c_bool(scale_lam), ct.c_bool(scale_lam_sideinfo),
+        ct.c_bool(scale_bias_const),
+        ct.byref(scaling_biasA), ct.byref(scaling_biasB),
+        _ptr(Ucont), c_int_t(m_u), c_int_t(p),
+        None, c_int_t(0), c_int_t(0),       # II, n_i, q
+        None, None, None, ct.c_size_t(0),   # U sparse
+        None, None, None, ct.c_size_t(0),   # I sparse
+        ct.c_bool(NA_as_zero), ct.c_bool(NA_as_zero_U), ct.c_bool(False),
+        c_int_t(k_main), c_int_t(k_user), c_int_t(k_item),
+        c_real(w_main), c_real(w_user), c_real(1.0), c_real(w_implicit),
+        c_int_t(niter), ct.c_int(1),        # niter, nthreads
+        ct.c_bool(False), ct.c_bool(True),  # verbose, handle_interrupt
+        ct.c_bool(use_cg), c_int_t(max_cg_steps),
+        ct.c_bool(precondition_cg), ct.c_bool(finalize_chol),
+        ct.c_bool(nonneg), c_int_t(max_cd_steps),
+        ct.c_bool(False), ct.c_bool(False),  # nonneg_C, nonneg_D
+        ct.c_bool(False),                    # precompute_for_predictions
+        ct.c_bool(True),                     # include_all_X
+        None, None, None, None, None, None, None, None, None,
+    )
+    assert ret == 0, f"reference fit_collective_explicit_als returned {ret}"
+    return {
+        "A": A[:, :], "B": B, "C": C, "Ai": Ai, "Bi": Bi,
+        "biasA": biasA, "biasB": biasB,
+        "glob_mean": float(glob_mean.value),
+        "U_colmeans": U_colmeans,
+    }
+
+
+def ref_fit_implicit_als(
+    rows, cols, vals, m, n, *, k, lam, niter, alpha,
+    A0, B0,
+    use_cg=False, max_cg_steps=3, precondition_cg=False,
+    finalize_chol=False,
+    apply_log_transf=False, adjust_weight=False,
+    l1_lam=0.0, nonneg=False, max_cd_steps=100,
+):
+    lib = get_lib()
+    assert lib is not None
+    A = np.ascontiguousarray(np.asarray(A0, np.float64)).copy()
+    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
+    assert A.shape == (m, k) and B.shape == (n, k)
+    X_row = np.ascontiguousarray(rows, np.int32)
+    X_col = np.ascontiguousarray(cols, np.int32)
+    # the C implicit path scales X by alpha IN PLACE via a copy? no — it
+    # multiplies the caller's array; pass a copy to stay side-effect free
+    X = np.ascontiguousarray(vals, np.float64).copy()
+    w_main_multiplier = c_real(1.0)
+
+    fn = lib.fit_collective_implicit_als
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(A), _ptr(B),
+        None, None,                         # C, D
+        ct.c_bool(False), c_int_t(1),       # reset_values, seed
+        None, None,                         # U_colmeans, I_colmeans
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(X_row), _iptr(X_col), _ptr(X), ct.c_size_t(X.size),
+        c_real(lam), None,
+        c_real(l1_lam), None,
+        None, c_int_t(0), c_int_t(0),       # U, m_u, p
+        None, c_int_t(0), c_int_t(0),       # II, n_i, q
+        None, None, None, ct.c_size_t(0),   # U sparse
+        None, None, None, ct.c_size_t(0),   # I sparse
+        ct.c_bool(False), ct.c_bool(False),  # NA_as_zero_U/I
+        c_int_t(0), c_int_t(0), c_int_t(0),  # k_main, k_user, k_item
+        c_real(1.0), c_real(1.0), c_real(1.0),  # w_main/user/item
+        ct.byref(w_main_multiplier),
+        c_real(alpha), ct.c_bool(adjust_weight), ct.c_bool(apply_log_transf),
+        c_int_t(niter), ct.c_int(1),
+        ct.c_bool(False), ct.c_bool(True),
+        ct.c_bool(use_cg), c_int_t(max_cg_steps),
+        ct.c_bool(precondition_cg), ct.c_bool(finalize_chol),
+        ct.c_bool(nonneg), c_int_t(max_cd_steps),
+        ct.c_bool(False), ct.c_bool(False),
+        ct.c_bool(False),                    # precompute_for_predictions
+        None, None, None, None,
+    )
+    assert ret == 0, f"reference fit_collective_implicit_als returned {ret}"
+    return {"A": A, "B": B,
+            "w_main_multiplier": float(w_main_multiplier.value)}

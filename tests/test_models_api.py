@@ -550,3 +550,141 @@ def test_fully_observed_warm_uses_transbtbinvbt(rng):
     a2, b2 = model.factors_multiple(X=Xnew, return_bias=True)
     np.testing.assert_allclose(a1, a2, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(b1, b2, rtol=1e-7, atol=1e-9)
+
+
+def test_factors_cold_add_implicit_features(ratings_df, rng):
+    """Cold factors on an add_implicit_features model include the BiTBi
+    Gram: the reference only dispatches to collective_factors_cold when
+    !add_implicit_features (/root/reference/src/collective.c:3656), so
+    Bi models go through the warm path which adds BiTBi unconditionally
+    (collective.c:1487).  Cached and uncached paths must agree, and match
+    a literal dense oracle."""
+    df, rows, cols, vals, m, n = ratings_df
+    U = rng.normal(size=(m, 6))
+    model = CMF(k=4, k_user=2, k_main=1, lambda_=0.7, niter=4,
+                add_implicit_features=True, w_implicit=0.6, w_user=0.8,
+                use_float=False).fit(df, U=U)
+    u_new = rng.normal(size=6)
+    a_cached = model.factors_cold(U=u_new)
+    model._precomputed = {}
+    a_uncached = model.factors_cold(U=u_new)
+    np.testing.assert_allclose(a_cached, a_uncached, rtol=1e-8, atol=1e-10)
+    k, ku, km = 4, 2, 1
+    C = np.asarray(model.C_)      # [p, ku+k]
+    Bi = np.asarray(model.Bi_)    # [n, k+km]
+    w = ku + k + km
+    G = 0.7 * np.eye(w)
+    G[: ku + k, : ku + k] += 0.8 * (C.T @ C)
+    G[ku:, ku:] += 0.6 * (Bi.T @ Bi)
+    rhs = np.zeros(w)
+    uc = u_new - np.asarray(model.U_colmeans_)
+    rhs[: ku + k] = 0.8 * (C.T @ uc)
+    a_ref = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(a_uncached, a_ref, rtol=1e-6, atol=1e-8)
+    # BiTBi couples the k/k_main coords: they are generically nonzero here
+    assert np.any(np.abs(a_ref[ku + k:]) > 1e-12)
+
+
+def test_scale_lam_sideinfo_only(ratings_df, rng):
+    """scale_lam_sideinfo=True with scale_lam=False still scales lambda at
+    inference (collective_closed_form_block gates on either flag,
+    /root/reference/src/collective.c:1286); the cached cold path (lam
+    pre-scaled by p in TransCtCinvCt) and the uncached path agree, and a
+    warm solve matches the literal (nnz + side count) scaling."""
+    _, rows, cols, vals, m, n = ratings_df
+    X = np.full((m, n), np.nan)
+    X[rows, cols] = vals
+    U = rng.normal(size=(m, 6))
+    model = CMF(k=4, lambda_=0.5, niter=4, scale_lam_sideinfo=True,
+                user_bias=False, item_bias=False,
+                use_float=False).fit(X, U=U)
+    u_new = rng.normal(size=6)
+    a_cached = model.factors_cold(U=u_new)
+    assert model._cache_stats.get("cold_matmul", 0) >= 1
+    pre = model._precomputed
+    model._precomputed = {}
+    a_uncached = model.factors_cold(U=u_new)
+    np.testing.assert_allclose(a_cached, a_uncached, rtol=1e-7, atol=1e-9)
+    # warm oracle: lam * (nnz + p_observed)
+    obs = np.arange(0, n, 2)
+    xv = np.linspace(1.0, 5.0, obs.size)
+    a_w = model.factors_warm(X_col=obs, X_val=xv, U=u_new)
+    B = np.asarray(model.B_)[obs]          # [nnz, k]
+    C = np.asarray(model.C_)               # [p, k]
+    v = xv - model.glob_mean_
+    mult = float(obs.size + 6)
+    G = B.T @ B + C.T @ C + 0.5 * mult * np.eye(4)
+    rhs = B.T @ v + C.T @ (u_new - np.asarray(model.U_colmeans_))
+    a_ref = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(a_w, a_ref, rtol=1e-6, atol=1e-8)
+    model._precomputed = pre
+
+
+def test_positional_side_rows_guard(rng):
+    """Positional (reindex_=False) side-info ids beyond X's row count raise
+    the same clear error as the DataFrame path for models that don't
+    support side-only entities (mirrors models/base.py DataFrame check)."""
+    from cmfrec_tpu import ContentBased
+
+    m, n = 30, 20
+    X = rng.uniform(1, 5, size=(m, n))
+    X[rng.uniform(size=(m, n)) < 0.5] = np.nan
+    U = pd.DataFrame(rng.normal(size=(m + 4, 3)).astype(np.float64))
+    U.insert(0, "UserId", np.arange(m + 4))
+    model = ContentBased(k=3, maxiter=10)
+    I = rng.normal(size=(n, 3))
+    with pytest.raises(ValueError, match="side-info-only"):
+        model.fit(X, U=U, I=I)
+
+
+def test_warm_uses_betbechol_cache(ratings_df, rng):
+    """Fully-observed warm rows WITH dense side info route through the
+    BeTBeChol cache (/root/reference/src/collective.c:1365, built at
+    :10425): no per-row Gram assembly, no per-call Cholesky, identical
+    output to the general path.  Also covers the NA-as-zero variant."""
+    _, rows, cols, vals, m, n = ratings_df
+    X = np.full((m, n), np.nan)
+    X[rows, cols] = vals
+    U = rng.normal(size=(m, 6))
+    model = CMF(k=4, k_user=1, lambda_=0.7, niter=4, w_user=0.9,
+                use_float=False).fit(X, U=U)
+    assert "BeTBeChol" in model._precomputed
+    Xnew = 3.0 + rng.normal(size=(3, n))
+    Unew = rng.normal(size=(3, 6))
+
+    import cmfrec_tpu.ops.rowsolve as rs
+
+    orig_assemble, orig_chol = rs.assemble_system, rs.solve_chol
+    calls = {"assemble": 0, "chol": 0}
+
+    def counting_assemble(*a, **kw):
+        calls["assemble"] += 1
+        return orig_assemble(*a, **kw)
+
+    def counting_chol(*a, **kw):
+        calls["chol"] += 1
+        return orig_chol(*a, **kw)
+
+    rs.assemble_system, rs.solve_chol = counting_assemble, counting_chol
+    try:
+        a1 = model.factors_multiple(X=Xnew, U=Unew)
+    finally:
+        rs.assemble_system, rs.solve_chol = orig_assemble, orig_chol
+    assert model._cache_stats.get("bechol", 0) >= 1
+    assert calls["assemble"] == 0 and calls["chol"] == 0
+    model._precomputed = {}
+    a2 = model.factors_multiple(X=Xnew, U=Unew)
+    np.testing.assert_allclose(a1, a2, rtol=1e-7, atol=1e-9)
+
+    # NA-as-zero variant: sparse observations, rhs-only corrections
+    model2 = CMF(k=4, lambda_=0.8, niter=4, NA_as_zero=True,
+                 use_float=False).fit(X, U=U)
+    assert "BeTBeChol" in model2._precomputed
+    obs = np.arange(0, n, 3)
+    a3 = model2.factors_warm(X_col=obs, X_val=np.linspace(1, 5, obs.size),
+                             U=Unew[0])
+    assert model2._cache_stats.get("bechol", 0) >= 1
+    model2._precomputed = {}
+    a4 = model2.factors_warm(X_col=obs, X_val=np.linspace(1, 5, obs.size),
+                             U=Unew[0])
+    np.testing.assert_allclose(a3, a4, rtol=1e-7, atol=1e-9)

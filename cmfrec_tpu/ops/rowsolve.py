@@ -202,24 +202,27 @@ def solve_cg(
     r = rhs - matvec(a0)
     z = precond(r)
     rz0 = jnp.sum(r * z, axis=-1)
-    tol = jnp.asarray(rel_tol, dt)
+    # Two-tolerance stopping, matching the reference exactly
+    # (/root/reference/src/common.c:1147,1181): skip rows already below
+    # 1e-12, and stop a row once its post-step residual falls below 1e-8.
+    live0 = rz0 > jnp.asarray(rel_tol, dt)
 
     def body(carry, _):
-        a, r, p, rz = carry
+        a, r, p, rz, live = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rz > tol
         alpha = jnp.where(live, rz / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         z = precond(r)
         rz_new = jnp.sum(r * z, axis=-1)
+        live = live & (rz_new > 1e-8)
         beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1, rz), 0.0)
-        p = z + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rz_new, rz)), None
+        p = jnp.where(live[:, None], z + beta[:, None] * p, p)
+        return (a, r, p, jnp.where(live, rz_new, rz), live), None
 
-    (a, _, _, _), _ = jax.lax.scan(
-        body, (a0, r, z, rz0), None, length=n_steps
+    (a, _, _, _, _), _ = jax.lax.scan(
+        body, (a0, r, z, rz0, live0), None, length=n_steps
     )
     return a
 

@@ -246,6 +246,8 @@ def fit_collective_explicit_als(
     nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
     weights=None, dtype=np.float32, seed=1, verbose=False,
     mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
+    init=None,  # warm restart (reset_values=False analog): dict with any of
+    # A, B, C, D, Ai, Bi, biasA, biasB — unpadded [rows, width] arrays
 ) -> dict:
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
@@ -276,6 +278,7 @@ def fit_collective_explicit_als(
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
         and use_cg
+        and init is None  # the fused engine has no warm-start entry point
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
         and not (NA_as_zero or NA_as_zero_user or NA_as_zero_item)
@@ -358,6 +361,18 @@ def fit_collective_explicit_als(
         A_blocks = _set_bias_coord(A_blocks, RB, biasA0, ka, dtype)
     if item_bias:
         B_blocks = _set_bias_coord(B_blocks, CB, biasB0, kb, dtype)
+    if init is not None:
+        from .drivers import _seed_factor_blocks
+        if init.get("A") is not None:
+            A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], ka, dtype)
+        if init.get("B") is not None:
+            B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], kb, dtype)
+        if user_bias and init.get("biasA") is not None:
+            A_blocks = _set_bias_coord(
+                A_blocks, RB, np.asarray(init["biasA"]), ka, dtype)
+        if item_bias and init.get("biasB") is not None:
+            B_blocks = _set_bias_coord(
+                B_blocks, CB, np.asarray(init["biasB"]), kb, dtype)
 
     # --- side-info structures ---
     def setup_side(S: Optional[PreparedSide], main_bucketed, kx_pad):
@@ -388,20 +403,36 @@ def fit_collective_explicit_als(
     key2 = jax.random.PRNGKey(seed + 1)
     C_blocks = D_blocks = None
     C_orig = D_orig = None
+    init_C = None if init is None else init.get("C")
+    init_D = None if init is None else init.get("D")
     if U is not None:
         if U.dense is not None:
             C_orig = 0.01 * jax.random.normal(key2, (U.p, kc_pad), dtype)
             C_orig = C_orig.at[:, kc:].set(0.0)
+            if init_C is not None:
+                C_orig = C_orig.at[:, :kc].set(
+                    jnp.asarray(np.asarray(init_C, dtype)))
         else:
             key2, C_blocks = init_blocks(key2, U_featb, kc, kc_pad, dtype)
+            if init_C is not None:
+                from .drivers import _seed_factor_blocks
+                C_blocks = _seed_factor_blocks(
+                    C_blocks, U_featb, init_C, kc, dtype)
             C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
     if I is not None:
         if I.dense is not None:
             key2, sub = jax.random.split(key2)
             D_orig = 0.01 * jax.random.normal(sub, (I.p, kd_pad), dtype)
             D_orig = D_orig.at[:, kd:].set(0.0)
+            if init_D is not None:
+                D_orig = D_orig.at[:, :kd].set(
+                    jnp.asarray(np.asarray(init_D, dtype)))
         else:
             key2, D_blocks = init_blocks(key2, I_featb, kd, kd_pad, dtype)
+            if init_D is not None:
+                from .drivers import _seed_factor_blocks
+                D_blocks = _seed_factor_blocks(
+                    D_blocks, I_featb, init_D, kd, dtype)
             D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
 
     Bi_blocks = Ai_blocks = None
@@ -409,6 +440,14 @@ def fit_collective_explicit_als(
     if add_implicit_features:
         key, Bi_blocks = init_blocks(key, CB, ki_w, ki_pad, dtype)
         key, Ai_blocks = init_blocks(key, RB, ki_w, ki_pad, dtype)
+        if init is not None:
+            from .drivers import _seed_factor_blocks
+            if init.get("Bi") is not None:
+                Bi_blocks = _seed_factor_blocks(
+                    Bi_blocks, CB, init["Bi"], ki_w, dtype)
+            if init.get("Ai") is not None:
+                Ai_blocks = _seed_factor_blocks(
+                    Ai_blocks, RB, init["Ai"], ki_w, dtype)
         Bi_orig = blocks_to_orig(Bi_blocks, jnp.asarray(CB.perm), n_eff)
         Ai_orig = blocks_to_orig(Ai_blocks, jnp.asarray(RB.perm), m_eff)
 

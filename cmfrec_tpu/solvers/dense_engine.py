@@ -122,22 +122,26 @@ def dense_cg_update(
     rhs = small(V * W)
     r = rhs - matvec(P)
     rs0 = jnp.sum(r * r, axis=-1)
-    tol = jnp.asarray(rel_tol, dt)
+    # Two-tolerance stopping, matching the reference exactly
+    # (/root/reference/src/common.c:1147,1181): skip rows already below
+    # 1e-12, and stop a row once its post-step residual falls below 1e-8.
+    live0 = rs0 > jnp.asarray(rel_tol, dt)
 
     def body(carry, _):
-        a, r, p, rs = carry
+        a, r, p, rs, live = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rs > tol
         alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rs_new = jnp.sum(r * r, axis=-1)
+        live = live & (rs_new > 1e-8)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
-        p = r + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rs_new, rs)), None
+        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        return (a, r, p, jnp.where(live, rs_new, rs), live), None
 
-    (a, _, _, _), _ = jax.lax.scan(body, (P, r, r, rs0), None, length=n_steps)
+    (a, _, _, _, _), _ = jax.lax.scan(
+        body, (P, r, r, rs0, live0), None, length=n_steps)
     # rows with no observations solve to zero (reference zero_out)
     live_rows = jnp.sum(W.astype(jnp.float32), axis=1 - rows_axis) > 0
     return jnp.where(live_rows[:, None], a, 0.0)

@@ -142,32 +142,34 @@ def _iteration(
     *, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute, interpret,
     mesh=None, na0=False,
 ):
-    """One full ALS iteration: A half-step then B half-step."""
+    """One full ALS iteration: B half-step then A half-step (the
+    reference's in-iteration order, /root/reference/src/collective.c:8614
+    "Updating B" before :8802 "Updating A")."""
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
     n_pad = B.shape[0]
     m_pad = A.shape[0]
-    Be = B.at[:, k].set(1.0 if user_bias else 0.0)
-    mbA = mu * jnp.ones(n_pad, jnp.float32)
-    if item_bias:
-        mbA = mbA + B[:, k]
-    if na0:
-        # lam_row_* is the shared [Kp] diagonal in this mode
-        A2 = _half_step_na0(X, Be, mbA, live_B, lam_row_A)
-        A = jnp.where(live_A[:, None], A2, 0.0)
-    else:
-        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
-                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh)
     Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
     mbB = mu * jnp.ones(m_pad, jnp.float32)
     if user_bias:
         mbB = mbB + A[:, k]
     if na0:
+        # lam_row_* is the shared [Kp] diagonal in this mode
         B2 = _half_step_na0(XT, Ae, mbB, live_A, lam_row_B)
         B = jnp.where(live_B[:, None], B2, 0.0)
     else:
         B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
                        block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh)
+    Be = B.at[:, k].set(1.0 if user_bias else 0.0)
+    mbA = mu * jnp.ones(n_pad, jnp.float32)
+    if item_bias:
+        mbA = mbA + B[:, k]
+    if na0:
+        A2 = _half_step_na0(X, Be, mbA, live_B, lam_row_A)
+        A = jnp.where(live_A[:, None], A2, 0.0)
+    else:
+        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
+                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
                        interpret=interpret, mesh=mesh)
     return A, B
 
@@ -453,22 +455,10 @@ def _run_collective_iterations(
 
     def body(carry, _):
         A, B = carry
+        # Reference in-iteration order: C, D, then B, then A
+        # (/root/reference/src/collective.c:8345,8396,8614,8802).
         C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
         D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
-
-        G0A = R0A = None
-        if has_U:
-            G0A = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
-                w_user * jnp.einsum("pk,pl->kl", C, C, precision=hp))
-            R0A = jnp.zeros((m_pad, Kp), jnp.float32).at[:, :k].set(
-                w_user * jnp.einsum("mp,pk->mk", Ud, C, precision=hp))
-        Be = B.at[:, k].set(1.0 if user_bias else 0.0)
-        mbA = mu * jnp.ones(n_pad, jnp.float32)
-        if item_bias:
-            mbA = mbA + B[:, k]
-        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
-                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh, G0=G0A, R0=R0A)
 
         G0B = R0B = None
         if has_I:
@@ -483,6 +473,20 @@ def _run_collective_iterations(
         B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
                        block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
                        interpret=interpret, mesh=mesh, G0=G0B, R0=R0B)
+
+        G0A = R0A = None
+        if has_U:
+            G0A = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
+                w_user * jnp.einsum("pk,pl->kl", C, C, precision=hp))
+            R0A = jnp.zeros((m_pad, Kp), jnp.float32).at[:, :k].set(
+                w_user * jnp.einsum("mp,pk->mk", Ud, C, precision=hp))
+        Be = B.at[:, k].set(1.0 if user_bias else 0.0)
+        mbA = mu * jnp.ones(n_pad, jnp.float32)
+        if item_bias:
+            mbA = mbA + B[:, k]
+        A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
+                       block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
+                       interpret=interpret, mesh=mesh, G0=G0A, R0=R0A)
         return (A, B), None
 
     (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
@@ -687,13 +691,14 @@ def _run_implicit_iterations(
 
     def body(carry, _):
         A, B = carry
-        A = _half_step_implicit(
-            A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, w_mult,
-            block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-            interpret=interpret, mesh=mesh)
+        # Reference order: B before A (collective.c:9927 / :9981).
         B = _half_step_implicit(
             B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B, w_mult,
             block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
+            interpret=interpret, mesh=mesh)
+        A = _half_step_implicit(
+            A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, w_mult,
+            block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
             interpret=interpret, mesh=mesh)
         return (A, B), None
 

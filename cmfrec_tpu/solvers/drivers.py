@@ -273,7 +273,7 @@ def fit_explicit_als(
             item_bias=item_bias, glob_mean=glob_mean,
             scale_lam=scale_lam, scale_bias_const=scale_bias_const,
             biasA0=biasA0, biasB0=biasB0,
-            dtype=dtype, seed=seed, verbose=verbose,
+            dtype=dtype, seed=seed, verbose=verbose, init=init,
         )
 
     RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
@@ -409,25 +409,11 @@ def _explicit_sparse_iteration(
     mode = "na0" if NA_as_zero else "explicit"
     plan_A = SidePlan(None, mode, n)
     plan_B = SidePlan(None, mode, m)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-    opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
-    opp_bias = B_orig[:, k] if item_bias else None
-    G0 = r0_vec = None
-    if NA_as_zero:
-        G0 = gram_matrix(opp)
-        r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
-    A_blocks = update_side(
-        plan_A, A_blocks, opp, opp_bias, lam_vec_A,
-        buckets_data=dataA,
-        mu=glob_mean if NA_as_zero else None,
-        G0=G0, r0_vec=r0_vec,
-        lam_const_vec=lam_const_A,
-        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
-        nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
-        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
-    )
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
 
+    # Reference update order within an iteration: B first, then A
+    # (/root/reference/src/collective.c:8614 "Updating B" precedes :8802
+    # "Updating A") — A is the matrix solved last against the final B.
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
     opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
     opp_bias = A_orig[:, k] if user_bias else None
     G0 = r0_vec = None
@@ -441,6 +427,24 @@ def _explicit_sparse_iteration(
         G0=G0, r0_vec=r0_vec,
         lam_const_vec=lam_const_B,
         l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+
+    opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
+    opp_bias = B_orig[:, k] if item_bias else None
+    G0 = r0_vec = None
+    if NA_as_zero:
+        G0 = gram_matrix(opp)
+        r0_vec = _na0_rhs_base(opp, opp_bias, glob_mean)
+    A_blocks = update_side(
+        plan_A, A_blocks, opp, opp_bias, lam_vec_A,
+        buckets_data=dataA,
+        mu=glob_mean if NA_as_zero else None,
+        G0=G0, r0_vec=r0_vec,
+        lam_const_vec=lam_const_A,
+        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
         nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
     )
@@ -643,16 +647,7 @@ def _implicit_sparse_iteration(
     compilation caches across fits."""
     plan_A = SidePlan(None, "implicit", n)
     plan_B = SidePlan(None, "implicit", m)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-    G0 = w_main * gram_matrix(B_orig)
-    A_blocks = update_side(
-        plan_A, A_blocks, B_orig, None, lam_vec_A,
-        buckets_data=dataA,
-        w=w_main, alpha=alpha, G0=G0,
-        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
-        nonneg=nonneg, max_cd_steps=max_cd_steps,
-        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
-    )
+    # Reference order: B first, then A (collective.c:9927 precedes :9981).
     A_orig = blocks_to_orig(A_blocks, perm_A, m)
     G0 = w_main * gram_matrix(A_orig)
     B_blocks = update_side(
@@ -663,6 +658,16 @@ def _implicit_sparse_iteration(
         nonneg=nonneg, max_cd_steps=max_cd_steps,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
     )
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    G0 = w_main * gram_matrix(B_orig)
+    A_blocks = update_side(
+        plan_A, A_blocks, B_orig, None, lam_vec_A,
+        buckets_data=dataA,
+        w=w_main, alpha=alpha, G0=G0,
+        l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
+        nonneg=nonneg, max_cd_steps=max_cd_steps,
+        precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+    )
     return A_blocks, B_blocks
 
 
@@ -670,7 +675,7 @@ def _fit_explicit_dense(
     rows, cols, vals_c, m, n, *, weights,
     k, lam6, niter, max_cg_steps, finalize_chol, user_bias, item_bias,
     glob_mean, scale_lam, scale_bias_const, biasA0, biasB0,
-    dtype, seed, verbose,
+    dtype, seed, verbose, init=None,
 ) -> dict:
     """Dense-masked CG fit (see dense_engine.py).  finalize_chol runs the
     final iteration through the bucketed engine (per-row Cholesky)."""
@@ -684,6 +689,13 @@ def _fit_explicit_dense(
     scale = 1.0 / np.sqrt(max(k, 1))
     A = scale * jax.random.normal(k1, (m, K), dtype)
     B = scale * jax.random.normal(k2, (n, K), dtype)
+    if init is not None:
+        A = A.at[:, :k].set(jnp.asarray(np.asarray(init["A"], dtype)))
+        B = B.at[:, :k].set(jnp.asarray(np.asarray(init["B"], dtype)))
+        if user_bias and init.get("biasA") is not None:
+            biasA0 = np.asarray(init["biasA"], dtype)
+        if item_bias and init.get("biasB") is not None:
+            biasB0 = np.asarray(init["biasB"], dtype)
     A = A.at[:, k].set(
         jnp.asarray(biasA0.astype(dtype)) if user_bias else 0.0
     )
@@ -723,15 +735,16 @@ def _fit_explicit_dense(
             final = finalize_chol and (it == niter - 1)
             steps = 30 if final else max_cg_steps
             t0 = time.time()
-            Be = _ext_with_ones(B, k) if user_bias else _ext_with_zeros(B, k)
-            A = dense_cg_update(
-                A, Xd, Wd, Be, B[:, k] if item_bias else None,
-                lam_vec_A, lam_mult_A, lam_const_A, steps, 0,
-            )
+            # Reference order: B before A (collective.c:8614 / :8802).
             Ae = _ext_with_ones(A, k) if item_bias else _ext_with_zeros(A, k)
             B = dense_cg_update(
                 B, Xd, Wd, Ae, A[:, k] if user_bias else None,
                 lam_vec_B, lam_mult_B, lam_const_B, steps, 1,
+            )
+            Be = _ext_with_ones(B, k) if user_bias else _ext_with_zeros(B, k)
+            A = dense_cg_update(
+                A, Xd, Wd, Be, B[:, k] if item_bias else None,
+                lam_vec_A, lam_mult_A, lam_const_A, steps, 0,
             )
             if verbose:
                 jax.block_until_ready(B)

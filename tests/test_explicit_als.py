@@ -63,12 +63,13 @@ def test_fixed_point_chol(rng, user_bias, item_bias):
     biasA = res["biasA"] if user_bias else None
     biasB = res["biasB"] if item_bias else None
 
-    # B was updated last given A: check B's closed form exactly.
-    A_ext = np.concatenate([A, np.ones((m, 1))], axis=1) if item_bias else A
+    # A was updated last given B (the reference's in-iteration order,
+    # collective.c:8614 B before :8802 A): check A's closed form exactly.
+    B_ext = np.concatenate([B, np.ones((n, 1))], axis=1) if user_bias else B
     want = closed_form_rows(
-        cols, rows, vals, A_ext, biasA, mu, lam, lam, n, item_bias
+        rows, cols, vals, B_ext, biasB, mu, lam, lam, m, user_bias
     )
-    got = np.concatenate([B, biasB[:, None]], axis=1) if item_bias else B
+    got = np.concatenate([A, biasA[:, None]], axis=1) if user_bias else A
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
@@ -103,10 +104,10 @@ def test_weighted_fixed_point(rng):
         user_bias=False, item_bias=False, weights=wgt, dtype=np.float64,
     )
     want = closed_form_rows(
-        cols, rows, vals, res["A"], None, res["glob_mean"], lam, lam, n,
+        rows, cols, vals, res["B"], None, res["glob_mean"], lam, lam, m,
         False, weights=wgt,
     )
-    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res["A"], want, rtol=1e-6, atol=1e-8)
 
 
 def test_bias_init_twosided_oracle(rng):
@@ -151,10 +152,10 @@ def test_scale_lam_fixed_point(rng):
         user_bias=False, item_bias=False, scale_lam=True, dtype=np.float64,
     )
     want = closed_form_rows(
-        cols, rows, vals, res["A"], None, res["glob_mean"], lam, lam, n,
+        rows, cols, vals, res["B"], None, res["glob_mean"], lam, lam, m,
         False, scale_lam=True,
     )
-    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(res["A"], want, rtol=1e-6, atol=1e-8)
 
 
 def test_na_as_zero_fixed_point(rng):
@@ -166,13 +167,14 @@ def test_na_as_zero_fixed_point(rng):
         user_bias=False, item_bias=False, center=False, NA_as_zero=True,
         dtype=np.float64,
     )
-    # Oracle: densify X with zeros and solve B rows exactly.
+    # Oracle: densify X with zeros and solve A rows exactly (A is updated
+    # last in the reference's B-then-A order).
     X = np.zeros((m, n))
     X[rows, cols] = vals
-    A = res["A"]
-    G = A.T @ A + lam * np.eye(4)
-    want = np.linalg.solve(G, A.T @ X).T
-    np.testing.assert_allclose(res["B"], want, rtol=1e-6, atol=1e-8)
+    B = res["B"]
+    G = B.T @ B + lam * np.eye(4)
+    want = np.linalg.solve(G, B.T @ X.T).T
+    np.testing.assert_allclose(res["A"], want, rtol=1e-6, atol=1e-8)
 
 
 def test_na_as_zero_with_center_and_bias(rng):
@@ -186,14 +188,14 @@ def test_na_as_zero_with_center_and_bias(rng):
     )
     A, B = res["A"], res["B"]
     mu, biasA, biasB = res["glob_mean"], res["biasA"], res["biasB"]
-    # Oracle for B (last updated): dense zero-filled X, bias column on A.
+    # Oracle for A (last updated): dense zero-filled X, bias column on B.
     X = np.zeros((m, n))
     X[rows, cols] = vals
-    A_ext = np.concatenate([A, np.ones((m, 1))], axis=1)
-    T = X - mu - biasA[:, None]  # target net of the opposing bias
-    G = A_ext.T @ A_ext + np.diag([lam] * 3 + [lam])
-    want = np.linalg.solve(G, A_ext.T @ T).T
-    got = np.concatenate([B, biasB[:, None]], axis=1)
+    B_ext = np.concatenate([B, np.ones((n, 1))], axis=1)
+    T = X - mu - biasB[None, :]  # target net of the opposing bias
+    G = B_ext.T @ B_ext + np.diag([lam] * 3 + [lam])
+    want = np.linalg.solve(G, B_ext.T @ T.T).T
+    got = np.concatenate([A, biasA[:, None]], axis=1)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
@@ -221,16 +223,17 @@ class TestImplicit:
             niter=10, use_cg=False, dtype=np.float64,
         )
         A, B = res["A"], res["B"]
-        # Oracle: B rows from the WRMF normal equations given A.
-        AtA = A.T @ A
-        for j in range(n):
-            sel = cols == j
-            us = rows[sel]
+        # Oracle: A rows from the WRMF normal equations given B (A is
+        # updated last in the reference's B-then-A order).
+        BtB = B.T @ B
+        for i in range(m):
+            sel = rows == i
+            js = cols[sel]
             x = alpha * vals[sel]
-            G = AtA + (A[us] * x[:, None]).T @ A[us] + lam * np.eye(k)
-            rhs = A[us].T @ (1.0 + x)
+            G = BtB + (B[js] * x[:, None]).T @ B[js] + lam * np.eye(k)
+            rhs = B[js].T @ (1.0 + x)
             want = np.linalg.solve(G, rhs)
-            np.testing.assert_allclose(B[j], want, rtol=1e-6, atol=1e-8)
+            np.testing.assert_allclose(A[i], want, rtol=1e-6, atol=1e-8)
 
     def test_cg_matches_chol(self, rng):
         m, n, k = 50, 40, 4
@@ -297,7 +300,7 @@ def test_warm_restart_continues_from_init(rng):
 def test_trajectory_matches_numpy_als(rng):
     """Full-trajectory parity: from an IDENTICAL init, niter exact-Cholesky
     iterations of the engine equal a literal NumPy ALS with joint
-    bias-coordinate solves (same A-then-B order, same centering) — the
+    bias-coordinate solves (same B-then-A order, same centering) — the
     matched-hyperparameter trajectory check of SURVEY §4."""
     rows, cols, vals, m, n = make_synthetic(rng)
     k, lam, lam_b, niter = 4, 0.7, 0.9, 3
@@ -315,22 +318,11 @@ def test_trajectory_matches_numpy_als(rng):
         init=dict(A=A0, B=B0, biasA=bA0, biasB=bB0),
     )
 
-    # literal NumPy ALS, A half-step then B half-step per iteration
+    # literal NumPy ALS, B half-step then A half-step per iteration
+    # (the reference's order, collective.c:8614 / :8802)
     A, B = A0.copy(), B0.copy()
     bA, bB = bA0.copy(), bB0.copy()
     for _ in range(niter):
-        for r in range(m):
-            sel = rows == r
-            if not sel.any():
-                A[r] = 0.0
-                bA[r] = 0.0
-                continue
-            Be = np.concatenate([B[cols[sel]],
-                                 np.ones((sel.sum(), 1))], axis=1)
-            t = v[sel] - bB[cols[sel]]
-            lamv = np.concatenate([np.full(k, lam), [lam_b]])
-            sol = np.linalg.solve(Be.T @ Be + np.diag(lamv), Be.T @ t)
-            A[r], bA[r] = sol[:k], sol[k]
         for c in range(n):
             sel = cols == c
             if not sel.any():
@@ -343,6 +335,18 @@ def test_trajectory_matches_numpy_als(rng):
             lamv = np.concatenate([np.full(k, lam), [lam_b]])
             sol = np.linalg.solve(Ae.T @ Ae + np.diag(lamv), Ae.T @ t)
             B[c], bB[c] = sol[:k], sol[k]
+        for r in range(m):
+            sel = rows == r
+            if not sel.any():
+                A[r] = 0.0
+                bA[r] = 0.0
+                continue
+            Be = np.concatenate([B[cols[sel]],
+                                 np.ones((sel.sum(), 1))], axis=1)
+            t = v[sel] - bB[cols[sel]]
+            lamv = np.concatenate([np.full(k, lam), [lam_b]])
+            sol = np.linalg.solve(Be.T @ Be + np.diag(lamv), Be.T @ t)
+            A[r], bA[r] = sol[:k], sol[k]
 
     np.testing.assert_allclose(np.asarray(res["A"]), A, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(res["B"]), B, rtol=1e-7, atol=1e-9)
@@ -354,7 +358,7 @@ def test_trajectory_matches_numpy_als(rng):
 def test_implicit_trajectory_matches_numpy_als(rng):
     """WRMF trajectory parity from an identical init: exact-Cholesky
     iterations equal a literal NumPy implicit ALS (confidence 1+alpha*x,
-    shared BtB base, A-then-B order)."""
+    shared BtB base, B-then-A order)."""
     rows, cols, vals, m, n = make_synthetic(rng)
     x = np.abs(vals) + 1.0
     k, lam, alpha, niter = 4, 1.5, 0.6, 3
@@ -368,16 +372,6 @@ def test_implicit_trajectory_matches_numpy_als(rng):
 
     A, B = A0.copy(), B0.copy()
     for _ in range(niter):
-        G0 = B.T @ B
-        for r in range(m):
-            sel = rows == r
-            if not sel.any():
-                A[r] = 0.0
-                continue
-            Bs = B[cols[sel]]
-            av = alpha * x[sel]
-            G = G0 + (Bs.T * av) @ Bs + lam * np.eye(k)
-            A[r] = np.linalg.solve(G, Bs.T @ (1.0 + av))
         G0 = A.T @ A
         for c in range(n):
             sel = cols == c
@@ -388,6 +382,16 @@ def test_implicit_trajectory_matches_numpy_als(rng):
             av = alpha * x[sel]
             G = G0 + (As.T * av) @ As + lam * np.eye(k)
             B[c] = np.linalg.solve(G, As.T @ (1.0 + av))
+        G0 = B.T @ B
+        for r in range(m):
+            sel = rows == r
+            if not sel.any():
+                A[r] = 0.0
+                continue
+            Bs = B[cols[sel]]
+            av = alpha * x[sel]
+            G = G0 + (Bs.T * av) @ Bs + lam * np.eye(k)
+            A[r] = np.linalg.solve(G, Bs.T @ (1.0 + av))
 
     np.testing.assert_allclose(np.asarray(res["A"]), A, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(res["B"]), B, rtol=1e-7, atol=1e-9)

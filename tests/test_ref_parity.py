@@ -1,0 +1,284 @@
+"""Head-to-head parity against the REAL reference binary (libcmfrec).
+
+These tests build the reference C core with cmake (tests/ref_binary.py,
+cached in .refbuild/) and drive `fit_collective_explicit_als` /
+`fit_collective_implicit_als` over ctypes on identical data, identical
+inits (reset_values=false), and matched hyperparameters — anchoring
+cmfrec_tpu's trajectories to the actual reference implementation instead
+of hand-written NumPy oracles.
+
+Verified agreements (max |diff| over full factor matrices, f64):
+  * explicit Cholesky, biases+centering, 3 iters ........ ~1e-13
+  * explicit CG(3), bias-free, centering, 2 iters ....... ~1e-13
+  * collective Cholesky (side U, k_user/k_main, w_user),
+    biases+centering, 3 iters ........................... ~1e-15
+  * implicit (WRMF) Cholesky, 3 iters ................... ~1e-13
+
+Documented divergences (each pinned by a test below):
+  * explicit CG with biases: the reference's pre-update "restore the
+    bias into the warm-start column" copy writes through the caller's
+    factor pointer with the wrong leading stride, so the bias column of
+    the CG warm start still holds the ONES left by the previous
+    half-step (/root/reference/src/collective.c:8636-8641 area).  Ours
+    warm-starts from the current bias.  A NumPy replica of the
+    leftover-ones semantics matches the binary to 1e-14; the same
+    replica with the clean warm start matches ours.
+  * implicit CG: the reference's initial residual uses coefficient
+    `-(coef-1)*Xa - coef` per observed entry
+    (/root/reference/src/common.c:1938) where the WRMF normal equations
+    give `(1+Xa) - coef*Xa`; the `+1` preference term became `-coef`.
+    Consequence (asserted below): the reference's implicit CG does NOT
+    converge to its own Cholesky solution even with 60 CG steps, while
+    ours does.  We keep the convergent solver.
+"""
+
+import numpy as np
+import pytest
+
+from .ref_binary import get_lib, ref_fit_explicit_als, ref_fit_implicit_als
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="reference libcmfrec could not be built")
+
+
+def _data(seed=0, m=30, n=20, density=0.4):
+    rng = np.random.default_rng(seed)
+    mask = rng.uniform(size=(m, n)) < density
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    return rng, rows, cols, vals, m, n
+
+
+def test_explicit_chol_bias_center():
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data()
+    k, lam = 4, 0.8
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        use_cg=False, user_bias=True, item_bias=True, center=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, use_cg=False,
+        user_bias=True, item_bias=True, center=True)
+    assert abs(ref["glob_mean"] - ours["glob_mean"]) < 1e-10
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_explicit_cg_biasfree():
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data()
+    k, lam = 4, 0.8
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=2,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=True,
+        dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=2,
+        A0=A0, B0=B0, use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+def _cg_row(a, Bm, x, lam, steps):
+    """Literal replica of the reference's truncated CG
+    (/root/reference/src/common.c:1110-1190): skip below 1e-12, break
+    below 1e-8 post-step."""
+    a = a.copy()
+    r = Bm.T @ (x - Bm @ a) - lam * a
+    r_old = r @ r
+    if r_old <= 1e-12:
+        return a
+    p = r.copy()
+    for _ in range(steps):
+        Ap = Bm.T @ (Bm @ p) + lam * p
+        al = r_old / (p @ Ap)
+        a += al * p
+        r -= al * Ap
+        r_new = r @ r
+        if r_new <= 1e-8:
+            break
+        p = (r_new / r_old) * p + r
+        r_old = r_new
+    return a
+
+
+def _explicit_cg_bias_replica(rows, cols, vals, m, n, k, lam, niter,
+                              A0, B0, gm, leftover_ones):
+    """NumPy replica of one CG fit with joint bias coordinates, with the
+    bias column of the warm start either restored (ours) or left at the
+    ONES of the previous half-step (the reference's effective
+    semantics)."""
+    vc = vals - gm
+    bycol = [np.nonzero(cols == j)[0] for j in range(n)]
+    byrow = [np.nonzero(rows == i)[0] for i in range(m)]
+    A = np.column_stack([A0, np.zeros(m)])
+    B = np.column_stack([B0, np.zeros(n)])
+    first = True
+    for _ in range(niter):
+        Bw = B.copy()
+        if leftover_ones and not first:
+            Bw[:, k] = 1.0
+        first = False
+        Bn = np.zeros_like(B)
+        for j, ix in enumerate(bycol):
+            Opp = np.column_stack([A[rows[ix], :k], np.ones(len(ix))])
+            Bn[j] = _cg_row(Bw[j], Opp, vc[ix] - A[rows[ix], k], lam, 3)
+        B = Bn
+        Aw = A.copy()
+        if leftover_ones:
+            Aw[:, k] = 1.0
+        An = np.zeros_like(A)
+        for i, ix in enumerate(byrow):
+            Opp = np.column_stack([B[cols[ix], :k], np.ones(len(ix))])
+            An[i] = _cg_row(Aw[i], Opp, vc[ix] - B[cols[ix], k], lam, 3)
+        A = An
+    return A, B
+
+
+def test_explicit_cg_bias_quirk_documented():
+    """Pins BOTH sides of the one explicit divergence: the leftover-ones
+    replica == the reference binary, and the clean-warm-start replica ==
+    our engine."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data()
+    k, lam, niter = 4, 0.8, 2
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=niter,
+        A0=A0, B0=B0, use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True)
+    gm = ref["glob_mean"]
+
+    Aq, Bq = _explicit_cg_bias_replica(
+        rows, cols, vals, m, n, k, lam, niter, A0, B0, gm,
+        leftover_ones=True)
+    np.testing.assert_allclose(Aq[:, :k], ref["A"], atol=1e-10)
+    np.testing.assert_allclose(Bq[:, :k], ref["B"], atol=1e-10)
+    np.testing.assert_allclose(Aq[:, k], ref["biasA"], atol=1e-10)
+    np.testing.assert_allclose(Bq[:, k], ref["biasB"], atol=1e-10)
+
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=niter,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    Ac, Bc = _explicit_cg_bias_replica(
+        rows, cols, vals, m, n, k, lam, niter, A0, B0, gm,
+        leftover_ones=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), Ac[:, :k], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), Bc[:, :k], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), Ac[:, k],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), Bc[:, k],
+                               atol=1e-9)
+
+
+def test_collective_chol_side_info():
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(2)
+    m, n, k, p = 25, 18, 4, 6
+    k_user, k_item, k_main = 2, 0, 1
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k_user + k + k_main)) * 0.1
+    B0 = rng.normal(size=(n, k_item + k + k_main)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        k_user=k_user, k_item=k_item, k_main=k_main,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U=U,
+        k_user=k_user, k_item=k_item, k_main=k_main,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def _implicit_data():
+    rng = np.random.default_rng(1)
+    m, n, k = 25, 18, 4
+    nnz = 150
+    rows = rng.integers(0, m, nnz).astype(np.int32)
+    cols = rng.integers(0, n, nnz).astype(np.int32)
+    key = rows.astype(np.int64) * n + cols
+    _, uix = np.unique(key, return_index=True)
+    rows, cols = rows[uix], cols[uix]
+    vals = rng.uniform(1, 10, rows.size)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    return rows, cols, vals, m, n, k, A0, B0
+
+
+def test_implicit_chol():
+    from cmfrec_tpu.solvers.drivers import fit_implicit_als
+
+    rows, cols, vals, m, n, k, A0, B0 = _implicit_data()
+    lam, alpha = 0.9, 2.0
+    ours = fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha, niter=3,
+        use_cg=False, finalize_chol=False, dtype=np.float64,
+        init={"A": A0, "B": B0})
+    ref = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3, alpha=alpha,
+        A0=A0, B0=B0, use_cg=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+def test_implicit_cg_divergence_documented():
+    """Ours CG converges to the (shared) Cholesky fixed point; the
+    reference's does not — its initial CG residual drops the `+1`
+    preference term (common.c:1938, see module docstring)."""
+    from cmfrec_tpu.solvers.drivers import fit_implicit_als
+
+    rows, cols, vals, m, n, k, A0, B0 = _implicit_data()
+    lam, alpha = 0.9, 2.0
+    chol = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=1, alpha=alpha,
+        A0=A0, B0=B0, use_cg=False)
+    ours_cg = fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha, niter=1,
+        use_cg=True, max_cg_steps=60, finalize_chol=False,
+        dtype=np.float64, init={"A": A0, "B": B0})
+    np.testing.assert_allclose(np.asarray(ours_cg["A"]), chol["A"],
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ours_cg["B"]), chol["B"],
+                               atol=1e-7)
+    ref_cg = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=1, alpha=alpha,
+        A0=A0, B0=B0, use_cg=True, max_cg_steps=60)
+    assert np.abs(ref_cg["B"] - chol["B"]).max() > 1e-3

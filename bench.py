@@ -13,6 +13,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -127,14 +128,68 @@ def main():
         if e2 < elapsed:
             elapsed, res = e2, r2
 
-    pred = (
-        res["glob_mean"]
-        + res["biasA"][rows[test]]
-        + res["biasB"][cols[test]]
-        + np.einsum("nk,nk->n", res["A"][rows[test]], res["B"][cols[test]])
-    )
-    rmse = float(np.sqrt(np.mean((pred - vals[test]) ** 2)))
+    def heldout_rmse(res):
+        pred = (
+            res["glob_mean"]
+            + res["biasA"][rows[test]]
+            + res["biasB"][cols[test]]
+            + np.einsum("nk,nk->n", res["A"][rows[test]],
+                        res["B"][cols[test]])
+        )
+        return float(np.sqrt(np.mean((pred - vals[test]) ** 2)))
+
+    rmse = heldout_rmse(res)
     print(f"fit: {elapsed:.2f}s  heldout RMSE: {rmse:.4f}", file=sys.stderr)
+
+    # --- the REST of the reference's explicit baseline table -------------
+    # (benchmark/README.md:27-29: ALS-Chol 30.91 s / CG+implicit-features
+    # 22.09 s / Chol+implicit-features 35.35 s on the same data+hyperparams)
+    extras = {}
+    if os.environ.get("CMFREC_TPU_BENCH_HEADLINE_ONLY", "0") != "1":
+        from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+        def timed(fit, label, baseline_s):
+            def once():
+                t0 = time.time()
+                r = fit()
+                _ = float(jnp.sum(r["A"]) + jnp.sum(jnp.sum(r["B"], axis=0)))
+                return time.time() - t0, r
+
+            w, prev = once()[0], float("inf")
+            print(f"[{label}] warm-up (incl. compile): {w:.2f}s",
+                  file=sys.stderr)
+            for _ in range(2):
+                prev = w
+                w, _r = once()
+                print(f"[{label}] warm-up: {w:.2f}s", file=sys.stderr)
+                if w > 0.85 * prev:
+                    break
+            el, r = once()
+            for _ in range(2):
+                e2, r2 = once()
+                if e2 < el:
+                    el, r = e2, r2
+            q = heldout_rmse(r)
+            print(f"[{label}] fit: {el:.2f}s  RMSE: {q:.4f}", file=sys.stderr)
+            extras[f"{label}_s"] = round(el, 3)
+            extras[f"{label}_rmse"] = round(q, 5)
+            extras[f"{label}_vs_baseline"] = round(baseline_s / el, 3)
+
+        timed(lambda: fit_explicit_als(
+            rows[tr], cols[tr], vals[tr], m, n,
+            **{**kwargs, "use_cg": False}), "als_chol", 30.91)
+        collective_kw = dict(
+            k=50, lambda_=0.05, scale_lam=True, niter=15,
+            add_implicit_features=True, w_implicit=0.5,
+            user_bias=True, item_bias=True, center=True,
+            dtype=np.float32, verbose=False)
+        timed(lambda: fit_collective_explicit_als(
+            rows[tr], cols[tr], vals[tr], m, n,
+            use_cg=True, max_cg_steps=3, finalize_chol=True,
+            **collective_kw), "cg_implicit_feat", 22.09)
+        timed(lambda: fit_collective_explicit_als(
+            rows[tr], cols[tr], vals[tr], m, n,
+            use_cg=False, **collective_kw), "chol_implicit_feat", 35.35)
 
     rows_per_s = (m + n) * kwargs["niter"] / elapsed
     print(json.dumps({
@@ -145,7 +200,8 @@ def main():
         "extra": {"heldout_rmse": round(rmse, 5), "warmup_s": round(warm, 2),
                   "nnz": int(tr.sum()),
                   "rows_solved_per_s_per_chip": round(rows_per_s),
-                  "iter_s": round(elapsed / kwargs["niter"], 4)},
+                  "iter_s": round(elapsed / kwargs["niter"], 4),
+                  **extras},
     }))
 
 

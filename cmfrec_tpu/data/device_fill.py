@@ -20,6 +20,7 @@ CSR+CSC build (/root/reference/src/collective.c:6452 convert_sparse_X).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -60,6 +61,30 @@ def _transpose_order(sorted_ids, nnz):
     return jnp.argsort(sorted_ids, stable=True)
 
 
+@partial(jax.jit, static_argnames=("nnz", "weighted"))
+def _device_sort_coo(rows_dev, cols_dev, vals_dev, wgt_dev, nnz, weighted):
+    """CSR entry order from RAW COO — the device-side replacement for the
+    host counting sort (the 1-core host needs seconds for a 10M+-entry
+    pass; the TPU sorts while the next arrays are still uploading)."""
+    order = jnp.argsort(rows_dev, stable=True)
+    sorted_ids = jnp.take(cols_dev, order)
+    sorted_vals = jnp.take(vals_dev, order)
+    sorted_wgt = jnp.take(wgt_dev, order) if weighted else wgt_dev
+    return sorted_ids, sorted_vals, sorted_wgt
+
+
+def _ship_ids(x: np.ndarray, dim: int):
+    """Upload int ids compactly: 3 bytes/entry (uint16 lo + uint8 hi) when
+    the id space allows, re-assembled on device."""
+    x32 = np.ascontiguousarray(x, np.int32)
+    if dim < (1 << 24):
+        lo = (x32 & 0xFFFF).astype(np.uint16)
+        hi = (x32 >> 16).astype(np.uint8)
+        return (jnp.asarray(lo).astype(jnp.int32)
+                | (jnp.asarray(hi).astype(jnp.int32) << 16))
+    return jnp.asarray(x32)
+
+
 def build_bucketed_pair_device(
     rows, cols, vals, m: int, n: int,
     weights=None, dtype=np.float32,
@@ -75,38 +100,57 @@ def build_bucketed_pair_device(
     cols = np.asarray(cols, np.int64)
     nnz = rows.shape[0]
     dt = np.dtype(dtype)
-
-    csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
-    if csr is not None:
-        counts_r, _, csr_cols, csr_vals, csr_wgt = csr
-        row_order_r = native.degree_order(counts_r)
-    else:
-        counts_r = np.bincount(rows, minlength=m).astype(np.int64)
-        order = np.argsort(rows, kind="stable")
-        csr_cols = cols[order].astype(np.int32)
-        csr_vals = np.asarray(vals, dt)[order]
-        csr_wgt = (np.asarray(weights, dt)[order]
-                   if weights is not None else None)
-        row_order_r = np.argsort(-counts_r, kind="stable").astype(np.int64)
-    # kick off the big uploads NOW — they stream over the slow host link
-    # while the host does degree ordering and bucket planning below
     ship_bf16 = dt == np.float32
-    if n < (1 << 24):
-        # compact id shipping: 3 bytes/entry instead of 4 (the host link
-        # is the scarcest resource; ids re-assemble on device)
-        lo = (csr_cols & 0xFFFF).astype(np.uint16)
-        hi = (csr_cols >> 16).astype(np.uint8)
-        ids_dev = (jnp.asarray(lo).astype(jnp.int32)
-                   | (jnp.asarray(hi).astype(jnp.int32) << 16))
+    weighted = weights is not None
+
+    raw_upload = (os.environ.get("CMFREC_TPU_RAW_UPLOAD", "1") == "1"
+                  and m < np.iinfo(np.int32).max
+                  and n < np.iinfo(np.int32).max)
+    if raw_upload:
+        # RAW-COO path (default): enqueue the compact uploads FIRST —
+        # row ids 3B + col ids 3B + bf16 values 2B per entry — and do the
+        # CSR sort on DEVICE (_device_sort_coo).  The 1-core host spends
+        # seconds on a 10M+-entry counting sort; here it only bincounts
+        # and plans buckets, fully overlapped with the upload stream.
+        rows_dev = _ship_ids(rows, m)
+        ids_raw = _ship_ids(cols, n)
+        vals_np = np.asarray(vals)
+        vals_raw = jnp.asarray(
+            vals_np.astype(jnp.bfloat16) if ship_bf16
+            else vals_np.astype(dt))
+        wgt_raw = (
+            jnp.asarray(np.asarray(weights).astype(jnp.bfloat16)
+                        if ship_bf16 else np.asarray(weights, dt))
+            if weighted else jnp.zeros(0, dt))
+        counts_r = np.bincount(rows, minlength=m).astype(np.int64)
+        row_order_r = native.degree_order(counts_r)
+        if row_order_r is None:
+            row_order_r = np.argsort(-counts_r, kind="stable")
+        ids_dev = vals_dev = wgt_dev = None  # filled after the device sort
     else:
-        ids_dev = jnp.asarray(csr_cols)
-    vals_dev = jnp.asarray(
-        csr_vals.astype(jnp.bfloat16) if ship_bf16 else csr_vals
-    )
-    wgt_dev = (
-        jnp.asarray(csr_wgt.astype(jnp.bfloat16) if ship_bf16 else csr_wgt)
-        if csr_wgt is not None else jnp.zeros(0, dt)
-    )
+        csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
+        if csr is not None:
+            counts_r, _, csr_cols, csr_vals, csr_wgt = csr
+            row_order_r = native.degree_order(counts_r)
+        else:
+            counts_r = np.bincount(rows, minlength=m).astype(np.int64)
+            order = np.argsort(rows, kind="stable")
+            csr_cols = cols[order].astype(np.int32)
+            csr_vals = np.asarray(vals, dt)[order]
+            csr_wgt = (np.asarray(weights, dt)[order]
+                       if weighted else None)
+            row_order_r = np.argsort(-counts_r, kind="stable").astype(np.int64)
+        # kick off the big uploads NOW — they stream over the slow host
+        # link while the host does degree ordering and planning below
+        ids_dev = _ship_ids(csr_cols, n)
+        vals_dev = jnp.asarray(
+            csr_vals.astype(jnp.bfloat16) if ship_bf16 else csr_vals
+        )
+        wgt_dev = (
+            jnp.asarray(csr_wgt.astype(jnp.bfloat16)
+                        if ship_bf16 else csr_wgt)
+            if csr_wgt is not None else jnp.zeros(0, dt)
+        )
 
     counts_c = np.bincount(cols, minlength=n).astype(np.int64)
     row_order_c = native.degree_order(counts_c)
@@ -151,7 +195,9 @@ def build_bucketed_pair_device(
     # (f32 values shipped as bf16 above — interaction values/confidences
     # tolerate 0.4% rounding; the solver math stays f32 after the device
     # cast in _fill_device)
-    weighted = weights is not None
+    if raw_upload:
+        ids_dev, vals_dev, wgt_dev = _device_sort_coo(
+            rows_dev, ids_raw, vals_raw, wgt_raw, nnz, weighted)
 
     jdt = jnp.dtype(dt)
     idx_f, val_f, wgt_f, row_e = _fill_device(

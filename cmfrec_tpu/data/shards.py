@@ -92,25 +92,89 @@ def _pow2_width(x: int, min_width: int = 8) -> int:
     return w
 
 
+def _optimal_boundaries(sorted_counts: np.ndarray, row_block: int,
+                        min_width: int, max_chunks: int, lane: int = 8):
+    """Slot-optimal bucket boundaries.
+
+    The gather engine is ENTRY-RATE-bound (~4.3 ns per padded slot on
+    v5e), so total padded slots Σ R·w — not alignment or row bytes — set
+    the iteration time.  Power-of-two widths waste ~1.45x; this DP picks
+    ≤``max_chunks`` contiguous chunks of the degree-sorted rows minimizing
+    Σ ceil(R/row_block)·row_block · roundup(max_count, lane), which lands
+    at ~1.15-1.2x on power-law data with the same chunk count (ML10M /
+    LastFM shapes measured).  Returns [(start, end, width), ...].
+    """
+    n = sorted_counts.size
+    if n == 0:
+        return []
+    sc = np.maximum(sorted_counts, 1)
+    # candidate boundaries: starts of distinct-value runs (+ n); the DP is
+    # O(K·C²) so subsample the low-degree tail when there are too many
+    _, first_idx = np.unique(-sc, return_index=True)
+    cand = np.unique(np.concatenate([first_idx, [n]]))
+    if cand.size > 400:
+        cin = cand[:-1]
+        head = cin[sc[cin] >= 128]
+        tail = cin[sc[cin] < 128]
+        if tail.size > 0:
+            tail = tail[np.linspace(0, tail.size - 1,
+                                    min(tail.size, 300)).astype(int)]
+        cand = np.unique(np.concatenate([head, tail, [n]]))
+    C = cand.size
+    w_at = np.maximum(
+        np.ceil(sc[np.minimum(cand, n - 1)] / lane) * lane, min_width
+    ).astype(np.int64)
+    INF = np.int64(1) << 62
+    dp = np.full((max_chunks + 1, C), INF, np.int64)
+    nxt = np.zeros((max_chunks + 1, C), np.int32)
+    dp[:, C - 1] = 0
+    lens = cand  # cand[j] - cand[i] via broadcasting below
+    for k in range(1, max_chunks + 1):
+        for i in range(C - 2, -1, -1):
+            R = -(-(lens[i + 1:] - lens[i]) // row_block) * row_block
+            cost = R * w_at[i] + dp[k - 1, i + 1:]
+            j = int(np.argmin(cost))
+            dp[k, i] = cost[j]
+            nxt[k, i] = i + 1 + j
+    out = []
+    i, k = 0, max_chunks
+    while i < C - 1:
+        j = nxt[k, i]
+        out.append((int(cand[i]), int(cand[j]), int(w_at[i])))
+        i, k = j, k - 1
+    return out
+
+
 def plan_layout(counts: np.ndarray, row_order: np.ndarray, n_rows: int,
           row_block: int, max_block_elems: int, min_width: int):
     """Bucket layout (no filling): list of (pos, R, n_real, width, cs)
     chunks plus perm / row_of / n_rows_pad.  THE single planner — both the
     host fill below and the device fill (data/device_fill.py) consume it,
     so the two builders cannot drift structurally."""
+    import os
+
     sorted_counts = counts[row_order]
-    boundaries = []
-    i = 0
-    while i < n_rows:
-        w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
-        lo_excl = w // 2 if w > min_width else 0
-        if lo_excl == 0:
-            j = n_rows
-        else:
-            j = int(np.searchsorted(-sorted_counts, -lo_excl, side="left"))
-        j = max(j, i + 1)
-        boundaries.append((i, j, w))
-        i = j
+    if os.environ.get("CMFREC_TPU_POW2_BUCKETS", "0") == "1":
+        boundaries = []
+        i = 0
+        while i < n_rows:
+            w = _pow2_width(max(int(sorted_counts[i]), 1), min_width)
+            lo_excl = w // 2 if w > min_width else 0
+            if lo_excl == 0:
+                j = n_rows
+            else:
+                j = int(np.searchsorted(-sorted_counts, -lo_excl,
+                                        side="left"))
+            j = max(j, i + 1)
+            boundaries.append((i, j, w))
+            i = j
+    else:
+        max_chunks = int(os.environ.get("CMFREC_TPU_MAX_BUCKETS", "12"))
+        # Fixed reference row_block in the DP cost: boundaries (and hence
+        # bucket membership + per-bucket RNG) must not depend on the mesh
+        # size, so 1-device and N-device fits init identically.
+        boundaries = _optimal_boundaries(
+            sorted_counts, DEFAULT_ROW_BLOCK, min_width, max_chunks)
 
     chunks = []  # (pos, R, n_real, width, cs) where cs indexes row_order
     perm = np.zeros(n_rows, dtype=np.int64)

@@ -311,6 +311,7 @@ def can_fuse_cg(parts, jacobi: bool, dtype, max_width: int = 1024) -> bool:
         and not jacobi
         and jnp.dtype(dtype) == jnp.float32
         and L <= max_width
+        and L % 128 == 0  # Mosaic lane alignment (DP widths are 8-multiples)
         and R * L >= min_elems
         and jax.default_backend() == "tpu"
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"

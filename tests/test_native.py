@@ -78,9 +78,13 @@ def test_bucketed_layout_native_vs_numpy(rng, weights, monkeypatch):
 
 
 @pytest.mark.parametrize("weights", [False, True])
-def test_device_fill_matches_host_layout(rng, weights):
+@pytest.mark.parametrize("raw_upload", ["1", "0"])
+def test_device_fill_matches_host_layout(rng, weights, raw_upload,
+                                         monkeypatch):
     """Device-built buckets hold the same per-row (idx, val) SETS as the
-    host builder (within-row order may differ; systems are identical)."""
+    host builder (within-row order may differ; systems are identical) —
+    for both the raw-COO device-sort path and the CSR-upload path."""
+    monkeypatch.setenv("CMFREC_TPU_RAW_UPLOAD", raw_upload)
     from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
 
     m, n, nnz = 300, 150, 5000

@@ -106,6 +106,9 @@ def assemble_system(
     G0: Optional[jax.Array] = None,  # [K, K] shared Gram base
     r0: Optional[jax.Array] = None,  # [R, K] per-row rhs base
     mxu_bf16: bool = False,
+    ring_mesh=None,  # jax.sharding.Mesh: keep each part's opposing matrix
+    # row-sharded and assemble via the ppermute ring (parallel/ring.py) —
+    # the big-axis path when the opposing matrix does not fit one chip.
 ):
     """Build the dense batched (G, rhs) for Cholesky / CD solving."""
     R = parts[0].idx.shape[0] if parts else r0.shape[0]
@@ -116,6 +119,16 @@ def assemble_system(
     G = jnp.zeros((R, K, K), dt)
     rhs = jnp.zeros((R, K), dt)
     for p in parts:
+        if ring_mesh is not None:
+            from ..parallel.ring import pad_rows_to, ring_part_system
+
+            Gp, rp = ring_part_system(
+                pad_rows_to(p.mat, int(ring_mesh.size)), p.idx, p.cw, p.cv,
+                mesh=ring_mesh, mxu_bf16=mxu_bf16,
+            )
+            G = G + Gp.astype(dt)
+            rhs = rhs + rp.astype(dt)
+            continue
         G = G + part_gram(p, mxu_bf16)
         rhs = rhs + part_rhs(p, mxu_bf16)
     if G0 is not None:

@@ -116,6 +116,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "precondition",
         "mxu_bf16",
         "lam_mult_add",
+        "ring_mesh",
     ),
 )
 def solve_bucket(
@@ -139,6 +140,8 @@ def solve_bucket(
     mxu_bf16: bool = False,  # bf16 MXU operands (f32 accumulate)
     lam_mult_add: float = 0.0,  # constant added to the scale_lam multiplier
     # (dense side-info observation count, common.c:689-724)
+    ring_mesh=None,  # Mesh: opposing matrices stay row-sharded; Gram/rhs
+    # assembled by the ppermute ring (parallel/ring.py).  Chol/CD only.
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -169,10 +172,16 @@ def solve_bucket(
             live = lv if live is None else (live | lv)
 
     use_cd = nonneg or (l1_vec is not None)
+    if ring_mesh is not None and not (method == "chol" or use_cd):
+        raise ValueError(
+            "ring-sharded opposing factors support Cholesky/CD solves only "
+            "(truncated CG would cost one ring per matvec); "
+            "pass use_cg=False"
+        )
     if method == "chol" or use_cd:
         G, rhs = rowsolve.assemble_system(
             sparse_parts, lam_vec, lam_mult=lam_mult, G0=G0, r0=r0,
-            mxu_bf16=mxu_bf16,
+            mxu_bf16=mxu_bf16, ring_mesh=ring_mesh,
         )
         if lam_const_vec is not None:
             K = lam_vec.shape[0]
@@ -307,6 +316,7 @@ def update_side(
     lam_mult_add: float = 0.0,
     precondition: bool = False,
     mxu_bf16: bool = False,
+    ring_mesh=None,
     dtype=jnp.float32,
 ) -> list:
     """Solve all buckets of one side; returns the new block list."""
@@ -361,6 +371,7 @@ def update_side(
             precondition=precondition,
             mxu_bf16=mxu_bf16,
             lam_mult_add=lam_mult_add,
+            ring_mesh=ring_mesh,
         )
         new_blocks.append(a_new)
     return new_blocks

@@ -170,9 +170,25 @@ def fit_explicit_als(
     mesh=None,  # jax.sharding.Mesh for multi-chip DP (dense pallas engine)
     init=None,  # warm restart: dict(A=, B=[, biasA=, biasB=]) to continue
     # training from (the reference's reset_values=False)
+    shard_opposing_rows: bool = False,  # big-axis mode: keep the opposing
+    # factor matrix row-sharded over the mesh and assemble row systems by
+    # rotating its shards around the ring (parallel/ring.py).  Use when
+    # n*k (or m*k) no longer fits one chip's HBM; costs ~mesh-size masked
+    # gather passes per half-step.  Requires mesh= and use_cg=False.
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
+
+    if shard_opposing_rows:
+        if mesh is None:
+            raise ValueError("shard_opposing_rows requires mesh=")
+        if use_cg:
+            raise ValueError(
+                "shard_opposing_rows supports Cholesky/CD solves only "
+                "(truncated CG would cost one ring per matvec); "
+                "pass use_cg=False"
+            )
+        engine = "sparse"  # the bucketed engine is the sharded-B path
 
     if nonneg:
         use_cg = False
@@ -341,11 +357,11 @@ def fit_explicit_als(
         and os.environ.get("CMFREC_TPU_NO_BF16", "0") != "1"
     )
 
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-
     dataA = bucket_arrays(RB)
     dataB = bucket_arrays(CB)
+    mask_A = mask_B = None
+    if shard_opposing_rows:
+        dataA, dataB, mask_A, mask_B = _ring_remap(RB, CB, dataA, dataB)
 
     mu_dev = jnp.asarray(glob_mean, dtype)
     try:
@@ -363,6 +379,8 @@ def fit_explicit_als(
                 precondition_cg=precondition_cg,
                 mxu_bf16=bf16_ok and method == "cg",
                 jdtype=jnp.dtype(dtype),
+                ring_mesh=mesh if shard_opposing_rows else None,
+                mask_A=mask_A, mask_B=mask_B,
             )
             if verbose:
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
@@ -395,7 +413,8 @@ def fit_explicit_als(
     jax.jit,
     static_argnames=("m", "n", "k", "user_bias", "item_bias", "NA_as_zero",
                      "method", "max_cg_steps", "nonneg", "max_cd_steps",
-                     "scale_lam", "precondition_cg", "mxu_bf16", "jdtype"),
+                     "scale_lam", "precondition_cg", "mxu_bf16", "jdtype",
+                     "ring_mesh"),
 )
 def _explicit_sparse_iteration(
     A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
@@ -403,6 +422,7 @@ def _explicit_sparse_iteration(
     glob_mean,
     *, m, n, k, user_bias, item_bias, NA_as_zero, method, max_cg_steps,
     nonneg, max_cd_steps, scale_lam, precondition_cg, mxu_bf16, jdtype,
+    ring_mesh=None, mask_A=None, mask_B=None,
 ):
     """One full explicit ALS iteration (A then B half-step) over bucketed
     data — module-level so the compilation caches across fits."""
@@ -413,9 +433,15 @@ def _explicit_sparse_iteration(
     # Reference update order within an iteration: B first, then A
     # (/root/reference/src/collective.c:8614 "Updating B" precedes :8802
     # "Updating A") — A is the matrix solved last against the final B.
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
-    opp = _ext_with_ones(A_orig, k) if item_bias else _ext_with_zeros(A_orig, k)
-    opp_bias = A_orig[:, k] if user_bias else None
+    if ring_mesh is None:
+        A_orig = blocks_to_orig(A_blocks, perm_A, m)
+        opp = (_ext_with_ones(A_orig, k) if item_bias
+               else _ext_with_zeros(A_orig, k))
+        opp_bias = A_orig[:, k] if user_bias else None
+    else:
+        opp, opp_bias = _ring_opp_from_blocks(
+            A_blocks, mask_A, k, item_bias, ring_mesh)
+        opp_bias = opp_bias if user_bias else None
     G0 = r0_vec = None
     if NA_as_zero:
         G0 = gram_matrix(opp)
@@ -429,11 +455,17 @@ def _explicit_sparse_iteration(
         l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
         nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+        ring_mesh=ring_mesh,
     )
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-
-    opp = _ext_with_ones(B_orig, k) if user_bias else _ext_with_zeros(B_orig, k)
-    opp_bias = B_orig[:, k] if item_bias else None
+    if ring_mesh is None:
+        B_orig = blocks_to_orig(B_blocks, perm_B, n)
+        opp = (_ext_with_ones(B_orig, k) if user_bias
+               else _ext_with_zeros(B_orig, k))
+        opp_bias = B_orig[:, k] if item_bias else None
+    else:
+        opp, opp_bias = _ring_opp_from_blocks(
+            B_blocks, mask_B, k, user_bias, ring_mesh)
+        opp_bias = opp_bias if item_bias else None
     G0 = r0_vec = None
     if NA_as_zero:
         G0 = gram_matrix(opp)
@@ -447,8 +479,63 @@ def _explicit_sparse_iteration(
         l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
         nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+        ring_mesh=ring_mesh,
     )
     return A_blocks, B_blocks
+
+
+def _ring_shard(opp, ring_mesh):
+    """Pin the assembled opposing matrix to a row-sharded layout so the
+    replicated [S, K] form never materializes in big-axis mode."""
+    if ring_mesh is None:
+        return opp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        opp, NamedSharding(ring_mesh, P("d"))
+    )
+
+
+def _ring_remap(RB, CB, dataA, dataB):
+    """Big-axis fit setup: remap each side's bucket ids into the opposing
+    side's concat layout and build the real-row masks (1.0 at real rows,
+    0.0 at bucket padding rows)."""
+    perm_A = jnp.asarray(RB.perm.astype(np.int32))
+    perm_B = jnp.asarray(CB.perm.astype(np.int32))
+    dataA = _remap_bucket_ids(dataA, perm_B)  # A's slots index B rows
+    dataB = _remap_bucket_ids(dataB, perm_A)
+    mask_A = jnp.asarray((RB.row_of >= 0).astype(np.float32))
+    mask_B = jnp.asarray((CB.row_of >= 0).astype(np.float32))
+    return dataA, dataB, mask_A, mask_B
+
+
+@jax.jit
+def _remap_bucket_ids(data, perm_opp):
+    """Rewrite bucket column ids from original ids to positions in the
+    opposing side's CONCATENATED block layout (perm_opp[g] = concat
+    position of original row g).
+
+    Big-axis mode never re-orders the opposing factors to original row
+    order — the permuted gather would make XLA all-gather the full [S, K]
+    matrix (measured), exactly the array that doesn't fit.  Remapping the
+    (static) ids once per fit lets each half-step consume the factor
+    blocks in their resident sharded layout."""
+    return tuple(
+        (jnp.take(perm_opp, idx), val, ln, wgt)
+        for (idx, val, ln, wgt) in data
+    )
+
+
+def _ring_opp_from_blocks(blocks, mask_real, bias_col, set_ones, ring_mesh):
+    """Assemble the opposing matrix for a ring half-step from the factor
+    blocks in concat order: zero the padding rows (they carry random init
+    values and would pollute shared Grams), then write the bias-ones
+    column in place of _ext_with_ones.  Returns (opp, opp_bias), both in
+    concat order, row-sharded."""
+    full = jnp.concatenate(blocks, axis=0) * mask_real[:, None]
+    opp_bias = full[:, bias_col]
+    opp = full.at[:, bias_col].set(mask_real if set_ones else 0.0)
+    return _ring_shard(opp, ring_mesh), opp_bias
 
 
 def _seed_factor_blocks(blocks, bucketed: BucketedRows, M, k, dtype):
@@ -510,11 +597,22 @@ def fit_implicit_als(
     verbose: bool = False,
     mesh=None,  # jax.sharding.Mesh for multi-chip row-parallel solves
     init=None,  # warm restart: dict(A=, B=)
+    shard_opposing_rows: bool = False,  # big-axis mode (see fit_explicit_als)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
     if nonneg:
         use_cg = False
+
+    if shard_opposing_rows:
+        if mesh is None:
+            raise ValueError("shard_opposing_rows requires mesh=")
+        if use_cg:
+            raise ValueError(
+                "shard_opposing_rows supports Cholesky/CD solves only "
+                "(truncated CG would cost one ring per matvec); "
+                "pass use_cg=False"
+            )
 
     vals = np.asarray(vals, np.float64)
     if apply_log_transf:
@@ -591,6 +689,9 @@ def fit_implicit_als(
 
     dataA = bucket_arrays(RB)
     dataB = bucket_arrays(CB)
+    mask_A = mask_B = None
+    if shard_opposing_rows:
+        dataA, dataB, mask_A, mask_B = _ring_remap(RB, CB, dataA, dataB)
     w_dev = jnp.asarray(w_main, dtype)
     alpha_dev = jnp.asarray(alpha, dtype)
 
@@ -606,6 +707,8 @@ def fit_implicit_als(
                 precondition_cg=precondition_cg,
                 mxu_bf16=bf16_ok and method == "cg",
                 jdtype=jnp.dtype(dtype),
+                ring_mesh=mesh if shard_opposing_rows else None,
+                mask_A=mask_A, mask_B=mask_B,
             )
             if verbose:
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
@@ -635,20 +738,24 @@ def fit_implicit_als(
     jax.jit,
     static_argnames=("m", "n", "method", "max_cg_steps", "nonneg",
                      "max_cd_steps", "precondition_cg", "mxu_bf16",
-                     "jdtype"),
+                     "jdtype", "ring_mesh"),
 )
 def _implicit_sparse_iteration(
     A_blocks, B_blocks, dataA, dataB, perm_A, perm_B,
     lam_vec_A, lam_vec_B, l1_vec_A, l1_vec_B, w_main, alpha,
     *, m, n, method, max_cg_steps, nonneg, max_cd_steps, precondition_cg,
-    mxu_bf16, jdtype,
+    mxu_bf16, jdtype, ring_mesh=None, mask_A=None, mask_B=None,
 ):
     """One full WRMF iteration over bucketed data — module-level so the
     compilation caches across fits."""
     plan_A = SidePlan(None, "implicit", n)
     plan_B = SidePlan(None, "implicit", m)
     # Reference order: B first, then A (collective.c:9927 precedes :9981).
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    if ring_mesh is None:
+        A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    else:  # concat order, padding rows zeroed (see _ring_opp_from_blocks)
+        A_orig = _ring_shard(
+            jnp.concatenate(A_blocks, axis=0) * mask_A[:, None], ring_mesh)
     G0 = w_main * gram_matrix(A_orig)
     B_blocks = update_side(
         plan_B, B_blocks, A_orig, None, lam_vec_B,
@@ -657,8 +764,13 @@ def _implicit_sparse_iteration(
         l1_vec=l1_vec_B, method=method, n_steps=max_cg_steps,
         nonneg=nonneg, max_cd_steps=max_cd_steps,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+        ring_mesh=ring_mesh,
     )
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    if ring_mesh is None:
+        B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    else:
+        B_orig = _ring_shard(
+            jnp.concatenate(B_blocks, axis=0) * mask_B[:, None], ring_mesh)
     G0 = w_main * gram_matrix(B_orig)
     A_blocks = update_side(
         plan_A, A_blocks, B_orig, None, lam_vec_A,
@@ -667,6 +779,7 @@ def _implicit_sparse_iteration(
         l1_vec=l1_vec_A, method=method, n_steps=max_cg_steps,
         nonneg=nonneg, max_cd_steps=max_cd_steps,
         precondition=precondition_cg, mxu_bf16=mxu_bf16, dtype=jdtype,
+        ring_mesh=ring_mesh,
     )
     return A_blocks, B_blocks
 

@@ -276,3 +276,137 @@ def test_sharded_opposing_matrix_halfstep(problem):
     for a, b in zip(out_sharded, out_repl):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# Big-axis mode: opposing factors ring-sharded (parallel/ring.py)        #
+# --------------------------------------------------------------------- #
+
+
+def test_ring_part_system_matches_assemble(rng):
+    """ring_part_system (ppermute ring over B shards) assembles the same
+    per-row (G, rhs) as the replicated-gather assemble_system."""
+    from cmfrec_tpu.ops.rowsolve import SparsePart, assemble_system
+    from cmfrec_tpu.parallel.ring import (
+        pad_rows_to,
+        ring_part_system,
+        shard_rows,
+    )
+
+    S, K, R, L = 100, 12, 40, 16  # S *not* divisible by 8 -> padded
+    mat = rng.standard_normal((S, K)).astype(np.float32)
+    idx = rng.integers(0, S, (R, L)).astype(np.int32)
+    cw = rng.random((R, L)).astype(np.float32)
+    cv = rng.standard_normal((R, L)).astype(np.float32)
+    cw[:, 12:] = 0  # slot padding
+    cv[:, 12:] = 0
+
+    mesh = make_mesh(8)
+    G1, r1 = ring_part_system(
+        shard_rows(pad_rows_to(jnp.asarray(mat), 8), mesh),
+        shard_rows(jnp.asarray(idx), mesh),
+        shard_rows(jnp.asarray(cw), mesh),
+        shard_rows(jnp.asarray(cv), mesh),
+        mesh=mesh,
+    )
+    G2, r2 = assemble_system(
+        [SparsePart(jnp.asarray(mat), jnp.asarray(idx), jnp.asarray(cw),
+                    jnp.asarray(cv))],
+        jnp.zeros(K, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(G1), np.asarray(G2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_explicit_fit_parity(problem):
+    """fit_explicit_als(shard_opposing_rows=True) — opposing factors kept
+    row-sharded, systems assembled via the ring — reproduces the
+    replicated-opposing fit (biases included)."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    mesh = make_mesh(8)
+    kw = dict(k=5, lambda_=0.7, niter=4, use_cg=False, seed=3)
+    r1 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh, **kw)
+    r2 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh,
+                                  shard_opposing_rows=True, **kw)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["B"]), np.asarray(r2["B"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1["biasA"]),
+                               np.asarray(r2["biasA"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["na0", "nonneg"])
+def test_ring_explicit_variants(problem, variant):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    mesh = make_mesh(8)
+    kw = dict(k=4, lambda_=1.5, niter=2, use_cg=False, seed=3,
+              engine="sparse")
+    if variant == "na0":
+        kw["NA_as_zero"] = True
+    else:
+        kw["nonneg"] = True
+        vals = np.abs(vals)
+    r1 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh, **kw)
+    r2 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh,
+                                  shard_opposing_rows=True, **kw)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_implicit_fit_parity(problem):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    vi = np.maximum(1.0, np.abs(vals) * 4)
+    mesh = make_mesh(8)
+    kw = dict(k=5, lambda_=1.0, niter=3, use_cg=False, alpha=2.0, seed=5)
+    r1 = drivers.fit_implicit_als(rows, cols, vi, m, n, mesh=mesh, **kw)
+    r2 = drivers.fit_implicit_als(rows, cols, vi, m, n, mesh=mesh,
+                                  shard_opposing_rows=True, **kw)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1["B"]), np.asarray(r2["B"]),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_ring_gates(problem):
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    with pytest.raises(ValueError, match="use_cg=False"):
+        drivers.fit_explicit_als(rows, cols, vals, m, n, k=4,
+                                 mesh=make_mesh(8), use_cg=True,
+                                 shard_opposing_rows=True)
+    with pytest.raises(ValueError, match="mesh"):
+        drivers.fit_implicit_als(rows, cols, vals, m, n, k=4,
+                                 use_cg=False, shard_opposing_rows=True)
+
+
+def test_ring_never_materializes_opposing():
+    """The point of big-axis mode: the compiled ring program must contain
+    NO all-gather (an all-gather of the opposing matrix is exactly the
+    [S, K] materialization that doesn't fit)."""
+    from cmfrec_tpu.parallel.ring import ring_part_system
+
+    mesh = make_mesh(8)
+    S, K, R, L = 4096, 32, 256, 16
+    mat = jnp.ones((S, K), jnp.float32)
+    idx = jnp.zeros((R, L), jnp.int32)
+    cw = jnp.ones((R, L), jnp.float32)
+    cv = jnp.ones((R, L), jnp.float32)
+    txt = (
+        jax.jit(lambda a, b, c, d: ring_part_system(a, b, c, d, mesh=mesh))
+        .lower(mat, idx, cw, cv)
+        .compile()
+        .as_text()
+    )
+    assert "all-gather" not in txt
+    assert "collective-permute" in txt

@@ -78,19 +78,24 @@ def test_bucketed_layout_native_vs_numpy(rng, weights, monkeypatch):
 
 
 @pytest.mark.parametrize("weights", [False, True])
-@pytest.mark.parametrize("raw_upload", ["1", "0"])
+@pytest.mark.parametrize("raw_upload", ["1", "0", "sorted"])
 def test_device_fill_matches_host_layout(rng, weights, raw_upload,
                                          monkeypatch):
     """Device-built buckets hold the same per-row (idx, val) SETS as the
     host builder (within-row order may differ; systems are identical) —
-    for both the raw-COO device-sort path and the CSR-upload path."""
-    monkeypatch.setenv("CMFREC_TPU_RAW_UPLOAD", raw_upload)
+    for the raw-COO device-sort path, the CSR-upload path, and the
+    pre-sorted-input fast path (no row upload, no sort)."""
+    monkeypatch.setenv("CMFREC_TPU_RAW_UPLOAD",
+                       "1" if raw_upload == "sorted" else raw_upload)
     from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
 
     m, n, nnz = 300, 150, 5000
     rows = rng.integers(0, m, nnz)
     cols = rng.integers(0, n, nnz)
     vals = rng.normal(size=nnz)
+    if raw_upload == "sorted":  # CSR-ordered input hits the no-sort path
+        order = np.argsort(rows, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
     wgt = rng.uniform(0.5, 2.0, size=nnz) if weights else None
     RB_d, CB_d = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,
                                             dtype=np.float32)

@@ -107,6 +107,14 @@ def build_bucketed_pair_device(
     # neither a row-id upload nor a sort: one cheap host pass detects it
     # and saves 3 bytes/entry on the wire (the scarcest resource).
     rows_sorted = nnz <= 1 or bool(np.all(rows[1:] >= rows[:-1]))
+
+    def _ship_vals(v):
+        """Enqueue values/weights in the wire dtype (bf16 when the compute
+        dtype is f32 — exact for half-point ratings, ~0.4% rounding else)."""
+        v = np.asarray(v)
+        return jnp.asarray(v.astype(jnp.bfloat16) if ship_bf16
+                           else v.astype(dt))
+
     raw_upload = (os.environ.get("CMFREC_TPU_RAW_UPLOAD", "1") == "1"
                   and not rows_sorted
                   and m < np.iinfo(np.int32).max
@@ -119,14 +127,8 @@ def build_bucketed_pair_device(
         # and plans buckets, fully overlapped with the upload stream.
         rows_dev = _ship_ids(rows, m)
         ids_raw = _ship_ids(cols, n)
-        vals_np = np.asarray(vals)
-        vals_raw = jnp.asarray(
-            vals_np.astype(jnp.bfloat16) if ship_bf16
-            else vals_np.astype(dt))
-        wgt_raw = (
-            jnp.asarray(np.asarray(weights).astype(jnp.bfloat16)
-                        if ship_bf16 else np.asarray(weights, dt))
-            if weighted else jnp.zeros(0, dt))
+        vals_raw = _ship_vals(vals)
+        wgt_raw = _ship_vals(weights) if weighted else jnp.zeros(0, dt)
         counts_r = np.bincount(rows, minlength=m).astype(np.int64)
         row_order_r = native.degree_order(counts_r)
         if row_order_r is None:
@@ -138,14 +140,8 @@ def build_bucketed_pair_device(
         if row_order_r is None:
             row_order_r = np.argsort(-counts_r, kind="stable")
         ids_dev = _ship_ids(cols, n)
-        vals_np = np.asarray(vals)
-        vals_dev = jnp.asarray(
-            vals_np.astype(jnp.bfloat16) if ship_bf16
-            else vals_np.astype(dt))
-        wgt_dev = (
-            jnp.asarray(np.asarray(weights).astype(jnp.bfloat16)
-                        if ship_bf16 else np.asarray(weights, dt))
-            if weighted else jnp.zeros(0, dt))
+        vals_dev = _ship_vals(vals)
+        wgt_dev = _ship_vals(weights) if weighted else jnp.zeros(0, dt)
     else:
         csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
         if csr is not None:
@@ -162,14 +158,9 @@ def build_bucketed_pair_device(
         # kick off the big uploads NOW — they stream over the slow host
         # link while the host does degree ordering and planning below
         ids_dev = _ship_ids(csr_cols, n)
-        vals_dev = jnp.asarray(
-            csr_vals.astype(jnp.bfloat16) if ship_bf16 else csr_vals
-        )
-        wgt_dev = (
-            jnp.asarray(csr_wgt.astype(jnp.bfloat16)
-                        if ship_bf16 else csr_wgt)
-            if csr_wgt is not None else jnp.zeros(0, dt)
-        )
+        vals_dev = _ship_vals(csr_vals)
+        wgt_dev = (_ship_vals(csr_wgt) if csr_wgt is not None
+                   else jnp.zeros(0, dt))
 
     counts_c = np.bincount(cols, minlength=n).astype(np.int64)
     row_order_c = native.degree_order(counts_c)

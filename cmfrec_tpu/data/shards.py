@@ -104,22 +104,31 @@ def _optimal_boundaries(sorted_counts: np.ndarray, row_block: int,
     at ~1.15-1.2x on power-law data with the same chunk count (ML10M /
     LastFM shapes measured).  Returns [(start, end, width), ...].
     """
+    if max_chunks < 1:
+        raise ValueError(
+            f"max_chunks must be >= 1 (got {max_chunks}); check "
+            "CMFREC_TPU_MAX_BUCKETS")
     n = sorted_counts.size
     if n == 0:
         return []
     sc = np.maximum(sorted_counts, 1)
     # candidate boundaries: starts of distinct-value runs (+ n); the DP is
-    # O(K·C²) so subsample the low-degree tail when there are too many
+    # O(K·C²) so subsample BOTH ends when there are too many — power-law
+    # data can have thousands of distinct degrees >=128 in the head, and
+    # the planner runs on a 1-core host
     _, first_idx = np.unique(-sc, return_index=True)
     cand = np.unique(np.concatenate([first_idx, [n]]))
     if cand.size > 400:
         cin = cand[:-1]
         head = cin[sc[cin] >= 128]
         tail = cin[sc[cin] < 128]
+        if head.size > 0:
+            head = head[np.linspace(0, head.size - 1,
+                                    min(head.size, 200)).astype(int)]
         if tail.size > 0:
             tail = tail[np.linspace(0, tail.size - 1,
                                     min(tail.size, 300)).astype(int)]
-        cand = np.unique(np.concatenate([head, tail, [n]]))
+        cand = np.unique(np.concatenate([head, tail, [0, n]]))
     C = cand.size
     w_at = np.maximum(
         np.ceil(sc[np.minimum(cand, n - 1)] / lane) * lane, min_width

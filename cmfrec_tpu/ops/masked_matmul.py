@@ -35,7 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_R = 512
+import os
+
+BLOCK_R = int(os.environ.get("CMFREC_TPU_BLOCK_R", "512"))
 # Preferred inner (streamed) block widths; all multiples of 128 lanes.
 # Small widths cause an out-block revisit pipeline stall (measured 4-5x
 # slowdown at bs<=1024 on v5e), so candidates stay in [2048, 4096].
@@ -64,7 +66,14 @@ def pad_dim(dim: int, row_mult: int = 1) -> tuple[int, int]:
 
 def _matvec_kernel(q_ref, be_ref, w_ref, out_ref):
     t = jnp.dot(q_ref[...], be_ref[...].T, preferred_element_type=jnp.float32)
-    t = (t * w_ref[...].astype(jnp.float32)).astype(be_ref.dtype)
+    w = w_ref[...]
+    if w.dtype == jnp.bfloat16 and be_ref.dtype == jnp.bfloat16:
+        # 2-pass VPU chain: cast t once, multiply in bf16 (the mask is 0/1
+        # or already-rounded weights, so bf16 multiply is exact w.r.t. the
+        # bf16 operand path)
+        t = t.astype(jnp.bfloat16) * w
+    else:
+        t = (t * w.astype(jnp.float32)).astype(be_ref.dtype)
     contrib = jnp.dot(t, be_ref[...], preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(1) == 0)

@@ -35,6 +35,7 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 # slab tile target: TR * L * 512B (f32 upcast, lane-padded to 128) <= ~4 MB
 _TILE_ELEMS = 8192
 _REL_TOL = 1e-12
+_STOP_TOL = 1e-8
 
 
 def row_tile(R: int, L: int) -> int:
@@ -81,22 +82,26 @@ def _cg_kernel(ms_ref, cw_ref, cv_ref, gfix_ref, lam_ref, r0_ref, a0_ref,
     r = rhs - matvec(a)
     p = r
     rz = jnp.sum(r * r, axis=-1)
-    tolv = jnp.asarray(tol, jnp.float32)
+    # Two-tolerance stopping, bitwise-matching rowsolve.solve_cg (which
+    # mirrors /root/reference/src/common.c:1147,1181): rows whose INITIAL
+    # residual is already <= 1e-12 are skipped outright; a live row stops
+    # once its post-step residual falls <= 1e-8 (p frozen thereafter).
+    live = rz > jnp.asarray(tol, jnp.float32)
 
     def body(_, carry):
-        a, r, p, rz = carry
+        a, r, p, rz, live = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rz > tolv
         alpha = jnp.where(live, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rz_new = jnp.sum(r * r, axis=-1)
+        live = live & (rz_new > jnp.asarray(_STOP_TOL, jnp.float32))
         beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p = r + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rz_new, rz))
+        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        return (a, r, p, jnp.where(live, rz_new, rz), live)
 
-    a, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (a, r, p, rz))
+    a, _, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (a, r, p, rz, live))
     out_ref[...] = a
 
 
@@ -214,22 +219,23 @@ def _cg_kernel_packed(ms_ref, cwe_ref, cwo_ref, cve_ref, cvo_ref, gfix_ref,
     r = rhs - matvec(a)
     p = r
     rz = jnp.sum(r * r, axis=-1)
-    tolv = jnp.asarray(tol, jnp.float32)
+    # same two-tolerance stopping as _cg_kernel / rowsolve.solve_cg
+    live = rz > jnp.asarray(tol, jnp.float32)
 
     def body(_, carry):
-        a, r, p, rz = carry
+        a, r, p, rz, live = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rz > tolv
         alpha = jnp.where(live, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rz_new = jnp.sum(r * r, axis=-1)
+        live = live & (rz_new > jnp.asarray(_STOP_TOL, jnp.float32))
         beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p = r + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rz_new, rz))
+        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        return (a, r, p, jnp.where(live, rz_new, rz), live)
 
-    a, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (a, r, p, rz))
+    a, _, _, _, _ = jax.lax.fori_loop(0, n_steps, body, (a, r, p, rz, live))
     out_ref[...] = a
 
 

@@ -98,9 +98,12 @@ def _ring_body(mat_loc, idx_loc, cw_loc, cv_loc, *, n_dev: int,
 
     # Zero initial carries are device-invariant; mark them as varying over
     # the mesh axis so the scan carry type matches the accumulated outputs.
-    G0 = jax.lax.pcast(jnp.zeros((R, K, K), jnp.float32), (axis,),
+    # bf16 mode accumulates in f32 (preferred_element_type); otherwise the
+    # einsums produce mat_loc.dtype (f64 under x64) and the carry must match.
+    acc_dt = jnp.float32 if mxu_bf16 else mat_loc.dtype
+    G0 = jax.lax.pcast(jnp.zeros((R, K, K), acc_dt), (axis,),
                        to="varying")
-    r0 = jax.lax.pcast(jnp.zeros((R, K), jnp.float32), (axis,),
+    r0 = jax.lax.pcast(jnp.zeros((R, K), acc_dt), (axis,),
                        to="varying")
     # D-1 ppermutes suffice, but a uniform loop body keeps the program one
     # compiled block; the final rotation restores the resident layout.

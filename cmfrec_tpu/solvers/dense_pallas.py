@@ -66,24 +66,31 @@ def _setup(flat_idx, vals, wvals, m_pad, n_pad, weighted):
 
 
 def _cg(P, rhs, matvec, n_steps):
-    """Truncated CG with per-row early freeze (masked step size)."""
+    """Truncated CG with per-row early freeze (masked step size).
+
+    Two-tolerance stopping matching the reference exactly
+    (/root/reference/src/common.c:1147,1181) and rowsolve.solve_cg /
+    dense_engine._masked_cg: rows whose initial residual is <= 1e-12 are
+    skipped; a live row stops once its post-step residual falls <= 1e-8."""
     r = rhs - matvec(P)
     rs0 = jnp.sum(r * r, axis=-1)
+    live0 = rs0 > 1e-12
 
     def body(carry, _):
-        a, r, p, rs = carry
+        a, r, p, rs, live = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
-        live = rs > 1e-12
         alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rs_new = jnp.sum(r * r, axis=-1)
+        live = live & (rs_new > 1e-8)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
-        p = r + beta[:, None] * p
-        return (a, r, p, jnp.where(live, rs_new, rs)), None
+        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        return (a, r, p, jnp.where(live, rs_new, rs), live), None
 
-    (a, _, _, _), _ = jax.lax.scan(body, (P, r, r, rs0), None, length=n_steps)
+    (a, _, _, _, _), _ = jax.lax.scan(
+        body, (P, r, r, rs0, live0), None, length=n_steps)
     return a
 
 

@@ -424,7 +424,8 @@ def _explicit_sparse_iteration(
     nonneg, max_cd_steps, scale_lam, precondition_cg, mxu_bf16, jdtype,
     ring_mesh=None, mask_A=None, mask_B=None,
 ):
-    """One full explicit ALS iteration (A then B half-step) over bucketed
+    """One full explicit ALS iteration (B half-step then A, the reference's
+    order — collective.c:8614/8802; fixed-point tests check A last) over bucketed
     data — module-level so the compilation caches across fits."""
     mode = "na0" if NA_as_zero else "explicit"
     plan_A = SidePlan(None, mode, n)

@@ -730,6 +730,11 @@ def factors_bin_batch(model, idx, vals, wgt, lengths, U=None, U_bin=None,
             Cm, u, umask, Cb, ub, ubmask,
             jnp.asarray(lam_vec, dtype),
             jnp.asarray(w_main, dtype), jnp.asarray(w_user, dtype))
+    # explicit maxiter= wins; otherwise honor the model's maxiter (the
+    # reference's collective_factors_lbfgs inherits the fit setting) with
+    # a 200-step floorless default only when the model has none
+    if maxiter is None:
+        maxiter = getattr(model, "maxiter", None)
     n_steps = int(maxiter) if maxiter is not None else 200
     a = np.array(_lbfgs_rows(a0, args, n_steps=n_steps, memory=5, kc=kc))
     if cold:

@@ -361,6 +361,22 @@ def test_ring_explicit_variants(problem, variant):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ring_explicit_f64(problem):
+    """float64 big-axis fit: the ring accumulation carry must match the
+    f64 einsum outputs (regression — the fori_loop carry was pinned f32)."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers import drivers
+
+    mesh = make_mesh(8)
+    kw = dict(k=4, lambda_=0.9, niter=2, use_cg=False, seed=7,
+              dtype=np.float64)
+    r1 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh, **kw)
+    r2 = drivers.fit_explicit_als(rows, cols, vals, m, n, mesh=mesh,
+                                  shard_opposing_rows=True, **kw)
+    np.testing.assert_allclose(np.asarray(r1["A"]), np.asarray(r2["A"]),
+                               rtol=1e-9, atol=1e-10)
+
+
 def test_ring_implicit_fit_parity(problem):
     rows, cols, vals, m, n = problem
     from cmfrec_tpu.solvers import drivers

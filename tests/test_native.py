@@ -127,3 +127,30 @@ def test_device_fill_matches_host_layout(rng, weights, raw_upload,
                 w_d = np.take_along_axis(np.asarray(bd.wgt), od, 1)
                 w_h = np.take_along_axis(np.asarray(bh.wgt), oh, 1)
                 np.testing.assert_allclose(w_d, w_h, rtol=4.5e-3, atol=1e-6)
+
+
+def test_optimal_boundaries_invariants(rng):
+    """DP planner: invalid max_chunks raises (no infinite backtrack);
+    valid plans tile [0, n) contiguously with lane-rounded widths that
+    cover every row's degree, even on long-tailed degree profiles that
+    trigger BOTH candidate subsamplings."""
+    from cmfrec_tpu.data.shards import _optimal_boundaries
+
+    with pytest.raises(ValueError, match="max_chunks"):
+        _optimal_boundaries(np.array([5, 3, 1]), 8, 8, 0)
+    with pytest.raises(ValueError, match="max_chunks"):
+        _optimal_boundaries(np.array([5, 3, 1]), 8, 8, -2)
+
+    # power-law degrees with a long distinct head (>400 candidates)
+    deg = np.sort(rng.zipf(1.3, 20000).astype(np.int64))[::-1]
+    deg = np.minimum(deg, 500000)
+    for max_chunks in (1, 3, 12):
+        plan = _optimal_boundaries(deg, 8, 8, max_chunks)
+        assert 1 <= len(plan) <= max_chunks
+        assert plan[0][0] == 0 and plan[-1][1] == deg.size
+        for (s, e, w), nxt in zip(plan, plan[1:] + [None]):
+            assert e > s
+            if nxt is not None:
+                assert nxt[0] == e
+            assert w % 8 == 0 and w >= 8
+            assert w >= deg[s:e].max()

@@ -109,7 +109,16 @@ class _BaseModel:
 
     def _ingest_X(self, X, W=None):
         """X as DataFrame(UserId, ItemId, Rating[, Weight]) / scipy sparse /
-        dense ndarray (NaN = missing) -> COO triplets + dims + mappings."""
+        dense ndarray (NaN = missing) -> COO triplets + dims + mappings.
+
+        Records ``_n_orig`` = X's item count BEFORE any side-info-only item
+        rows extend the mapping (``include_all_X=False`` gates topN to it,
+        /root/reference/cmfrec/__init__.py:2759)."""
+        out = self._ingest_X_inner(X, W)
+        self._n_orig = out[5]
+        return out
+
+    def _ingest_X_inner(self, X, W=None):
         if _is_df(X):
             import pandas as pd
 
@@ -357,8 +366,24 @@ class _BaseModel:
         if exclude is not None:
             exclude, _ = self._map_ids(exclude, self.item_mapping_, "item")
             exclude = np.atleast_1d(exclude)
+        B, ib = self._xB, self.item_bias_
+        # include_all_X=False: items present only in the side info (rows of
+        # I beyond X's columns) are excluded from recommendation
+        # (/root/reference/cmfrec/__init__.py:2759 effect (a); ignored
+        # under NA_as_zero, where every column counts as observed).
+        lim = getattr(self, "_n_orig", None)
+        if (not getattr(self, "include_all_X", True)
+                and not getattr(self, "NA_as_zero", False)
+                and lim is not None and lim < B.shape[0]):
+            if include is not None and (include >= lim).any():
+                raise ValueError(
+                    "include= contains items absent from X; refit with "
+                    "include_all_X=True to recommend side-info-only items"
+                )
+            B = B[:lim]
+            ib = None if ib is None else ib[:lim]
         idx, scores = predict_ops.topn(
-            a_vec, self._xB, n, self.item_bias_, self.glob_mean_, a_bias,
+            a_vec, B, n, ib, self.glob_mean_, a_bias,
             include, exclude,
         )
         items = self._unmap_items(idx)

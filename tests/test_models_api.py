@@ -159,6 +159,34 @@ def test_side_info_appends_rows(ratings_df, rng):
     np.testing.assert_allclose(a_new, a_cold, rtol=1e-4, atol=1e-6)
 
 
+def test_include_all_X_false_hides_side_only_items(ratings_df, rng):
+    """include_all_X=False: items that exist only in the item side info
+    (extra rows of I) are fit but never recommended by topN, and naming
+    one in include= raises; include_all_X=True recommends them
+    (/root/reference/cmfrec/__init__.py:2759 effect (a))."""
+    df, rows, cols, vals, m, n = ratings_df
+    p_feat = 6
+    I = pd.DataFrame(
+        rng.normal(size=(n + 2, p_feat)),
+        columns=[f"g{j}" for j in range(p_feat)],
+    )
+    I.insert(0, "ItemId", [f"it{j}" for j in range(n)] + ["ghost1",
+                                                          "ghost2"])
+    kw = dict(k=5, lambda_=0.5, niter=5, use_float=False)
+    hidden = CMF(include_all_X=False, **kw).fit(df, I=I)
+    assert hidden.B_.shape[0] == n + 2  # still fit...
+    top = hidden.topN("u1", n=n + 2)  # ...but never recommended
+    assert len(top) == n
+    assert not {"ghost1", "ghost2"} & set(np.asarray(top).tolist())
+    with pytest.raises(ValueError, match="include_all_X"):
+        hidden.topN("u1", n=2, include=["it1", "ghost1"])
+    # predict still works for the side-only item (factors exist)
+    assert np.isfinite(hidden.predict("u1", "ghost1"))
+    shown = CMF(include_all_X=True, **kw).fit(df, I=I)
+    top = shown.topN("u1", n=n + 2)
+    assert {"ghost1", "ghost2"} <= set(np.asarray(top).tolist())
+
+
 def test_factors_warm_matches_training_user(ratings_df):
     """A warm solve on a training user's own data approximately reproduces
     that user's factors.  (Not exact: A is solved against the pre-update B

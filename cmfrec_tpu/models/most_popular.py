@@ -71,40 +71,47 @@ class MostPopular(_BaseModel):
                 preprocess.weighted_global_mean(vals, wgt) if self.center else 0.0
             )
             vals_c = np.asarray(vals, np.float64) - glob_mean
-            biasA, biasB = preprocess.initialize_biases(
-                rows, cols, vals_c, m, n,
-                lam_user=lam_user, lam_item=lam_item, wgt=wgt,
-                user_bias=self.user_bias, item_bias=True,
-                scale_lam=self.scale_lam, nonneg=False,
-            )
             if self.user_bias:
-                # a few extra alternating passes (maxiter=5 in the
-                # reference, /root/reference/src/common.c:5727)
-                for _ in range(4):
+                # the reference's fit_most_popular_internal: biases start
+                # at ZERO and run `iter <= maxiter` (maxiter=5) = SIX
+                # alternating passes, items first
+                # (/root/reference/src/common.c:5928-5932); head-to-head
+                # pinned by tests/test_ref_parity.py
+                biasA = np.zeros(m)
+                biasB = np.zeros(n)
+                cB = (np.bincount(cols, minlength=n).astype(np.float64)
+                      if wgt is None else np.bincount(cols, weights=wgt,
+                                                      minlength=n))
+                cA = (np.bincount(rows, minlength=m).astype(np.float64)
+                      if wgt is None else np.bincount(rows, weights=wgt,
+                                                      minlength=m))
+                denB = cB + lam_item * (cB if self.scale_lam else 1.0)
+                denA = cA + lam_user * (cA if self.scale_lam else 1.0)
+                for _ in range(6):
                     resB = vals_c - biasA[rows]
-                    c = (np.bincount(cols, minlength=n).astype(np.float64)
-                         if wgt is None else np.bincount(cols, weights=wgt,
-                                                         minlength=n))
                     sB = np.bincount(
                         cols,
                         weights=resB if wgt is None else resB * wgt,
                         minlength=n,
                     )
-                    den = c + lam_item * (c if self.scale_lam else 1.0)
-                    biasB = np.divide(sB, den, out=np.zeros_like(sB),
-                                      where=den > 0)
+                    biasB = np.divide(sB, denB, out=np.zeros_like(sB),
+                                      where=denB > 0)
                     resA = vals_c - biasB[cols]
-                    c = (np.bincount(rows, minlength=m).astype(np.float64)
-                         if wgt is None else np.bincount(rows, weights=wgt,
-                                                         minlength=m))
                     sA = np.bincount(
                         rows,
                         weights=resA if wgt is None else resA * wgt,
                         minlength=m,
                     )
-                    den = c + lam_user * (c if self.scale_lam else 1.0)
-                    biasA = np.divide(sA, den, out=np.zeros_like(sA),
-                                      where=den > 0)
+                    biasA = np.divide(sA, denA, out=np.zeros_like(sA),
+                                      where=denA > 0)
+            else:
+                _, biasB = preprocess.initialize_biases(
+                    rows, cols, vals_c, m, n,
+                    lam_user=lam_user, lam_item=lam_item, wgt=wgt,
+                    user_bias=False, item_bias=True,
+                    scale_lam=self.scale_lam, nonneg=False,
+                )
+                biasA = None
             self.item_bias_ = biasB
             self.user_bias_ = biasA if self.user_bias else None
             self.glob_mean_ = float(glob_mean)

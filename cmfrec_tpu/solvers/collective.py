@@ -263,6 +263,10 @@ def fit_collective_explicit_als(
     n_eff = max(n, I.n_ent if I else 0)
 
     glob_mean = preprocess.weighted_global_mean(vals, weights) if center else 0.0
+    if nonneg:
+        # centering stays on under nonneg; only the mean is clamped at zero
+        # (common.c:3599)
+        glob_mean = max(glob_mean, 0.0)
     vals_c = (np.asarray(vals, np.float64) - glob_mean).astype(dtype)
 
     # Fused dense-engine fast path: fully-dense side info, no k splits, no
@@ -790,6 +794,8 @@ def fit_collective_implicit_als(
     nonneg=False, nonneg_C=False, nonneg_D=False, max_cd_steps=100,
     dtype=np.float32, seed=1, verbose=False,
     mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
+    init=None,  # warm restart (reset_values=False analog): dict with any
+    # of A/B/C/D to continue training from
 ) -> dict:
     """WRMF with side info (/root/reference/src/collective.c:9375)."""
     dtype = np.dtype(dtype)
@@ -822,6 +828,7 @@ def fit_collective_implicit_als(
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
         and use_cg
+        and init is None  # the fused engine has no warm-start entry point
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
         and not (NA_as_zero_user or NA_as_zero_item)
@@ -884,6 +891,12 @@ def fit_collective_implicit_als(
     key = jax.random.PRNGKey(seed)
     key, A_blocks = init_blocks(key, RB, ka, ka_pad, dtype)
     key, B_blocks = init_blocks(key, CB, kb, kb_pad, dtype)
+    if init is not None:
+        from .drivers import _seed_factor_blocks
+        if init.get("A") is not None:
+            A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], ka, dtype)
+        if init.get("B") is not None:
+            B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], kb, dtype)
 
     def setup_side(S, main_bucketed):
         if S is None:
@@ -911,20 +924,36 @@ def fit_collective_implicit_als(
     key2 = jax.random.PRNGKey(seed + 1)
     C_blocks = D_blocks = None
     C_orig = D_orig = None
+    init_C = None if init is None else init.get("C")
+    init_D = None if init is None else init.get("D")
     if U is not None:
         if U.dense is not None:
             C_orig = 0.01 * jax.random.normal(key2, (U.p, kc_pad), dtype)
             C_orig = C_orig.at[:, kc:].set(0.0)
+            if init_C is not None:
+                C_orig = C_orig.at[:, :kc].set(
+                    jnp.asarray(np.asarray(init_C, dtype)))
         else:
             key2, C_blocks = init_blocks(key2, U_featb, kc, kc_pad, dtype)
+            if init_C is not None:
+                from .drivers import _seed_factor_blocks
+                C_blocks = _seed_factor_blocks(
+                    C_blocks, U_featb, init_C, kc, dtype)
             C_orig = blocks_to_orig(C_blocks, jnp.asarray(U_featb.perm), U.p)
     if I is not None:
         if I.dense is not None:
             key2, sub = jax.random.split(key2)
             D_orig = 0.01 * jax.random.normal(sub, (I.p, kd_pad), dtype)
             D_orig = D_orig.at[:, kd:].set(0.0)
+            if init_D is not None:
+                D_orig = D_orig.at[:, :kd].set(
+                    jnp.asarray(np.asarray(init_D, dtype)))
         else:
             key2, D_blocks = init_blocks(key2, I_featb, kd, kd_pad, dtype)
+            if init_D is not None:
+                from .drivers import _seed_factor_blocks
+                D_blocks = _seed_factor_blocks(
+                    D_blocks, I_featb, init_D, kd, dtype)
             D_orig = blocks_to_orig(D_blocks, jnp.asarray(I_featb.perm), I.p)
 
     lam_vec_A = _make_lam_vec(ka, ka_pad, lam6[2], 0.0, False, dtype)

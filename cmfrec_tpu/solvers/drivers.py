@@ -192,12 +192,13 @@ def fit_explicit_als(
 
     if nonneg:
         use_cg = False
-        center_here = False  # nonneg models don't center (common.c:3423 w/ nonneg)
-    else:
-        center_here = center
     glob_mean = (
-        preprocess.weighted_global_mean(vals, weights) if center_here else 0.0
+        preprocess.weighted_global_mean(vals, weights) if center else 0.0
     )
+    if nonneg:
+        # nonneg models center like any other, but clamp the global mean
+        # at zero (common.c:3599 `*glob_mean = fmax(*glob_mean, 0)`)
+        glob_mean = max(glob_mean, 0.0)
     vals_c = (vals - glob_mean).astype(dtype)
 
     # Engine selection: the dense-masked engine turns the CG half-iterations

@@ -200,7 +200,9 @@ def ref_fit_explicit_als(
 
 def ref_fit_implicit_als(
     rows, cols, vals, m, n, *, k, lam, niter, alpha,
-    A0, B0,
+    A0, B0, C0=None, U=None,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, center_U=True,
     use_cg=False, max_cg_steps=3, precondition_cg=False,
     finalize_chol=False,
     apply_log_transf=False, adjust_weight=False,
@@ -208,9 +210,20 @@ def ref_fit_implicit_als(
 ):
     lib = get_lib()
     assert lib is not None
-    A = np.ascontiguousarray(np.asarray(A0, np.float64)).copy()
+    width_A = k_user + k + k_main
+    width_B = k_item + k + k_main
+    p = 0 if U is None else U.shape[1]
+    m_u = 0 if U is None else U.shape[0]
+    A = np.ascontiguousarray(np.zeros((max(m, m_u), width_A)), np.float64)
+    A[: A0.shape[0], :] = A0
     B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
-    assert A.shape == (m, k) and B.shape == (n, k)
+    assert B.shape == (n, width_B)
+    C = None
+    if U is not None:
+        C = np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
+        assert C.shape == (p, k_user + k)
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    U_colmeans = (np.zeros(p) if (U is not None and center_U) else None)
     X_row = np.ascontiguousarray(rows, np.int32)
     X_col = np.ascontiguousarray(cols, np.int32)
     # the C implicit path scales X by alpha IN PLACE via a copy? no — it
@@ -222,20 +235,20 @@ def ref_fit_implicit_als(
     fn.restype = c_int_t
     ret = fn(
         _ptr(A), _ptr(B),
-        None, None,                         # C, D
+        _ptr(C), None,                      # C, D
         ct.c_bool(False), c_int_t(1),       # reset_values, seed
-        None, None,                         # U_colmeans, I_colmeans
+        _ptr(U_colmeans), None,             # U_colmeans, I_colmeans
         c_int_t(m), c_int_t(n), c_int_t(k),
         _iptr(X_row), _iptr(X_col), _ptr(X), ct.c_size_t(X.size),
         c_real(lam), None,
         c_real(l1_lam), None,
-        None, c_int_t(0), c_int_t(0),       # U, m_u, p
+        _ptr(Ucont), c_int_t(m_u), c_int_t(p),
         None, c_int_t(0), c_int_t(0),       # II, n_i, q
         None, None, None, ct.c_size_t(0),   # U sparse
         None, None, None, ct.c_size_t(0),   # I sparse
         ct.c_bool(False), ct.c_bool(False),  # NA_as_zero_U/I
-        c_int_t(0), c_int_t(0), c_int_t(0),  # k_main, k_user, k_item
-        c_real(1.0), c_real(1.0), c_real(1.0),  # w_main/user/item
+        c_int_t(k_main), c_int_t(k_user), c_int_t(k_item),
+        c_real(w_main), c_real(w_user), c_real(1.0),  # w_main/user/item
         ct.byref(w_main_multiplier),
         c_real(alpha), ct.c_bool(adjust_weight), ct.c_bool(apply_log_transf),
         c_int_t(niter), ct.c_int(1),
@@ -248,5 +261,113 @@ def ref_fit_implicit_als(
         None, None, None, None,
     )
     assert ret == 0, f"reference fit_collective_implicit_als returned {ret}"
-    return {"A": A, "B": B,
+    return {"A": A, "B": B, "C": C, "U_colmeans": U_colmeans,
+            "w_main_multiplier": float(w_main_multiplier.value)}
+
+
+def ref_factors_collective_explicit_single(
+    *, k, lam, B, xa, x_col, n,
+    C=None, u_vec=None, U_colmeans=None,
+    biasB=None, glob_mean=0.0, user_bias=False,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, w_implicit=0.5,
+    Bi=None, add_implicit_features=False,
+    weight=None, NA_as_zero_X=False, NA_as_zero_U=False,
+    scale_lam=False, scale_lam_sideinfo=False, nonneg=False,
+    lam_unique=None, l1_lam=0.0,
+):
+    """collective_factors_warm/cold through the exported single-row entry
+    (/root/reference/include/cmfrec.h.in:1100).  All precomputed-cache
+    pointers are NULL so the binary assembles the system from scratch."""
+    lib = get_lib()
+    assert lib is not None
+    width = k_user + k + k_main
+    a_vec = np.zeros(width)
+    a_bias = c_real(0.0)
+    p = 0 if u_vec is None else u_vec.shape[0]
+    Ccont = None if C is None else np.ascontiguousarray(C, np.float64)
+    ucont = None if u_vec is None else np.ascontiguousarray(u_vec, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    Xa = np.ascontiguousarray(xa, np.float64)
+    Xcol = np.ascontiguousarray(x_col, np.int32)
+    Bcont = np.ascontiguousarray(B, np.float64)
+    Bicont = None if Bi is None else np.ascontiguousarray(Bi, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    W = None if weight is None else np.ascontiguousarray(weight, np.float64)
+    lam_u = (None if lam_unique is None
+             else np.ascontiguousarray(lam_unique, np.float64))
+
+    fn = lib.factors_collective_explicit_single
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(a_vec), ct.byref(a_bias) if user_bias else None,
+        _ptr(ucont), c_int_t(p),
+        None, None, ct.c_size_t(0),         # u_vec sparse
+        None, c_int_t(0),                   # u_bin
+        ct.c_bool(NA_as_zero_U), ct.c_bool(NA_as_zero_X),
+        ct.c_bool(nonneg),
+        _ptr(Ccont), None,                  # C, Cb
+        c_real(glob_mean), _ptr(bb),
+        _ptr(um),
+        _ptr(Xa), _iptr(Xcol), ct.c_size_t(Xa.size),
+        None, c_int_t(n),                   # Xa_dense, n
+        _ptr(W),
+        _ptr(Bcont),
+        _ptr(Bicont), ct.c_bool(add_implicit_features),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), _ptr(lam_u),
+        c_real(l1_lam), None,
+        ct.c_bool(scale_lam), ct.c_bool(scale_lam_sideinfo),
+        ct.c_bool(False), c_real(0.0),      # scale_bias_const, scaling_biasA
+        c_real(w_main), c_real(w_user), c_real(w_implicit),
+        c_int_t(n), ct.c_bool(True),        # n_max, include_all_X
+        None, None, None, None, None, None, None, None, None,
+    )
+    assert ret == 0, f"factors_collective_explicit_single returned {ret}"
+    return a_vec, float(a_bias.value)
+
+
+def ref_fit_most_popular(
+    rows, cols, vals, m, n, *, lam_user=0.0, lam_item=0.0,
+    scale_lam=False, alpha=1.0, weights=None,
+    implicit=False, adjust_weight=False, apply_log_transf=False,
+    nonneg=False, center=True,
+):
+    """fit_most_popular (/root/reference/include/cmfrec.h.in:1538).
+    Note: the C entry has no 'center' flag — the explicit path always
+    centers; callers wanting center=False handle it outside."""
+    lib = get_lib()
+    assert lib is not None
+    biasA = np.zeros(m)  # the built .so dereferences biasA even when the
+    # caller only wants item biases — NULL segfaults
+    biasB = np.zeros(n)
+    glob_mean = c_real(0.0)
+    w_main_multiplier = c_real(1.0)
+    X_row = np.ascontiguousarray(rows, np.int32)
+    X_col = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64).copy()
+    W = None if weights is None else np.ascontiguousarray(weights, np.float64)
+
+    fn = lib.fit_most_popular
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(biasA), _ptr(biasB),
+        ct.byref(glob_mean),
+        c_real(lam_user), c_real(lam_item),
+        ct.c_bool(scale_lam), ct.c_bool(False),
+        c_real(alpha),
+        c_int_t(m), c_int_t(n),
+        _iptr(X_row), _iptr(X_col), _ptr(X), ct.c_size_t(X.size),
+        None,                               # Xfull
+        _ptr(W),
+        ct.c_bool(implicit), ct.c_bool(adjust_weight),
+        ct.c_bool(apply_log_transf),
+        ct.c_bool(nonneg),
+        ct.byref(w_main_multiplier),
+        ct.c_int(1),
+    )
+    assert ret == 0, f"fit_most_popular returned {ret}"
+    return {"biasA": biasA, "biasB": biasB,
+            "glob_mean": float(glob_mean.value),
             "w_main_multiplier": float(w_main_multiplier.value)}

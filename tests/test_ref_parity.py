@@ -282,3 +282,329 @@ def test_implicit_cg_divergence_documented():
         rows, cols, vals, m, n, k=k, lam=lam, niter=1, alpha=alpha,
         A0=A0, B0=B0, use_cg=True, max_cg_steps=60)
     assert np.abs(ref_cg["B"] - chol["B"]).max() > 1e-3
+
+
+# --------------------------------------------------------------------- #
+# Round-3 widening: the bench-critical and feature configs               #
+# --------------------------------------------------------------------- #
+
+
+def _weighted_replica(rows, cols, vals, wgt, m, n, k, lam, niter, A0, B0,
+                      misaligned_B):
+    """Literal weighted ALS (Chol, B then A).  With ``misaligned_B`` the B
+    half-step reads the weight array in RAW COO order indexed by CSC
+    position — the reference binary's effective semantics (see
+    test_explicit_weighted_quirk_documented)."""
+    csc_rank = np.empty(rows.size, np.int64)
+    csc_rank[np.argsort(cols, kind="stable")] = np.arange(rows.size)
+    wB = wgt[csc_rank] if misaligned_B else wgt
+    A, B = A0.copy(), B0.copy()
+
+    def solve(opp, x, w):
+        G = opp.T @ (opp * w[:, None]) + lam * np.eye(opp.shape[1])
+        return np.linalg.solve(G, opp.T @ (w * x))
+
+    for _ in range(niter):
+        for j in range(n):
+            ix = np.nonzero(cols == j)[0]
+            B[j] = solve(A[rows[ix]], vals[ix], wB[ix])
+        for i in range(m):
+            ix = np.nonzero(rows == i)[0]
+            A[i] = solve(B[cols[ix]], vals[ix], wgt[ix])
+    return A, B
+
+
+def test_explicit_weighted_quirk_documented():
+    """Weighted sparse X: the reference's B half-step passes the RAW
+    COO-order weight array where CSC-ordered weights are expected
+    (/root/reference/src/collective.c:8642 `(Xfull == NULL)?
+    weight:weightC` — ternary inverted; the A half-step at :8813 correctly
+    uses weightR), so each column system reads other entries' weights.
+    Pins BOTH sides: the misaligned replica == the binary, and the clean
+    replica == our engine (we do not copy the bug)."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=3)
+    wgt = rng.uniform(0.5, 2.0, rows.size)
+    k, lam, niter = 4, 0.3, 2
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=niter,
+        A0=A0, B0=B0, use_cg=False, weights=wgt, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False)
+    Aq, Bq = _weighted_replica(rows, cols, vals, wgt, m, n, k, lam, niter,
+                               A0, B0, misaligned_B=True)
+    np.testing.assert_allclose(Aq, ref["A"], atol=1e-10)
+    np.testing.assert_allclose(Bq, ref["B"], atol=1e-10)
+
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=niter,
+        use_cg=False, user_bias=False, item_bias=False, center=False,
+        weights=wgt, dtype=np.float64, init={"A": A0, "B": B0})
+    Ac, Bc = _weighted_replica(rows, cols, vals, wgt, m, n, k, lam, niter,
+                               A0, B0, misaligned_B=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), Ac, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), Bc, atol=1e-9)
+
+
+def test_explicit_chol_lam_unique():
+    """Six-entry lambda (user_bias, item_bias, A, B, C, D ordering)."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=4)
+    k = 4
+    lam6 = np.array([0.2, 0.4, 0.6, 0.9, 1.0, 1.0])
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam6, niter=3,
+        use_cg=False, user_bias=True, item_bias=True, center=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=0.0, lam_unique=lam6, niter=3,
+        A0=A0, B0=B0, use_cg=False,
+        user_bias=True, item_bias=True, center=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_explicit_chol_na_as_zero():
+    """NA_as_zero: unobserved entries count as zeros (bias-free)."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=5)
+    k, lam = 4, 0.8
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        use_cg=False, user_bias=False, item_bias=False, center=False,
+        NA_as_zero=True, dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, use_cg=False, NA_as_zero=True,
+        user_bias=False, item_bias=False, center=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+def test_collective_chol_implicit_features():
+    """add_implicit_features (the reference's best-RMSE benchmark config):
+    Ai/Bi trained alongside A/B."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=6)
+    k, lam = 4, 0.7
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    Ai0 = rng.normal(size=(m, k)) * 0.1
+    Bi0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        add_implicit_features=True, w_implicit=0.5,
+        use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, dtype=np.float64,
+        init={"A": A0, "B": B0, "Ai": Ai0, "Bi": Bi0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, use_cg=False, finalize_chol=False,
+        add_implicit_features=True, Ai0=Ai0, Bi0=Bi0, w_implicit=0.5,
+        user_bias=True, item_bias=True, center=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["Bi"]), ref["Bi"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["Ai"]), ref["Ai"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+
+
+def test_explicit_chol_nonneg_cd():
+    """Non-negative factors via coordinate descent.  Each half-step's NNLS
+    problem is strictly convex (unique minimizer), so one iteration agrees
+    to CD tolerance.  (Multi-iteration trajectories drift apart: CD stops
+    at ~1e-8, and NNLS support switching amplifies that across ALS
+    iterations — verified for the binary and for scipy.nnls alike.)"""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=7)
+    k, lam = 3, 0.5
+    A0 = np.abs(rng.normal(size=(m, k))) * 0.1
+    B0 = np.abs(rng.normal(size=(n, k))) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=1,
+        use_cg=False, user_bias=False, item_bias=False, center=True,
+        nonneg=True, max_cd_steps=400, dtype=np.float64,
+        init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=1,
+        A0=A0, B0=B0, use_cg=False, nonneg=True, max_cd_steps=400,
+        user_bias=False, item_bias=False, center=True)
+    assert np.asarray(ours["A"]).min() >= 0 and ref["A"].min() >= 0
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-5)
+
+
+def test_implicit_chol_side_info():
+    """Collective WRMF with dense user side info and k splits."""
+    from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
+
+    rows, cols, vals, m, n, k, _, _ = _implicit_data()
+    rng = np.random.default_rng(8)
+    p, k_user, k_main = 5, 2, 1
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k_user + k + k_main)) * 0.1
+    B0 = rng.normal(size=(n, k + k_main)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    lam, alpha = 0.9, 2.0
+    ours = fit_collective_implicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        k_user=k_user, k_main=k_main, w_user=0.6,
+        use_cg=False, finalize_chol=False, center_U=True,
+        dtype=np.float64, init={"A": A0, "B": B0, "C": C0})
+    ref = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3, alpha=alpha,
+        A0=A0, B0=B0, C0=C0, U=U, k_user=k_user, k_main=k_main,
+        w_user=0.6, center_U=True, use_cg=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+
+
+def test_implicit_chol_log_transf_adjust_weight():
+    """apply_log_transf + adjust_weight: the w_main multiplier becomes
+    nnz/(m*n) and X is log-transformed before confidence weighting."""
+    from cmfrec_tpu.solvers.drivers import fit_implicit_als
+
+    rows, cols, vals, m, n, k, A0, B0 = _implicit_data()
+    vals = vals + 1.0  # log-transform needs values > 1 to stay positive
+    lam, alpha = 0.9, 2.0
+    ours = fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha, niter=3,
+        use_cg=False, finalize_chol=False, apply_log_transf=True,
+        adjust_weight=True, dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3, alpha=alpha,
+        A0=A0, B0=B0, use_cg=False, apply_log_transf=True,
+        adjust_weight=True)
+    assert abs(ours.get("w_main_multiplier", ref["w_main_multiplier"])
+               - ref["w_main_multiplier"]) < 1e-12
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+# --------------------------------------------------------------------- #
+# Inference surface: warm/cold factors + MostPopular vs the binary       #
+# --------------------------------------------------------------------- #
+
+
+def test_factors_warm_single_vs_binary():
+    """model.factors_warm == factors_collective_explicit_single on the
+    same trained parameters: plain, with dense side info, and cold.
+    Fit through the positional (non-reindexing) path so B_'s row order is
+    the raw item-id space the binary indexes with."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_factors_collective_explicit_single
+
+    rng = np.random.default_rng(11)
+    m, n, p = 40, 25, 6
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    k, k_user, k_main, lam = 4, 2, 1, 0.7
+    model = CMF(k=k, k_user=k_user, k_main=k_main, lambda_=lam,
+                w_user=0.6, niter=4, use_cg=False, use_float=False,
+                user_bias=True, item_bias=True).fit_triplets(
+                    rows, cols, vals, m, n, U=U)
+
+    sel = rows == 7
+    xc, xv = cols[sel].astype(np.int64), vals[sel]
+    a_ours, b_ours = model.factors_warm(
+        X_col=xc, X_val=xv, U=U[7], return_bias=True)
+    a_ref, b_ref = ref_factors_collective_explicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=xv, x_col=xc, n=n,
+        C=np.asarray(model.C_, np.float64), u_vec=U[7],
+        U_colmeans=model.U_colmeans_,
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=True,
+        k_user=k_user, k_main=k_main, w_user=0.6)
+    np.testing.assert_allclose(a_ours, a_ref, atol=1e-8)
+    assert abs(b_ours - b_ref) < 1e-8
+
+    # cold: side info only
+    a_cold = model.factors_cold(U=U[7])
+    a_refc, _ = ref_factors_collective_explicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=np.zeros(0), x_col=np.zeros(0, np.int64), n=n,
+        C=np.asarray(model.C_, np.float64), u_vec=U[7],
+        U_colmeans=model.U_colmeans_,
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=False,
+        k_user=k_user, k_main=k_main, w_user=0.6)
+    np.testing.assert_allclose(a_cold, a_refc, atol=1e-8)
+
+
+def test_factors_warm_plain_vs_binary():
+    """No side info: warm factors with bias, weights, and scale_lam."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_factors_collective_explicit_single
+
+    rng = np.random.default_rng(12)
+    m, n = 40, 25
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    k, lam = 5, 0.5
+    for scale_lam in (False, True):
+        model = CMF(k=k, lambda_=lam, niter=4, use_cg=False,
+                    scale_lam=scale_lam, use_float=False,
+                    user_bias=True, item_bias=True).fit_triplets(
+                        rows, cols, vals, m, n)
+        sel = rows == 3
+        xc, xv = cols[sel].astype(np.int64), vals[sel]
+        wv = rng.uniform(0.5, 2.0, xv.size)
+        a_ours, b_ours = model.factors_warm(
+            X_col=xc, X_val=xv, W=wv, return_bias=True)
+        a_ref, b_ref = ref_factors_collective_explicit_single(
+            k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+            xa=xv, x_col=xc, n=n, weight=wv,
+            biasB=np.asarray(model.item_bias_, np.float64),
+            glob_mean=model.glob_mean_, user_bias=True,
+            scale_lam=scale_lam)
+        np.testing.assert_allclose(a_ours, a_ref, atol=1e-8,
+                                   err_msg=f"scale_lam={scale_lam}")
+        assert abs(b_ours - b_ref) < 1e-8
+
+
+def test_most_popular_vs_binary():
+    """MostPopular two-sided explicit (user_bias=True: the iterated
+    alternating bias solve) vs fit_most_popular.  The binary's
+    single-sided entry (biasA=NULL) segfaults inside its own
+    initialize_biases, so only the two-sided path can be driven head to
+    head; the single-sided formula is pinned by the NumPy oracle in
+    tests/test_other_models.py instead."""
+    from cmfrec_tpu import MostPopular
+    from .ref_binary import ref_fit_most_popular
+
+    rng = np.random.default_rng(13)
+    m, n = 50, 30
+    mask = rng.uniform(size=(m, n)) < 0.3
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    lam = 2.0
+    model = MostPopular(lambda_=lam, user_bias=True,
+                        use_float=False).fit_triplets(rows, cols, vals, m, n)
+    ref = ref_fit_most_popular(rows, cols, vals, m, n,
+                               lam_user=lam, lam_item=lam)
+    assert abs(model.glob_mean_ - ref["glob_mean"]) < 1e-10
+    np.testing.assert_allclose(np.asarray(model.item_bias_), ref["biasB"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(model.user_bias_), ref["biasA"],
+                               atol=1e-9)

@@ -238,6 +238,7 @@ def fit_offsets_als(
     user_bias=True, item_bias=True, center=True, add_intercepts=True,
     niter=10, use_cg=True, max_cg_steps=3, finalize_chol=True,
     NA_as_zero=False, weights=None, dtype=np.float32, seed=1, verbose=False,
+    init=None,  # warm restart for the inner Am/Bm ALS (reset_values=False)
 ) -> dict:
     """ALS approximation: regular ALS for Am/Bm, then attribute regression
     (/root/reference/src/offsets.c:1773)."""
@@ -249,7 +250,7 @@ def fit_offsets_als(
             use_cg=use_cg, max_cg_steps=max_cg_steps,
             finalize_chol=finalize_chol, alpha=alpha,
             apply_log_transf=apply_log_transf, dtype=dtype, seed=seed,
-            verbose=verbose,
+            verbose=verbose, init=init,
         )
     else:
         res = fit_explicit_als(
@@ -258,6 +259,7 @@ def fit_offsets_als(
             finalize_chol=finalize_chol, user_bias=user_bias,
             item_bias=item_bias, center=center, NA_as_zero=NA_as_zero,
             weights=weights, dtype=dtype, seed=seed, verbose=verbose,
+            init=init,
         )
     Am, Bm = res["A"], res["B"]
     out = {

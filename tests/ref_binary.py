@@ -371,3 +371,67 @@ def ref_fit_most_popular(
     return {"biasA": biasA, "biasB": biasB,
             "glob_mean": float(glob_mean.value),
             "w_main_multiplier": float(w_main_multiplier.value)}
+
+
+def ref_fit_offsets_explicit_als(
+    rows, cols, vals, m, n, *, k, lam, niter,
+    A0, B0, U=None, II=None, add_intercepts=True,
+    use_cg=False, max_cg_steps=3, finalize_chol=False,
+    user_bias=True, item_bias=True, center=True,
+):
+    """fit_offsets_explicit_als (/root/reference/include/cmfrec.h.in:1946)
+    with reset_values=false: the inner Am/Bm ALS starts from A0/B0.
+    NOTE: pass U/II already centered if comparing against cmfrec_tpu's
+    regression, which centers side columns first."""
+    lib = get_lib()
+    assert lib is not None
+    A = np.ascontiguousarray(np.asarray(A0, np.float64)).copy()
+    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
+    p = 0 if U is None else U.shape[1]
+    q = 0 if II is None else II.shape[1]
+    C = np.zeros((p, k)) if U is not None else None
+    C_bias = np.zeros(k) if (U is not None and add_intercepts) else None
+    D = np.zeros((q, k)) if II is not None else None
+    D_bias = np.zeros(k) if (II is not None and add_intercepts) else None
+    biasA = np.zeros(m) if user_bias else None
+    biasB = np.zeros(n) if item_bias else None
+    Am = np.zeros((m, k))
+    Bm = np.zeros((n, k))
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    Icont = None if II is None else np.ascontiguousarray(II, np.float64)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+    glob_mean = c_real(0.0)
+
+    fn = lib.fit_offsets_explicit_als
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(biasA), _ptr(biasB),
+        _ptr(A), _ptr(B),
+        _ptr(C), _ptr(C_bias),
+        _ptr(D), _ptr(D_bias),
+        ct.c_bool(False), c_int_t(1),       # reset_values, seed
+        ct.byref(glob_mean),
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
+        None,                               # Xfull
+        None,                               # weight
+        ct.c_bool(user_bias), ct.c_bool(item_bias), ct.c_bool(center),
+        ct.c_bool(add_intercepts),
+        c_real(lam),
+        _ptr(Ucont), c_int_t(p),
+        _ptr(Icont), c_int_t(q),
+        ct.c_bool(False),                   # NA_as_zero_X
+        c_int_t(niter), ct.c_int(1),
+        ct.c_bool(use_cg), c_int_t(max_cg_steps),
+        ct.c_bool(False), ct.c_bool(finalize_chol),
+        ct.c_bool(False), ct.c_bool(True),  # verbose, handle_interrupt
+        ct.c_bool(False),                   # precompute_for_predictions
+        _ptr(Am), _ptr(Bm),
+        None, None, None,
+    )
+    assert ret == 0, f"fit_offsets_explicit_als returned {ret}"
+    return {"A": A, "B": B, "C": C, "C_bias": C_bias, "D": D,
+            "D_bias": D_bias, "biasA": biasA, "biasB": biasB,
+            "Am": Am, "Bm": Bm, "glob_mean": float(glob_mean.value)}

@@ -608,3 +608,45 @@ def test_most_popular_vs_binary():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(model.user_bias_), ref["biasA"],
                                atol=1e-9)
+
+
+def test_offsets_explicit_als_vs_binary():
+    """OMF (offsets model, ALS mode): inner Am/Bm ALS from a shared init,
+    then the attribute regression — A/B offsets, C/C_bias, Am/Bm all
+    compared against fit_offsets_explicit_als.  The binary regresses on
+    U as given, so it receives the pre-centered U our pipeline uses
+    (offsets.c's GELSD has no centering of its own)."""
+    from cmfrec_tpu.solvers.offsets import fit_offsets_als
+    from .ref_binary import ref_fit_offsets_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=21, m=35, n=22)
+    p, q, k, lam = 5, 4, 4, 0.8
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    Uc = U - U.mean(axis=0)
+    Ic = I - I.mean(axis=0)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_offsets_als(
+        rows, cols, vals, m, n,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        k=k, lambda_=lam, niter=3, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, add_intercepts=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_offsets_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, U=Uc, II=Ic, add_intercepts=True,
+        use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True)
+    np.testing.assert_allclose(np.asarray(ours["Am"]), ref["Am"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["Bm"]), ref["Bm"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["C_bias"]), ref["C_bias"],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["D"]), ref["D"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-8)

@@ -720,9 +720,11 @@ class CMF_implicit(_BaseModel):
         vals = np.asarray(X_val, np.float64).ravel()
         if self.apply_log_transf:
             vals = np.log(vals)
+        u_row = CMF._new_row_U(self, U, U_col, U_val)  # [1, p] or None
         a = factors_implicit_batch(
             self, cols[None, :], vals[None, :],
             np.array([len(cols)], np.int64),
+            U=u_row,
         )
         return a[0]
 
@@ -776,7 +778,9 @@ class CMF_implicit(_BaseModel):
         idx, vv, _, counts = CMF._pack_new_rows(self, X, None, U)
         if self.apply_log_transf:
             vv = np.where(vv > 0, np.log(np.maximum(vv, 1e-30)), 0.0)
-        return factors_implicit_batch(self, idx, vv, counts)
+        return factors_implicit_batch(
+            self, idx, vv, counts,
+            U=None if U is None else np.asarray(U, np.float64))
 
     def predict_warm_multiple(self, X, item, U=None):
         """Predict (new user row i, item[i]) pairs (reference:

@@ -368,11 +368,16 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
     return a[:, : ku + k + km], bias
 
 
-def factors_implicit_batch(model, idx, vals, lengths):
+def factors_implicit_batch(model, idx, vals, lengths, U=None):
     """WRMF warm factors: (BtB + sum alpha*x B B^T + lam) a = sum (1+alpha*x) B.
 
-    The shared Gram base is served from the precompute cache when present
-    (precomputedBtB, /root/reference/src/collective.c:3498)."""
+    With side info, the w_user * C parts join the system over the
+    [k_user | k] coordinates exactly as in the explicit batch
+    (collective_factors_warm_implicit,
+    /root/reference/src/collective.c:3640: CtC added to the Gram, C^T u
+    to the rhs).  The shared Gram base is served from the precompute
+    cache when present (precomputedBtB,
+    /root/reference/src/collective.c:3498)."""
     dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
     k = model.k
     ku = getattr(model, "k_user", 0)
@@ -402,7 +407,18 @@ def factors_implicit_batch(model, idx, vals, lengths):
         G0 = w_mult * gram_matrix(jnp.asarray(ext, dtype))
     lam_vec = np.ones(k_pad)
     lam_vec[:width] = lam6[2]
-    G, rhs = rowsolve.assemble_system([part], jnp.asarray(lam_vec, dtype), G0=G0)
+    parts = [part]
+    r0 = None
+    if U is not None and getattr(model, "C_", None) is not None:
+        up, _, G0x, r0x = _u_part(model, U, k_pad, dtype)
+        if up is not None:
+            parts.append(up)
+        if G0x is not None:
+            G0 = G0 + G0x
+        if r0x is not None:
+            r0 = r0x[None, :] * jnp.ones((R, 1), dtype)
+    G, rhs = rowsolve.assemble_system(parts, jnp.asarray(lam_vec, dtype),
+                                      G0=G0, r0=r0)
     nonneg = bool(getattr(model, "nonneg", False))
     if nonneg or np.any(l16 > 0):
         l1v = np.zeros(k_pad)
@@ -412,7 +428,10 @@ def factors_implicit_batch(model, idx, vals, lengths):
     else:
         a = rowsolve.solve_chol(G, rhs)
     a = np.array(a)
-    a[np.asarray(lengths) == 0] = 0.0
+    if U is None:
+        # no X observations and no side info -> zero factors; with U the
+        # row still gets a side-info-only (cold) solve
+        a[np.asarray(lengths) == 0] = 0.0
     return a[:, :width]
 
 

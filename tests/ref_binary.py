@@ -435,3 +435,83 @@ def ref_fit_offsets_explicit_als(
     return {"A": A, "B": B, "C": C, "C_bias": C_bias, "D": D,
             "D_bias": D_bias, "biasA": biasA, "biasB": biasB,
             "Am": Am, "Bm": Bm, "glob_mean": float(glob_mean.value)}
+
+
+def ref_factors_collective_implicit_single(
+    *, k, lam, B, xa, x_col, n, alpha,
+    C=None, u_vec=None, U_colmeans=None,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, w_main_multiplier=1.0,
+    apply_log_transf=False, l1_lam=0.0, nonneg=False,
+):
+    """collective_factors_warm_implicit through the exported single-row
+    entry (/root/reference/include/cmfrec.h.in:1133); no caches passed."""
+    lib = get_lib()
+    assert lib is not None
+    width = k_user + k + k_main
+    a_vec = np.zeros(width)
+    p = 0 if u_vec is None else u_vec.shape[0]
+    Ccont = None if C is None else np.ascontiguousarray(C, np.float64)
+    ucont = None if u_vec is None else np.ascontiguousarray(u_vec, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    Xa = np.ascontiguousarray(xa, np.float64)
+    Xcol = np.ascontiguousarray(x_col, np.int32)
+    Bcont = np.ascontiguousarray(B, np.float64)
+
+    fn = lib.factors_collective_implicit_single
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(a_vec),
+        _ptr(ucont), c_int_t(p),
+        None, None, ct.c_size_t(0),         # u_vec sparse
+        ct.c_bool(False),                   # NA_as_zero_U
+        ct.c_bool(nonneg),
+        _ptr(um),
+        _ptr(Bcont), c_int_t(n), _ptr(Ccont),
+        _ptr(Xa), _iptr(Xcol), ct.c_size_t(Xa.size),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), c_real(l1_lam), c_real(alpha),
+        c_real(w_main), c_real(w_user),
+        c_real(w_main_multiplier),
+        ct.c_bool(apply_log_transf),
+        None, None, None, None,
+    )
+    assert ret == 0, f"factors_collective_implicit_single returned {ret}"
+    return a_vec
+
+
+def ref_topn_old_collective_explicit(
+    *, a_vec, a_bias, B, biasB, glob_mean, k, n_top, n,
+    k_user=0, k_item=0, k_main=0, include=None, exclude=None,
+):
+    """topN_old_collective_explicit on a caller-supplied factor vector."""
+    lib = get_lib()
+    assert lib is not None
+    av = np.ascontiguousarray(a_vec, np.float64)
+    Bc = np.ascontiguousarray(B, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    inc = (None if include is None
+           else np.ascontiguousarray(include, np.int32))
+    exc = (None if exclude is None
+           else np.ascontiguousarray(exclude, np.int32))
+    out_ix = np.zeros(n_top, np.int32)
+    out_sc = np.zeros(n_top, np.float64)
+
+    fn = lib.topN_old_collective_explicit
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(av), c_real(a_bias),
+        None, None, c_int_t(-1),            # A, biasA, row_index
+        _ptr(Bc),
+        _ptr(bb),
+        c_real(glob_mean),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        _iptr(inc), c_int_t(0 if include is None else len(include)),
+        _iptr(exc), c_int_t(0 if exclude is None else len(exclude)),
+        _iptr(out_ix), _ptr(out_sc),
+        c_int_t(n_top), c_int_t(n), c_int_t(n), ct.c_bool(True),
+        ct.c_int(1),
+    )
+    assert ret == 0, f"topN_old_collective_explicit returned {ret}"
+    return out_ix, out_sc

@@ -13,6 +13,16 @@ Verified agreements (max |diff| over full factor matrices, f64):
   * collective Cholesky (side U, k_user/k_main, w_user),
     biases+centering, 3 iters ........................... ~1e-15
   * implicit (WRMF) Cholesky, 3 iters ................... ~1e-13
+  * explicit Chol: lam_unique (6-entry), NA_as_zero,
+    add_implicit_features (Ai/Bi), nonneg CD (1 iter) .... ~1e-9..1e-5
+  * implicit Chol: side info + k splits, log-transform +
+    adjust_weight ........................................ ~1e-9
+  * OMF (offsets) ALS: Am/Bm + GELSD attribute regression
+    (C/C_bias/D) + offset residuals ...................... ~1e-6
+  * single warm/cold factors, explicit (plain, side-info,
+    weighted, scale_lam) and implicit (plain, side-info) . ~1e-8
+  * topN ranking incl. include=/exclude= ................. exact
+  * MostPopular two-sided (6 alternating passes) ......... ~1e-9
 
 Documented divergences (each pinned by a test below):
   * explicit CG with biases: the reference's pre-update "restore the
@@ -30,6 +40,13 @@ Documented divergences (each pinned by a test below):
     Consequence (asserted below): the reference's implicit CG does NOT
     converge to its own Cholesky solution even with 60 CG steps, while
     ours does.  We keep the convergent solver.
+  * weighted sparse X: the reference's B half-step passes the raw
+    COO-order weight array where CSC order is expected
+    (/root/reference/src/collective.c:8642, inverted ternary — the A
+    half-step at :8813 correctly uses weightR), so each column system
+    reads other entries' weights.  A replica of the misaligned
+    semantics matches the binary to 1e-15; the clean replica matches
+    our engine.
 """
 
 import numpy as np
@@ -650,3 +667,78 @@ def test_offsets_explicit_als_vs_binary():
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
                                atol=1e-8)
+
+
+def test_factors_implicit_single_vs_binary():
+    """CMF_implicit.factors_warm == factors_collective_implicit_single,
+    plain and with dense side info."""
+    from cmfrec_tpu import CMF_implicit
+    from .ref_binary import ref_factors_collective_implicit_single
+
+    rows, cols, vals, m, n, k, _, _ = _implicit_data()
+    rng = np.random.default_rng(31)
+    p, k_user = 5, 2
+    U = rng.normal(size=(m, p))
+    lam, alpha = 0.9, 2.0
+    model = CMF_implicit(k=k, k_user=k_user, lambda_=lam, alpha=alpha,
+                         w_user=0.7, niter=4, use_cg=False,
+                         use_float=False).fit_triplets(
+                             rows, cols, vals, m, n, U=U)
+    sel = rows == 5
+    xc, xv = cols[sel].astype(np.int64), vals[sel]
+    a_ours = model.factors_warm(X_col=xc, X_val=xv, U=U[5])
+    a_ref = ref_factors_collective_implicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=xv, x_col=xc, n=n, alpha=alpha,
+        C=np.asarray(model.C_, np.float64), u_vec=U[5],
+        U_colmeans=model.U_colmeans_,
+        k_user=k_user, w_user=0.7,
+        w_main_multiplier=getattr(model, "w_main_multiplier_", 1.0))
+    np.testing.assert_allclose(a_ours, a_ref, atol=1e-8)
+
+    # plain (no side info)
+    m2 = CMF_implicit(k=k, lambda_=lam, alpha=alpha, niter=4,
+                      use_cg=False, use_float=False).fit_triplets(
+                          rows, cols, vals, m, n)
+    a_ours2 = m2.factors_warm(X_col=xc, X_val=xv)
+    a_ref2 = ref_factors_collective_implicit_single(
+        k=k, lam=lam, B=np.asarray(m2.B_, np.float64),
+        xa=xv, x_col=xc, n=n, alpha=alpha,
+        w_main_multiplier=getattr(m2, "w_main_multiplier_", 1.0))
+    np.testing.assert_allclose(a_ours2, a_ref2, atol=1e-8)
+
+
+def test_topn_vs_binary():
+    """model.topN (and the include/exclude variants) returns the same
+    ranking as topN_old_collective_explicit on the same factors."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_topn_old_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=41)
+    model = CMF(k=5, lambda_=0.8, niter=4, use_cg=False,
+                use_float=False).fit_triplets(rows, cols, vals, m, n)
+    u = 4
+    a_vec = np.asarray(model.A_, np.float64)[u]
+    a_bias = float(model.user_bias_[u])
+    ours = model.topN(u, n=8)
+    ref_ix, ref_sc = ref_topn_old_collective_explicit(
+        a_vec=a_vec, a_bias=a_bias, B=np.asarray(model.B_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, k=5, n_top=8, n=n)
+    np.testing.assert_array_equal(np.asarray(ours), ref_ix)
+
+    exc = np.array([int(ref_ix[0]), int(ref_ix[2])])
+    ours_exc = model.topN(u, n=8, exclude=exc)
+    ref_exc, _ = ref_topn_old_collective_explicit(
+        a_vec=a_vec, a_bias=a_bias, B=np.asarray(model.B_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, k=5, n_top=8, n=n, exclude=exc)
+    np.testing.assert_array_equal(np.asarray(ours_exc), ref_exc)
+
+    inc = np.arange(0, n, 2, dtype=np.int64)
+    ours_inc = model.topN(u, n=6, include=inc)
+    ref_inc, _ = ref_topn_old_collective_explicit(
+        a_vec=a_vec, a_bias=a_bias, B=np.asarray(model.B_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, k=5, n_top=6, n=n, include=inc)
+    np.testing.assert_array_equal(np.asarray(ours_inc), ref_inc)

@@ -95,6 +95,8 @@ def fit_collective_explicit_lbfgs(
     weights=None, dtype=np.float32, seed=1,
     verbose=False, print_every=10,
     tol=1e-7,
+    init=None,  # warm restart: dict with any of A/B/C/D/Cb/Db/biasA/biasB
+    # (the reference's reset_values=False)
 ) -> dict:
     dtype = np.dtype(dtype)
     jdt = jnp.float64 if dtype == np.float64 else jnp.float32
@@ -133,6 +135,10 @@ def fit_collective_explicit_lbfgs(
         params["Cb"] = scale * jax.random.normal(ks[4], (Ub[4], k_user + k), jdt)
     if Ib is not None:
         params["Db"] = scale * jax.random.normal(ks[5], (Ib[4], k_item + k), jdt)
+    if init is not None:
+        for name in ("A", "B", "C", "D", "Cb", "Db", "biasA", "biasB"):
+            if init.get(name) is not None and name in params:
+                params[name] = jnp.asarray(np.asarray(init[name]), jdt)
 
     side_data = {}
     for name, S in (("U", U), ("I", I), ("Ub", Ub), ("Ib", Ib)):

@@ -515,3 +515,77 @@ def ref_topn_old_collective_explicit(
     )
     assert ret == 0, f"topN_old_collective_explicit returned {ret}"
     return out_ix, out_sc
+
+
+def ref_fit_lbfgs(
+    rows, cols, vals, m, n, *, k, lam, maxiter=500,
+    A0=None, B0=None, C0=None, U=None, U_bin=None, Cb0=None,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0,
+    user_bias=True, item_bias=True, center=True, corr_pairs=5,
+):
+    """fit_collective_explicit_lbfgs with reset_values=false."""
+    lib = get_lib()
+    assert lib is not None
+    width_A = k_user + k + k_main
+    width_B = k_item + k + k_main
+    p = 0 if U is None else U.shape[1]
+    pbin = 0 if U_bin is None else U_bin.shape[1]
+    A = np.ascontiguousarray(np.asarray(A0, np.float64)).copy()
+    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
+    assert A.shape == (m, width_A) and B.shape == (n, width_B)
+    biasA = np.zeros(m) if user_bias else None
+    biasB = np.zeros(n) if item_bias else None
+    C = (np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
+         if U is not None else None)
+    Cb = (np.ascontiguousarray(np.asarray(Cb0, np.float64)).copy()
+          if U_bin is not None else None)
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    Ubcont = (None if U_bin is None
+              else np.ascontiguousarray(U_bin, np.float64))
+    U_colmeans = np.zeros(p) if U is not None else None
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+    glob_mean = c_real(0.0)
+    niter_out = c_int_t(0)
+    nfev_out = c_int_t(0)
+
+    fn = lib.fit_collective_explicit_lbfgs
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(biasA), _ptr(biasB),
+        _ptr(A), _ptr(B),
+        _ptr(C), _ptr(Cb),
+        None, None,                         # D, Db
+        ct.c_bool(False), c_int_t(1),       # reset_values, seed
+        ct.byref(glob_mean),
+        _ptr(U_colmeans), None,
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
+        None,                               # Xfull
+        None,                               # weight
+        ct.c_bool(user_bias), ct.c_bool(item_bias), ct.c_bool(center),
+        c_real(lam), None,
+        _ptr(Ucont), c_int_t(m if U is not None else 0), c_int_t(p),
+        None, c_int_t(0), c_int_t(0),       # II, n_i, q
+        _ptr(Ubcont), c_int_t(m if U_bin is not None else 0), c_int_t(pbin),
+        None, c_int_t(0), c_int_t(0),       # Ib
+        None, None, None, ct.c_size_t(0),   # U sparse
+        None, None, None, ct.c_size_t(0),   # I sparse
+        c_int_t(k_main), c_int_t(k_user), c_int_t(k_item),
+        c_real(w_main), c_real(w_user), c_real(1.0),
+        c_int_t(corr_pairs), ct.c_size_t(maxiter),
+        ct.c_int(1), ct.c_bool(False),      # nthreads, prefer_onepass
+        ct.c_bool(False), c_int_t(100), ct.c_bool(True),
+        ct.byref(niter_out), ct.byref(nfev_out),
+        ct.c_bool(False),                   # precompute_for_predictions
+        ct.c_bool(True),                    # include_all_X
+        None, None, None, None, None, None,
+    )
+    assert ret == 0, f"fit_collective_explicit_lbfgs returned {ret}"
+    return {"A": A, "B": B, "C": C, "Cb": Cb,
+            "biasA": biasA, "biasB": biasB,
+            "glob_mean": float(glob_mean.value),
+            "U_colmeans": U_colmeans,
+            "niter": int(niter_out.value), "nfev": int(nfev_out.value)}

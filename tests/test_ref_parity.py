@@ -742,3 +742,56 @@ def test_topn_vs_binary():
         biasB=np.asarray(model.item_bias_, np.float64),
         glob_mean=model.glob_mean_, k=5, n_top=6, n=n, include=inc)
     np.testing.assert_array_equal(np.asarray(ours_inc), ref_inc)
+
+
+def test_lbfgs_objective_quality_vs_binary():
+    """method='lbfgs': optimizer internals differ (optax + zoom vs the
+    reference's vendored libLBFGS), so trajectories are not comparable —
+    instead both start from the SAME init and the final objective values
+    of the shared collective loss must agree to a small relative slack
+    (neither optimizer stuck somewhere meaningfully worse)."""
+    from cmfrec_tpu.solvers.lbfgs import fit_collective_explicit_lbfgs
+    from .ref_binary import ref_fit_lbfgs
+
+    rng, rows, cols, vals, m, n = _data(seed=51, m=25, n=18)
+    p, k, k_user, lam = 4, 3, 1, 0.5
+    U = rng.normal(size=(m, p))
+    Uc = U - U.mean(axis=0)
+    A0 = rng.normal(size=(m, k_user + k)) * 0.3
+    B0 = rng.normal(size=(n, k)) * 0.3
+    C0 = rng.normal(size=(p, k_user + k)) * 0.3
+
+    def objective(A, B, C, biasA, biasB, gm, w_user=0.7):
+        ax = A[:, k_user:]
+        resid = vals - gm - biasA[rows] - biasB[cols] - np.einsum(
+            "nk,nk->n", ax[rows], B[cols])
+        f = 0.5 * np.sum(resid ** 2)
+        f += 0.5 * w_user * np.sum((Uc - A @ C.T) ** 2)
+        f += 0.5 * lam * (np.sum(A ** 2) + np.sum(B ** 2) + np.sum(C ** 2)
+                          + np.sum(biasA ** 2) + np.sum(biasB ** 2))
+        return f
+
+    ours = fit_collective_explicit_lbfgs(
+        rows, cols, vals, m, n,
+        side_U=(None, None, None, m, p, True, U),
+        k=k, k_user=k_user, lambda_=lam, w_user=0.7,
+        user_bias=True, item_bias=True, center=True,
+        maxiter=1000, corr_pairs=5, dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_lbfgs(
+        rows, cols, vals, m, n, k=k, lam=lam, maxiter=1000,
+        A0=A0, B0=B0, C0=C0, U=U, k_user=k_user, w_user=0.7,
+        user_bias=True, item_bias=True, center=True, corr_pairs=5)
+    f_ours = objective(
+        np.asarray(ours["A"], np.float64), np.asarray(ours["B"], np.float64),
+        np.asarray(ours["C"], np.float64),
+        np.asarray(ours["biasA"], np.float64),
+        np.asarray(ours["biasB"], np.float64), ours["glob_mean"])
+    f_ref = objective(ref["A"], ref["B"], ref["C"],
+                      ref["biasA"], ref["biasB"], ref["glob_mean"])
+    assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-10
+    # ours must be at least as good (within 0.5% slack), and not
+    # mysteriously better by an amount suggesting a different objective
+    assert f_ours <= f_ref * 1.005, (f_ours, f_ref)
+    assert f_ours >= f_ref * 0.95, (f_ours, f_ref)

@@ -111,12 +111,52 @@ class _BaseModel:
         """X as DataFrame(UserId, ItemId, Rating[, Weight]) / scipy sparse /
         dense ndarray (NaN = missing) -> COO triplets + dims + mappings.
 
-        Records ``_n_orig`` = X's item count BEFORE any side-info-only item
-        rows extend the mapping (``include_all_X=False`` gates topN to it,
-        /root/reference/cmfrec/__init__.py:2759)."""
+        FIT-TIME ONLY (writes mappings and ``_n_orig`` = X's item count
+        BEFORE any side-info-only item rows extend the mapping;
+        ``include_all_X=False`` gates topN to it,
+        /root/reference/cmfrec/__init__.py:2759).  New-data inference goes
+        through :meth:`_ingest_X_new`, which must not touch model state."""
         out = self._ingest_X_inner(X, W)
+        self._m_orig = out[4]
         self._n_orig = out[5]
         return out
+
+    def _ingest_X_new(self, X, W=None):
+        """New-data rows (factors_multiple / predict_warm_multiple):
+        same formats as fit, but STATELESS — item ids are mapped through
+        the EXISTING item mapping, new-row ids are local to this call,
+        and no model attribute is written."""
+        if _is_df(X):
+            import pandas as pd
+
+            need = {"UserId", "ItemId"}
+            if not need.issubset(X.columns):
+                raise ValueError("X DataFrame needs UserId and ItemId columns")
+            ucodes, _ = pd.factorize(X["UserId"], use_na_sentinel=False)
+            icodes, _ = self._map_ids(np.asarray(X["ItemId"]),
+                                      self.item_mapping_, "item")
+            icodes = np.atleast_1d(icodes)
+            val_col = "Rating" if "Rating" in X.columns else (
+                "Value" if "Value" in X.columns else "Count")
+            if val_col not in X.columns:
+                raise ValueError("X DataFrame needs a Rating/Value/Count column")
+            vals = X[val_col].to_numpy(np.float64)
+            wgt = (X["Weight"].to_numpy(np.float64)
+                   if "Weight" in X.columns else None)
+            if W is not None:
+                wgt = np.asarray(W, np.float64).ravel()
+            return (ucodes.astype(np.int64), icodes.astype(np.int64), vals,
+                    wgt, int(ucodes.max()) + 1 if ucodes.size else 0,
+                    len(self.item_mapping_) if self.reindex_ else None)
+        # positional formats carry no ids to remap; reuse the parser but
+        # guard every state write
+        saved = {k: getattr(self, k, None)
+                 for k in ("user_mapping_", "item_mapping_", "reindex_")}
+        try:
+            return self._ingest_X_inner(X, W)
+        finally:
+            for k, v in saved.items():
+                setattr(self, k, v)
 
     def _ingest_X_inner(self, X, W=None):
         if _is_df(X):
@@ -411,6 +451,9 @@ class _BaseModel:
             self.item_mapping_,
             self.user_mapping_,
         )
+        # pre-expansion X dims swap with the axes (include_all_X gate)
+        new._m_orig = getattr(self, "_n_orig", None)
+        new._n_orig = getattr(self, "_m_orig", None)
         new.U_colmeans_, new.I_colmeans_ = self.I_colmeans_, self.U_colmeans_
         for a, b in (("k_user", "k_item"), ("w_user", "w_item"),
                      ("user_bias", "item_bias"), ("NA_as_zero_user", "NA_as_zero_item"),
@@ -494,6 +537,9 @@ class _BaseModel:
             "w_main_multiplier": float(
                 getattr(self, "w_main_multiplier_", 1.0)
             ),
+            # X's fit-time dims, pre side-info expansion (include_all_X)
+            "m_orig": getattr(self, "_m_orig", None),
+            "n_orig": getattr(self, "_n_orig", None),
         }
         np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
         return self
@@ -520,4 +566,8 @@ class _BaseModel:
         model.reindex_ = meta["reindex"]
         model.is_fitted_ = meta["is_fitted"]
         model.w_main_multiplier_ = meta["w_main_multiplier"]
+        if meta.get("m_orig") is not None:
+            model._m_orig = int(meta["m_orig"])
+        if meta.get("n_orig") is not None:
+            model._n_orig = int(meta["n_orig"])
         return model

@@ -514,7 +514,7 @@ class CMF(_BaseModel):
                     None, np.zeros(m_new, np.int64))
         from ..solvers.warm import pack_padded_rows
 
-        rows, cols, vals, wgt, m_new, _ = self._ingest_X(X, W)
+        rows, cols, vals, wgt, m_new, _ = self._ingest_X_new(X, W)
         return pack_padded_rows(rows, cols, vals, wgt, m_new)
 
     def predict_warm_multiple(self, X, item, W=None, U=None, U_bin=None):

@@ -71,6 +71,20 @@ class MostPopular(_BaseModel):
                 preprocess.weighted_global_mean(vals, wgt) if self.center else 0.0
             )
             vals_c = np.asarray(vals, np.float64) - glob_mean
+            scale_lam = self.scale_lam
+            if scale_lam and self.scale_bias_const:
+                # constant scaling: lam *= MEAN per-entity count (or weight
+                # sum) instead of per-entity values, then per-entity
+                # scaling turns off (common.c:5896-5925)
+                cA_ = (np.bincount(rows, minlength=m).astype(np.float64)
+                       if wgt is None else np.bincount(rows, weights=wgt,
+                                                       minlength=m))
+                cB_ = (np.bincount(cols, minlength=n).astype(np.float64)
+                       if wgt is None else np.bincount(cols, weights=wgt,
+                                                       minlength=n))
+                lam_user *= float(np.mean(cA_))
+                lam_item *= float(np.mean(cB_))
+                scale_lam = False
             if self.user_bias:
                 # the reference's fit_most_popular_internal: biases start
                 # at ZERO and run `iter <= maxiter` (maxiter=5) = SIX
@@ -85,8 +99,8 @@ class MostPopular(_BaseModel):
                 cA = (np.bincount(rows, minlength=m).astype(np.float64)
                       if wgt is None else np.bincount(rows, weights=wgt,
                                                       minlength=m))
-                denB = cB + lam_item * (cB if self.scale_lam else 1.0)
-                denA = cA + lam_user * (cA if self.scale_lam else 1.0)
+                denB = cB + lam_item * (cB if scale_lam else 1.0)
+                denA = cA + lam_user * (cA if scale_lam else 1.0)
                 for _ in range(6):
                     resB = vals_c - biasA[rows]
                     sB = np.bincount(
@@ -109,7 +123,7 @@ class MostPopular(_BaseModel):
                     rows, cols, vals_c, m, n,
                     lam_user=lam_user, lam_item=lam_item, wgt=wgt,
                     user_bias=False, item_bias=True,
-                    scale_lam=self.scale_lam, nonneg=False,
+                    scale_lam=scale_lam, nonneg=False,
                 )
                 biasA = None
             self.item_bias_ = biasB

@@ -263,6 +263,13 @@ def fit_collective_explicit_als(
     n_eff = max(n, I.n_ent if I else 0)
 
     glob_mean = preprocess.weighted_global_mean(vals, weights) if center else 0.0
+    if NA_as_zero and center:
+        # mean over all m*n cells (unobserved = 0, weight 1) — see
+        # drivers.fit_explicit_als for the reference mapping + the
+        # weighted-variant quirk we do not copy
+        wsum = (float(len(vals)) if weights is None
+                else float(np.sum(weights)))
+        glob_mean *= wsum / (wsum + float(m) * float(n) - float(len(vals)))
     if nonneg:
         # centering stays on under nonneg; only the mean is clamped at zero
         # (common.c:3599)

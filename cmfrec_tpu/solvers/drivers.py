@@ -195,6 +195,15 @@ def fit_explicit_als(
     glob_mean = (
         preprocess.weighted_global_mean(vals, weights) if center else 0.0
     )
+    if NA_as_zero and center:
+        # under NA-as-zero the mean is over ALL m*n cells (unobserved = 0,
+        # weight 1): sum/(wsum + m*n - nnz) — common.c:3513 unweighted;
+        # the reference's WEIGHTED variant inverts this ratio
+        # (common.c:3585 divides by wsum/(wsum+extra)), which amplifies
+        # the mean instead of shrinking it — we keep the intended form
+        wsum = (float(len(vals)) if weights is None
+                else float(np.sum(weights)))
+        glob_mean *= wsum / (wsum + float(m) * float(n) - float(len(vals)))
     if nonneg:
         # nonneg models center like any other, but clamp the global mean
         # at zero (common.c:3599 `*glob_mean = fmax(*glob_mean, 0)`)

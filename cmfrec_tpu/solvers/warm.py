@@ -792,25 +792,21 @@ def _omf_gram_pieces(model, kk, ks, k, append_bias):
 
 
 def factors_cold_implicit(model, U):
-    """Side-info-only factors for the implicit model
-    (/root/reference/src/collective.c:3442)."""
-    dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
-    k = model.k
-    ku = getattr(model, "k_user", 0)
-    km = getattr(model, "k_main", 0)
-    width = ku + k + km
-    k_pad = round_up(width, 8)
-    lam6, _ = _resolve_lambdas(model.lambda_, 0.0)
-    up, _, G0x, r0x = _u_part(model, U, k_pad, dtype)
-    lam_vec = np.ones(k_pad)
-    lam_vec[:width] = lam6[2]
-    r0 = None
-    if r0x is not None:
-        r0 = r0x[None, :] * jnp.ones((np.asarray(U).shape[0], 1), dtype)
-    G, rhs = rowsolve.assemble_system([up], jnp.asarray(lam_vec, dtype),
-                                      G0=G0x, r0=r0)
-    a = np.asarray(rowsolve.solve_chol(G, rhs))
-    return a[:, :width]
+    """Side-info-only factors for the implicit model.
+
+    The reference's cold implicit system INCLUDES the B Gram: after
+    normalizing by w_main, collective_factors_cold_implicit
+    (/root/reference/src/collective.c:3442,3491) solves
+    (w_main*BtB + w_user*CtC + lam) a = w_user C^T u — exactly the warm
+    system with zero X observations, so delegate to the batch solver."""
+    U = np.asarray(U, np.float64)
+    R = U.shape[0]
+    # one zero-length padded slot per row (length 0 masks it out)
+    return factors_implicit_batch(
+        model,
+        np.zeros((R, 1), np.int64), np.zeros((R, 1)),
+        np.zeros(R, np.int64), U=U,
+    )
 
 
 def build_precomputed(model) -> dict:

@@ -330,7 +330,7 @@ def ref_factors_collective_explicit_single(
 
 def ref_fit_most_popular(
     rows, cols, vals, m, n, *, lam_user=0.0, lam_item=0.0,
-    scale_lam=False, alpha=1.0, weights=None,
+    scale_lam=False, scale_bias_const=False, alpha=1.0, weights=None,
     implicit=False, adjust_weight=False, apply_log_transf=False,
     nonneg=False, center=True,
 ):
@@ -355,7 +355,7 @@ def ref_fit_most_popular(
         _ptr(biasA), _ptr(biasB),
         ct.byref(glob_mean),
         c_real(lam_user), c_real(lam_item),
-        ct.c_bool(scale_lam), ct.c_bool(False),
+        ct.c_bool(scale_lam), ct.c_bool(scale_bias_const),
         c_real(alpha),
         c_int_t(m), c_int_t(n),
         _iptr(X_row), _iptr(X_col), _ptr(X), ct.c_size_t(X.size),
@@ -363,7 +363,7 @@ def ref_fit_most_popular(
         _ptr(W),
         ct.c_bool(implicit), ct.c_bool(adjust_weight),
         ct.c_bool(apply_log_transf),
-        ct.c_bool(nonneg),
+        ct.c_bool(nonneg), ct.c_bool(False),  # NA_as_zero (common.c:5383)
         ct.byref(w_main_multiplier),
         ct.c_int(1),
     )

@@ -716,3 +716,48 @@ def test_warm_uses_betbechol_cache(ratings_df, rng):
     a4 = model2.factors_warm(X_col=obs, X_val=np.linspace(1, 5, obs.size),
                              U=Unew[0])
     np.testing.assert_allclose(a3, a4, rtol=1e-7, atol=1e-9)
+
+
+def test_inference_does_not_mutate_model_state(ratings_df, rng):
+    """factors_multiple / predict_warm_multiple ingest new-data X through
+    a STATELESS path: mappings, reindex_, and the include_all_X item
+    gate (_n_orig) must be untouched (regression — _pack_new_rows used
+    to re-run the fit-time ingester and clobber all three)."""
+    df, rows, cols, vals, m, n = ratings_df
+    model = CMF(k=4, lambda_=0.5, niter=3, use_float=False).fit(df)
+    im_before = model.item_mapping_.copy()
+    um_before = model.user_mapping_.copy()
+    n_orig = model._n_orig
+    # new-data DataFrame referencing a subset of known items
+    new = df.iloc[:40].copy()
+    new["UserId"] = ["zz0"] * 20 + ["zz1"] * 20
+    a = model.factors_multiple(X=new)
+    assert a.shape[0] == 2
+    np.testing.assert_array_equal(model.item_mapping_, im_before)
+    np.testing.assert_array_equal(model.user_mapping_, um_before)
+    assert model._n_orig == n_orig
+    # unknown item ids in new data raise instead of silently refitting ids
+    bad = new.copy()
+    bad["ItemId"] = ["nope"] * len(bad)
+    with pytest.raises(ValueError):
+        model.factors_multiple(X=bad)
+
+
+def test_include_all_X_survives_save_load(ratings_df, rng, tmp_path):
+    """The include_all_X=False topN gate (fit-time item count) survives a
+    save/load round-trip and swaps with the axes in
+    swap_users_and_items."""
+    df, rows, cols, vals, m, n = ratings_df
+    I = pd.DataFrame(rng.normal(size=(n + 2, 4)),
+                     columns=[f"g{j}" for j in range(4)])
+    I.insert(0, "ItemId", [f"it{j}" for j in range(n)] + ["gh1", "gh2"])
+    model = CMF(k=4, lambda_=0.5, niter=3, use_float=False,
+                include_all_X=False).fit(df, I=I)
+    path = str(tmp_path / "m.npz")
+    model.save(path)
+    m2 = CMF.load(path)
+    assert m2._n_orig == model._n_orig
+    top = m2.topN("u1", n=n + 2)
+    assert len(top) == n and "gh1" not in set(np.asarray(top).tolist())
+    sw = model.swap_users_and_items(precompute=False)
+    assert sw._n_orig == model._m_orig and sw._m_orig == model._n_orig

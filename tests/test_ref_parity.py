@@ -408,6 +408,21 @@ def test_explicit_chol_na_as_zero():
     np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
 
+    # center=True: the mean is taken over ALL m*n cells (unobserved = 0)
+    # and applied to unobserved cells through the rhs correction — the
+    # full pipeline must still match the binary (common.c:3513)
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        use_cg=False, user_bias=False, item_bias=False, center=True,
+        NA_as_zero=True, dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, use_cg=False, NA_as_zero=True,
+        user_bias=False, item_bias=False, center=True)
+    assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-12
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
 
 def test_collective_chol_implicit_features():
     """add_implicit_features (the reference's best-RMSE benchmark config):
@@ -626,6 +641,29 @@ def test_most_popular_vs_binary():
     np.testing.assert_allclose(np.asarray(model.user_bias_), ref["biasA"],
                                atol=1e-9)
 
+    # scale_lam + scale_bias_const: lam becomes a constant scaled by the
+    # MEAN per-entity count, per-entity scaling off (common.c:5896-5925).
+    # The BINARY segfaults on this combination (cnt buffers not allocated
+    # on the two-sided sparse path), so pin against a literal replica of
+    # the intended semantics instead of head-to-head.
+    ms = MostPopular(lambda_=lam, user_bias=True, scale_lam=True,
+                     scale_bias_const=True,
+                     use_float=False).fit_triplets(rows, cols, vals, m, n)
+    gm = float(np.mean(vals))
+    vc = vals - gm
+    cA = np.bincount(rows, minlength=m).astype(np.float64)
+    cB = np.bincount(cols, minlength=n).astype(np.float64)
+    lu = lam * float(np.mean(cA))
+    li = lam * float(np.mean(cB))
+    bA = np.zeros(m)
+    for _ in range(6):
+        sB = np.bincount(cols, weights=vc - bA[rows], minlength=n)
+        bB = sB / (cB + li)
+        sA = np.bincount(rows, weights=vc - bB[cols], minlength=m)
+        bA = sA / (cA + lu)
+    np.testing.assert_allclose(np.asarray(ms.item_bias_), bB, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ms.user_bias_), bA, atol=1e-9)
+
 
 def test_offsets_explicit_als_vs_binary():
     """OMF (offsets model, ALS mode): inner Am/Bm ALS from a shared init,
@@ -706,6 +744,19 @@ def test_factors_implicit_single_vs_binary():
         xa=xv, x_col=xc, n=n, alpha=alpha,
         w_main_multiplier=getattr(m2, "w_main_multiplier_", 1.0))
     np.testing.assert_allclose(a_ours2, a_ref2, atol=1e-8)
+
+    # cold (side info only): the system must still include the B Gram
+    # (collective.c:3491 — lam and w_user are w_main-normalized around a
+    # full BtB+CtC solve)
+    a_cold = model.factors_cold(U=U[5])
+    a_refc = ref_factors_collective_implicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=np.zeros(0), x_col=np.zeros(0, np.int64), n=n, alpha=alpha,
+        C=np.asarray(model.C_, np.float64), u_vec=U[5],
+        U_colmeans=model.U_colmeans_,
+        k_user=k_user, w_user=0.7,
+        w_main_multiplier=getattr(model, "w_main_multiplier_", 1.0))
+    np.testing.assert_allclose(a_cold, a_refc, atol=1e-8)
 
 
 def test_topn_vs_binary():

@@ -589,3 +589,112 @@ def ref_fit_lbfgs(
             "glob_mean": float(glob_mean.value),
             "U_colmeans": U_colmeans,
             "niter": int(niter_out.value), "nfev": int(nfev_out.value)}
+
+
+def ref_fit_content_based(
+    rows, cols, vals, m, n, *, k, lam, maxiter,
+    C0, D0, U, II, add_intercepts=False,
+    user_bias=False, item_bias=False, corr_pairs=5,
+):
+    """fit_content_based_lbfgs with reset_values=false, no ALS warm-up."""
+    lib = get_lib()
+    assert lib is not None
+    p = U.shape[1]
+    q = II.shape[1]
+    C = np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
+    D = np.ascontiguousarray(np.asarray(D0, np.float64)).copy()
+    C_bias = np.zeros(k) if add_intercepts else None
+    D_bias = np.zeros(k) if add_intercepts else None
+    biasA = np.zeros(m) if user_bias else None
+    biasB = np.zeros(n) if item_bias else None
+    Am = np.zeros((m, k))
+    Bm = np.zeros((n, k))
+    Ucont = np.ascontiguousarray(U, np.float64)
+    Icont = np.ascontiguousarray(II, np.float64)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+    glob_mean = c_real(0.0)
+    niter_out = c_int_t(0)
+    nfev_out = c_int_t(0)
+
+    fn = lib.fit_content_based_lbfgs
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(biasA), _ptr(biasB),
+        _ptr(C), _ptr(C_bias),
+        _ptr(D), _ptr(D_bias),
+        ct.c_bool(False), ct.c_bool(False), c_int_t(1),
+        ct.byref(glob_mean),
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
+        None,                               # Xfull
+        None,                               # weight
+        ct.c_bool(user_bias), ct.c_bool(item_bias),
+        ct.c_bool(add_intercepts),
+        c_real(lam), None,
+        _ptr(Ucont), c_int_t(p),
+        _ptr(Icont), c_int_t(q),
+        None, None, None, ct.c_size_t(0),
+        None, None, None, ct.c_size_t(0),
+        c_int_t(corr_pairs), ct.c_size_t(maxiter),
+        ct.c_int(1), ct.c_bool(False),
+        ct.c_bool(False), c_int_t(100), ct.c_bool(True),
+        ct.byref(niter_out), ct.byref(nfev_out),
+        _ptr(Am), _ptr(Bm),
+    )
+    assert ret == 0, f"fit_content_based_lbfgs returned {ret}"
+    return {"C": C, "D": D, "C_bias": C_bias, "D_bias": D_bias,
+            "biasA": biasA, "biasB": biasB, "Am": Am, "Bm": Bm,
+            "glob_mean": float(glob_mean.value)}
+
+
+def ref_impute_X(
+    Xfull, *, k, lam, B, biasB=None, glob_mean=0.0, user_bias=False,
+    C=None, U=None, U_colmeans=None,
+    k_user=0, k_item=0, k_main=0, w_main=1.0, w_user=1.0,
+):
+    """impute_X_collective_explicit: fills the NaNs of Xfull IN PLACE
+    using warm factors computed from each row's observed entries."""
+    lib = get_lib()
+    assert lib is not None
+    Xf = np.ascontiguousarray(Xfull, np.float64).copy()
+    m, n = Xf.shape
+    p = 0 if U is None else U.shape[1]
+    m_u = 0 if U is None else U.shape[0]
+    Bcont = np.ascontiguousarray(B, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    Ccont = None if C is None else np.ascontiguousarray(C, np.float64)
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+
+    fn = lib.impute_X_collective_explicit
+    fn.restype = c_int_t
+    ret = fn(
+        c_int_t(m), ct.c_bool(user_bias),
+        _ptr(Ucont), c_int_t(m_u), c_int_t(p),
+        ct.c_bool(False),                   # NA_as_zero_U
+        ct.c_bool(False),                   # nonneg
+        None, None, None, ct.c_size_t(0),   # U sparse
+        None, None, None,                   # U csr
+        None, c_int_t(0), c_int_t(0),       # Ub
+        _ptr(Ccont), None,                  # C, Cb
+        c_real(glob_mean), _ptr(bb),
+        _ptr(um),
+        _ptr(Xf), c_int_t(n),
+        None,                               # weight
+        _ptr(Bcont),
+        None, ct.c_bool(False),             # Bi, add_implicit_features
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), None,
+        c_real(0.0), None,
+        ct.c_bool(False), ct.c_bool(False),
+        ct.c_bool(False), c_real(0.0),
+        c_real(w_main), c_real(w_user), c_real(0.5),
+        c_int_t(n), ct.c_bool(True),
+        None, None, None, None, None, None, None, None,
+        ct.c_int(1),
+    )
+    assert ret == 0, f"impute_X_collective_explicit returned {ret}"
+    return Xf

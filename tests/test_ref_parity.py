@@ -846,3 +846,71 @@ def test_lbfgs_objective_quality_vs_binary():
     # mysteriously better by an amount suggesting a different objective
     assert f_ours <= f_ref * 1.005, (f_ours, f_ref)
     assert f_ours >= f_ref * 0.95, (f_ours, f_ref)
+
+
+def test_content_based_objective_quality_vs_binary():
+    """ContentBased (pure attribute model, k_sec=k): same-init final
+    objective parity with fit_content_based_lbfgs, like the L-BFGS test
+    (optimizer internals differ; the reached optimum must not)."""
+    from cmfrec_tpu.solvers.offsets import fit_offsets_explicit_lbfgs
+    from .ref_binary import ref_fit_content_based
+
+    rng, rows, cols, vals, m, n = _data(seed=61, m=25, n=18)
+    p, q, k, lam = 4, 3, 3, 0.5
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    Uc = U - U.mean(axis=0)
+    Ic = I - I.mean(axis=0)
+    C0 = rng.normal(size=(p, k)) * 0.3
+    D0 = rng.normal(size=(q, k)) * 0.3
+
+    def objective(C, D, gm):
+        Am = Uc @ C
+        Bm = Ic @ D
+        resid = vals - gm - np.einsum("nk,nk->n", Am[rows], Bm[cols])
+        return (0.5 * np.sum(resid ** 2)
+                + 0.5 * lam * (np.sum(C ** 2) + np.sum(D ** 2)))
+
+    ours = fit_offsets_explicit_lbfgs(
+        rows, cols, vals, m, n,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        k=0, k_sec=k, k_main=0, lambda_=lam,
+        user_bias=False, item_bias=False, center=True,
+        add_intercepts=False, maxiter=1500, corr_pairs=5,
+        dtype=np.float64, init_params={"C": C0, "D": D0})
+    ref = ref_fit_content_based(
+        rows, cols, vals, m, n, k=k, lam=lam, maxiter=1500,
+        C0=C0, D0=D0, U=Uc, II=Ic, add_intercepts=False,
+        user_bias=False, item_bias=False, corr_pairs=5)
+    f_ours = objective(np.asarray(ours["C"], np.float64),
+                       np.asarray(ours["D"], np.float64),
+                       ours["glob_mean"])
+    f_ref = objective(ref["C"], ref["D"], ref["glob_mean"])
+    assert f_ours <= f_ref * 1.005, (f_ours, f_ref)
+    assert f_ours >= f_ref * 0.95, (f_ours, f_ref)
+
+
+def test_imputer_transform_vs_binary():
+    """CMF.transform (the imputer surface) fills NaNs with the same
+    values as impute_X_collective_explicit on the trained parameters."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_impute_X
+
+    rng, rows, cols, vals, m, n = _data(seed=71)
+    k, lam = 4, 0.7
+    model = CMF(k=k, lambda_=lam, niter=4, use_cg=False, use_float=False,
+                user_bias=True, item_bias=True).fit_triplets(
+                    rows, cols, vals, m, n)
+    # new rows to impute: dense with NaNs
+    Xnew = np.full((6, n), np.nan)
+    rng2 = np.random.default_rng(72)
+    for i in range(6):
+        obs = rng2.choice(n, size=8, replace=False)
+        Xnew[i, obs] = 3.0 + rng2.normal(size=8)
+    ours = model.transform(X=Xnew)
+    ref = ref_impute_X(
+        Xnew, k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=True)
+    np.testing.assert_allclose(ours, ref, atol=1e-8)

@@ -19,16 +19,10 @@ class CMF_imputer(CMF):
                            U_bin=U_bin, I_bin=I_bin, W=W)
 
     def fit_transform(self, X, y=None, **fit_params):
+        """fit then transform, like sklearn's TransformerMixin on the
+        reference class: imputed values come from WARM factors computed
+        against the final B (not the training A_, which was solved
+        against the pre-update B)."""
         X = np.asarray(X, np.float64)
-        self.fit(X)
-        pred = (
-            self.A_[:, self.k_user:] @ self._xB.T + self.glob_mean_
-        )
-        if self.user_bias_ is not None:
-            pred = pred + self.user_bias_[:, None]
-        if self.item_bias_ is not None:
-            pred = pred + self.item_bias_[None, :]
-        out = X.copy()
-        mask = np.isnan(out)
-        out[mask] = pred[mask]
-        return out
+        self.fit(X, **fit_params)
+        return self.transform(X)

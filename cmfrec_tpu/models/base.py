@@ -420,6 +420,12 @@ class _BaseModel:
                     "include= contains items absent from X; refit with "
                     "include_all_X=True to recommend side-info-only items"
                 )
+            if exclude is not None:
+                # side-only items are already unrecommendable; keep only
+                # in-range ids so the masked scatter stays in bounds
+                exclude = exclude[exclude < lim]
+                if exclude.size == 0:
+                    exclude = None
             B = B[:lim]
             ib = None if ib is None else ib[:lim]
         idx, scores = predict_ops.topn(

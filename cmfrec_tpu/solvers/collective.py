@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import profiled_fit
+
 from ..config import SOLVER_PRECISION
 from ..data.shards import BucketedRows, build_bucketed_rows
 from . import preprocess
@@ -230,6 +232,7 @@ def _dense_full_solve(A1, U, lam_vec, w, nonneg, l1_vec, max_cd_steps, dtype):
 # --------------------------------------------------------------------- #
 
 
+@profiled_fit
 def fit_collective_explicit_als(
     rows, cols, vals, m, n, *,
     side_U=None, side_I=None,
@@ -787,6 +790,7 @@ def fit_collective_explicit_als(
 # --------------------------------------------------------------------- #
 
 
+@profiled_fit
 def fit_collective_implicit_als(
     rows, cols, vals, m, n, *,
     side_U=None, side_I=None,

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.profiling import profiled_fit
+
 from ..config import SOLVER_PRECISION, resolve_dtype
 from ..data.shards import BucketedRows, build_bucketed_rows
 from . import preprocess
@@ -138,6 +140,7 @@ def _build_pair(rows, cols, vals_c, m, n, weights, dtype, row_block=None):
     return RB, CB
 
 
+@profiled_fit
 def fit_explicit_als(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -583,6 +586,7 @@ def _na0_rhs_base(opp, opp_bias, glob_mean):
     return jnp.einsum("sk,s->k", opp, t, precision=SOLVER_PRECISION)
 
 
+@profiled_fit
 def fit_implicit_als(
     rows: np.ndarray,
     cols: np.ndarray,

@@ -27,6 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.profiling import profiled_fit
 import optax
 
 from ..config import SOLVER_PRECISION
@@ -83,6 +85,7 @@ def _side_coo(side, center, dtype):
             vals.astype(dtype), p, colmeans)
 
 
+@profiled_fit
 def fit_collective_explicit_lbfgs(
     rows, cols, vals, m, n, *,
     side_U=None, side_I=None, side_Ub=None, side_Ib=None,

@@ -27,6 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.profiling import profiled_fit
 import optax
 
 from ..config import SOLVER_PRECISION
@@ -72,6 +74,7 @@ def construct_Am(A, UC, k_sec, k, k_main, w):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
+@profiled_fit
 def fit_offsets_explicit_lbfgs(
     rows, cols, vals, m, n, *,
     side_U=None, side_I=None,
@@ -231,6 +234,7 @@ def _regress_side(U, Am, add_intercepts, ridge=1e-10):
     return Cfull, None
 
 
+@profiled_fit
 def fit_offsets_als(
     rows, cols, vals, m, n, *,
     side_U=None, side_I=None, implicit=False,

@@ -24,6 +24,42 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+_tracing = False
+
+
+@contextlib.contextmanager
+def maybe_trace():
+    """Honor CMFREC_TPU_PROFILE=<logdir>: every fit wrapped in this
+    context emits a jax.profiler trace there (TensorBoard / Perfetto
+    viewable); unset = zero overhead.  Re-entrant (nested fits, e.g. the
+    offsets model's inner ALS, join the outer trace)."""
+    import os
+
+    global _tracing
+    logdir = os.environ.get("CMFREC_TPU_PROFILE")
+    if not logdir or _tracing:
+        yield
+        return
+    _tracing = True
+    try:
+        with trace(logdir):
+            yield
+    finally:
+        _tracing = False
+
+
+def profiled_fit(fn):
+    """Decorator applying :func:`maybe_trace` around a fit driver."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with maybe_trace():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 class Timer:
     """Wall-time sections, device-synced via a scalar readback.
 

@@ -42,3 +42,22 @@ def test_exclusion_of_train_items():
     train = {0: [5]}
     # item 5 excluded -> 0 ranks first -> P@1 would be 1; at k=2: 1/2
     assert abs(precision_at_k(m, test, k=2, train_user_items=train) - 0.5) < 1e-12
+
+
+def test_profile_env_emits_trace(tmp_path, monkeypatch):
+    """CMFREC_TPU_PROFILE=<dir> wraps any fit driver in a jax.profiler
+    trace (SURVEY §5.1); unset = no files, no overhead."""
+    import numpy as np
+
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 20, 60)
+    cols = rng.integers(0, 10, 60)
+    vals = 3.0 + rng.normal(size=60)
+    logdir = tmp_path / "prof"
+    monkeypatch.setenv("CMFREC_TPU_PROFILE", str(logdir))
+    fit_explicit_als(rows, cols, vals, 20, 10, k=3, niter=1,
+                     use_cg=False, dtype=np.float64)
+    files = list(logdir.rglob("*"))
+    assert any(f.is_file() for f in files), "no trace emitted"

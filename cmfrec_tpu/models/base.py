@@ -33,6 +33,21 @@ def _is_sparse(x):
     return hasattr(x, "tocoo") and hasattr(x, "shape")
 
 
+def _parse_df_values(X, W):
+    """Rating/Value/Count + Weight columns of an X DataFrame (shared by
+    the fit-time and new-data ingesters)."""
+    val_col = "Rating" if "Rating" in X.columns else (
+        "Value" if "Value" in X.columns else "Count"
+    )
+    if val_col not in X.columns:
+        raise ValueError("X DataFrame needs a Rating/Value/Count column")
+    vals = X[val_col].to_numpy(np.float64)
+    wgt = X["Weight"].to_numpy(np.float64) if "Weight" in X.columns else None
+    if W is not None:
+        wgt = np.asarray(W, np.float64).ravel()
+    return vals, wgt
+
+
 class _BaseModel:
     """sklearn-style base: set_params/get_params, ingestion, prediction."""
 
@@ -136,29 +151,19 @@ class _BaseModel:
             icodes, _ = self._map_ids(np.asarray(X["ItemId"]),
                                       self.item_mapping_, "item")
             icodes = np.atleast_1d(icodes)
-            val_col = "Rating" if "Rating" in X.columns else (
-                "Value" if "Value" in X.columns else "Count")
-            if val_col not in X.columns:
-                raise ValueError("X DataFrame needs a Rating/Value/Count column")
-            vals = X[val_col].to_numpy(np.float64)
-            wgt = (X["Weight"].to_numpy(np.float64)
-                   if "Weight" in X.columns else None)
-            if W is not None:
-                wgt = np.asarray(W, np.float64).ravel()
+            n_items = np.asarray(self._xB).shape[0]
+            if (icodes < 0).any() or (icodes >= n_items).any():
+                bad = np.asarray(X["ItemId"])[(icodes < 0)
+                                              | (icodes >= n_items)][:5]
+                raise ValueError(f"unknown item id(s) in new X: {bad}")
+            vals, wgt = _parse_df_values(X, W)
             return (ucodes.astype(np.int64), icodes.astype(np.int64), vals,
                     wgt, int(ucodes.max()) + 1 if ucodes.size else 0,
-                    len(self.item_mapping_) if self.reindex_ else None)
-        # positional formats carry no ids to remap; reuse the parser but
-        # guard every state write
-        saved = {k: getattr(self, k, None)
-                 for k in ("user_mapping_", "item_mapping_", "reindex_")}
-        try:
-            return self._ingest_X_inner(X, W)
-        finally:
-            for k, v in saved.items():
-                setattr(self, k, v)
+                    n_items)
+        # positional formats carry no ids to remap
+        return self._ingest_X_inner(X, W, store=False)
 
-    def _ingest_X_inner(self, X, W=None):
+    def _ingest_X_inner(self, X, W=None, store=True):
         if _is_df(X):
             import pandas as pd
 
@@ -167,20 +172,11 @@ class _BaseModel:
                 raise ValueError("X DataFrame needs UserId and ItemId columns")
             ucodes, umap = pd.factorize(X["UserId"], use_na_sentinel=False)
             icodes, imap = pd.factorize(X["ItemId"], use_na_sentinel=False)
-            self.user_mapping_ = np.asarray(umap)
-            self.item_mapping_ = np.asarray(imap)
-            self.reindex_ = True
-            val_col = "Rating" if "Rating" in X.columns else (
-                "Value" if "Value" in X.columns else "Count"
-            )
-            if val_col not in X.columns:
-                raise ValueError("X DataFrame needs a Rating/Value/Count column")
-            vals = X[val_col].to_numpy(np.float64)
-            wgt = (
-                X["Weight"].to_numpy(np.float64) if "Weight" in X.columns else None
-            )
-            if W is not None:
-                wgt = np.asarray(W, np.float64).ravel()
+            if store:
+                self.user_mapping_ = np.asarray(umap)
+                self.item_mapping_ = np.asarray(imap)
+                self.reindex_ = True
+            vals, wgt = _parse_df_values(X, W)
             return (
                 ucodes.astype(np.int64),
                 icodes.astype(np.int64),
@@ -194,7 +190,8 @@ class _BaseModel:
             wgt = None
             if W is not None:
                 wgt = W.tocoo().data if _is_sparse(W) else np.asarray(W).ravel()
-            self.reindex_ = False
+            if store:
+                self.reindex_ = False
             return (
                 coo.row.astype(np.int64),
                 coo.col.astype(np.int64),
@@ -213,7 +210,8 @@ class _BaseModel:
         if W is not None:
             W = np.asarray(W, np.float64)
             wgt = W[rows, cols] if W.ndim == 2 else W.ravel()
-        self.reindex_ = False
+        if store:
+            self.reindex_ = False
         return rows, cols, vals, wgt, X.shape[0], X.shape[1]
 
     def _ingest_side(self, U, mapping, n_main, name="U"):
@@ -423,7 +421,8 @@ class _BaseModel:
             if exclude is not None:
                 # side-only items are already unrecommendable; keep only
                 # in-range ids so the masked scatter stays in bounds
-                exclude = exclude[exclude < lim]
+                # (negative ids would wrap Python-style)
+                exclude = exclude[(exclude >= 0) & (exclude < lim)]
                 if exclude.size == 0:
                     exclude = None
             B = B[:lim]

@@ -70,22 +70,68 @@ class MostPopular(_BaseModel):
             glob_mean = (
                 preprocess.weighted_global_mean(vals, wgt) if self.center else 0.0
             )
+            if self.NA_as_zero and self.center:
+                # mean over all m*n cells (unobserved = 0) — same rule as
+                # the factorization drivers (common.c:3513)
+                wsum = (float(len(vals)) if wgt is None
+                        else float(np.sum(wgt)))
+                glob_mean *= wsum / (wsum + float(m) * float(n)
+                                     - float(len(vals)))
             vals_c = np.asarray(vals, np.float64) - glob_mean
             scale_lam = self.scale_lam
+            # per-entity observation counts / weight sums (shared by the
+            # scale_bias_const transform and the alternating solves)
+            cA = (np.bincount(rows, minlength=m).astype(np.float64)
+                  if wgt is None else np.bincount(rows, weights=wgt,
+                                                  minlength=m))
+            cB = (np.bincount(cols, minlength=n).astype(np.float64)
+                  if wgt is None else np.bincount(cols, weights=wgt,
+                                                  minlength=n))
             if scale_lam and self.scale_bias_const:
                 # constant scaling: lam *= MEAN per-entity count (or weight
                 # sum) instead of per-entity values, then per-entity
                 # scaling turns off (common.c:5896-5925)
-                cA_ = (np.bincount(rows, minlength=m).astype(np.float64)
-                       if wgt is None else np.bincount(rows, weights=wgt,
-                                                       minlength=m))
-                cB_ = (np.bincount(cols, minlength=n).astype(np.float64)
-                       if wgt is None else np.bincount(cols, weights=wgt,
-                                                       minlength=n))
-                lam_user *= float(np.mean(cA_))
-                lam_item *= float(np.mean(cB_))
+                lam_user *= float(np.mean(cA))
+                lam_item *= float(np.mean(cB))
                 scale_lam = False
-            if self.user_bias:
+            if self.NA_as_zero:
+                # every unobserved cell participates as a zero with unit
+                # weight: sums run over all m (or n) entries and the -mu
+                # correction applies to the zeros too
+                # (initialize_biases_twosided NA_as_zero,
+                # /root/reference/src/common.c:4447)
+                cntA = np.bincount(rows, minlength=m).astype(np.float64)
+                cntB = np.bincount(cols, minlength=n).astype(np.float64)
+                wsA = cA + (float(n) - cntA)  # per-user total cell weight
+                wsB = cB + (float(m) - cntB)
+                dB = wsB + lam_item * (wsB if scale_lam else 1.0)
+                dA = wsA + lam_user * (wsA if scale_lam else 1.0)
+                sB0 = np.bincount(
+                    cols, weights=vals_c if wgt is None else vals_c * wgt,
+                    minlength=n) - glob_mean * (float(m) - cntB)
+                sA0 = np.bincount(
+                    rows, weights=vals_c if wgt is None else vals_c * wgt,
+                    minlength=m) - glob_mean * (float(n) - cntA)
+                biasA = np.zeros(m)
+                biasB = np.zeros(n)
+                passes = 6 if self.user_bias else 1
+                for _ in range(passes):
+                    # TB_j = sum_i w_ij * biasA_i over ALL i (w=1 on zeros)
+                    TB = biasA.sum() + (
+                        0.0 if wgt is None else np.bincount(
+                            cols, weights=(wgt - 1.0) * biasA[rows],
+                            minlength=n))
+                    biasB = (sB0 - TB) / dB
+                    if not self.user_bias:
+                        break
+                    TA = biasB.sum() + (
+                        0.0 if wgt is None else np.bincount(
+                            rows, weights=(wgt - 1.0) * biasB[cols],
+                            minlength=m))
+                    biasA = (sA0 - TA) / dA
+                if not self.user_bias:
+                    biasA = None
+            elif self.user_bias:
                 # the reference's fit_most_popular_internal: biases start
                 # at ZERO and run `iter <= maxiter` (maxiter=5) = SIX
                 # alternating passes, items first
@@ -93,12 +139,6 @@ class MostPopular(_BaseModel):
                 # pinned by tests/test_ref_parity.py
                 biasA = np.zeros(m)
                 biasB = np.zeros(n)
-                cB = (np.bincount(cols, minlength=n).astype(np.float64)
-                      if wgt is None else np.bincount(cols, weights=wgt,
-                                                      minlength=n))
-                cA = (np.bincount(rows, minlength=m).astype(np.float64)
-                      if wgt is None else np.bincount(rows, weights=wgt,
-                                                      minlength=m))
                 denB = cB + lam_item * (cB if scale_lam else 1.0)
                 denA = cA + lam_user * (cA if scale_lam else 1.0)
                 for _ in range(6):

@@ -257,7 +257,6 @@ def fit_collective_explicit_als(
     scale_lam = scale_lam or scale_lam_sideinfo
     if nonneg:
         use_cg = False
-        center = False
 
     U = prepare_side(side_U, center_U, NA_as_zero_user, dtype)
     I = prepare_side(side_I, center_I, NA_as_zero_item, dtype)

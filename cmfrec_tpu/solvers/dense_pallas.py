@@ -320,8 +320,12 @@ def fit_explicit_dense_pallas(
     if init is not None:
         # warm restart (the reference's reset_values=False,
         # /root/reference/src/cmfrec.h:1858): continue from given factors
-        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
-        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if init.get("A") is not None:
+            A = A.at[:m, :k].set(
+                jnp.asarray(np.asarray(init["A"], np.float32)))
+        if init.get("B") is not None:
+            B = B.at[:n, :k].set(
+                jnp.asarray(np.asarray(init["B"], np.float32)))
         if user_bias and init.get("biasA") is not None:
             A = A.at[:m, k].set(
                 jnp.asarray(np.asarray(init["biasA"], np.float32)))
@@ -558,8 +562,12 @@ def fit_collective_dense_pallas(
     if init is not None:
         # warm restart (the reference's reset_values=False,
         # /root/reference/src/cmfrec.h:1858): continue from given factors
-        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
-        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if init.get("A") is not None:
+            A = A.at[:m, :k].set(
+                jnp.asarray(np.asarray(init["A"], np.float32)))
+        if init.get("B") is not None:
+            B = B.at[:n, :k].set(
+                jnp.asarray(np.asarray(init["B"], np.float32)))
         if user_bias and init.get("biasA") is not None:
             A = A.at[:m, k].set(
                 jnp.asarray(np.asarray(init["biasA"], np.float32)))
@@ -748,8 +756,12 @@ def fit_implicit_dense_pallas(
     A = _init_factors(k1, live_A, zeros_m, (m_pad, Kp), k, False)
     B = _init_factors(k2, live_B, zeros_n, (n_pad, Kp), k, False)
     if init is not None:
-        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
-        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if init.get("A") is not None:
+            A = A.at[:m, :k].set(
+                jnp.asarray(np.asarray(init["A"], np.float32)))
+        if init.get("B") is not None:
+            B = B.at[:n, :k].set(
+                jnp.asarray(np.asarray(init["B"], np.float32)))
 
     def lam_vec_for(lam_f):
         v = np.ones(Kp, np.float32)
@@ -898,8 +910,12 @@ def fit_collective_implicit_dense_pallas(
     B = _init_factors(k2, live_B, jnp.zeros(n_pad, jnp.float32), (n_pad, Kp),
                       k, False)
     if init is not None:
-        A = A.at[:m, :k].set(jnp.asarray(np.asarray(init["A"], np.float32)))
-        B = B.at[:n, :k].set(jnp.asarray(np.asarray(init["B"], np.float32)))
+        if init.get("A") is not None:
+            A = A.at[:m, :k].set(
+                jnp.asarray(np.asarray(init["A"], np.float32)))
+        if init.get("B") is not None:
+            B = B.at[:n, :k].set(
+                jnp.asarray(np.asarray(init["B"], np.float32)))
 
     def lam_vec_for(lam_f):
         v = np.ones(Kp, np.float32)

@@ -324,8 +324,10 @@ def fit_explicit_als(
     if item_bias:
         B_blocks = _set_bias_coord(B_blocks, CB, biasB0, k, dtype)
     if init is not None:
-        A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
-        B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
+        if init.get("A") is not None:
+            A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
+        if init.get("B") is not None:
+            B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
         if user_bias and init.get("biasA") is not None:
             A_blocks = _set_bias_coord(A_blocks, RB,
                                        np.asarray(init["biasA"]), k, dtype)
@@ -681,8 +683,10 @@ def fit_implicit_als(
     key, A_blocks = init_blocks(key, RB, k, k_pad, dtype)
     key, B_blocks = init_blocks(key, CB, k, k_pad, dtype)
     if init is not None:
-        A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
-        B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
+        if init.get("A") is not None:
+            A_blocks = _seed_factor_blocks(A_blocks, RB, init["A"], k, dtype)
+        if init.get("B") is not None:
+            B_blocks = _seed_factor_blocks(B_blocks, CB, init["B"], k, dtype)
     if mesh is not None:
         (A_blocks, B_blocks), (perm_A, perm_B) = _shard_driver_state(
             mesh, [RB, CB], [A_blocks, B_blocks], [perm_A, perm_B],
@@ -818,8 +822,10 @@ def _fit_explicit_dense(
     A = scale * jax.random.normal(k1, (m, K), dtype)
     B = scale * jax.random.normal(k2, (n, K), dtype)
     if init is not None:
-        A = A.at[:, :k].set(jnp.asarray(np.asarray(init["A"], dtype)))
-        B = B.at[:, :k].set(jnp.asarray(np.asarray(init["B"], dtype)))
+        if init.get("A") is not None:
+            A = A.at[:, :k].set(jnp.asarray(np.asarray(init["A"], dtype)))
+        if init.get("B") is not None:
+            B = B.at[:, :k].set(jnp.asarray(np.asarray(init["B"], dtype)))
         if user_bias and init.get("biasA") is not None:
             biasA0 = np.asarray(init["biasA"], dtype)
         if item_bias and init.get("biasB") is not None:

@@ -332,7 +332,7 @@ def ref_fit_most_popular(
     rows, cols, vals, m, n, *, lam_user=0.0, lam_item=0.0,
     scale_lam=False, scale_bias_const=False, alpha=1.0, weights=None,
     implicit=False, adjust_weight=False, apply_log_transf=False,
-    nonneg=False, center=True,
+    nonneg=False, center=True, NA_as_zero=False,
 ):
     """fit_most_popular (/root/reference/include/cmfrec.h.in:1538).
     Note: the C entry has no 'center' flag — the explicit path always
@@ -363,7 +363,7 @@ def ref_fit_most_popular(
         _ptr(W),
         ct.c_bool(implicit), ct.c_bool(adjust_weight),
         ct.c_bool(apply_log_transf),
-        ct.c_bool(nonneg), ct.c_bool(False),  # NA_as_zero (common.c:5383)
+        ct.c_bool(nonneg), ct.c_bool(NA_as_zero),  # (common.c:5383)
         ct.byref(w_main_multiplier),
         ct.c_int(1),
     )

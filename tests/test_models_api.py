@@ -761,3 +761,31 @@ def test_include_all_X_survives_save_load(ratings_df, rng, tmp_path):
     assert len(top) == n and "gh1" not in set(np.asarray(top).tolist())
     sw = model.swap_users_and_items(precompute=False)
     assert sw._n_orig == model._m_orig and sw._m_orig == model._n_orig
+
+
+def test_new_data_positional_bounds_and_partial_init(rng):
+    """New-data DataFrames against a positionally-fit model reject
+    out-of-range item ids, and partial init= dicts (just A or just B)
+    warm-start the present factor without KeyError."""
+    m, n = 40, 20
+    X = rng.uniform(1, 5, size=(m, n))
+    X[rng.uniform(size=(m, n)) < 0.6] = np.nan
+    model = CMF(k=4, lambda_=1.0, niter=3, use_float=False).fit(X)
+    bad = pd.DataFrame({"UserId": [0, 0], "ItemId": [1, n + 5],
+                        "Rating": [3.0, 4.0]})
+    with pytest.raises(ValueError, match="unknown item"):
+        model.factors_multiple(X=bad)
+
+    from cmfrec_tpu.solvers import drivers
+
+    r, c = np.nonzero(~np.isnan(X))
+    v = X[r, c]
+    A0 = rng.normal(size=(m, 4))
+    full = drivers.fit_explicit_als(r, c, v, m, n, k=4, niter=0, seed=5,
+                                    use_cg=False, dtype=np.float64,
+                                    init={"A": A0})
+    np.testing.assert_allclose(np.asarray(full["A"]), A0, atol=1e-12)
+    impl = drivers.fit_implicit_als(r, c, np.abs(v), m, n, k=4, niter=0,
+                                    seed=5, use_cg=False, dtype=np.float64,
+                                    init={"B": A0[:n] * 0 + 0.5})
+    np.testing.assert_allclose(np.asarray(impl["B"]), 0.5, atol=1e-12)

@@ -914,3 +914,55 @@ def test_imputer_transform_vs_binary():
         biasB=np.asarray(model.item_bias_, np.float64),
         glob_mean=model.glob_mean_, user_bias=True)
     np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_most_popular_na_as_zero_vs_binary():
+    """MostPopular with NA_as_zero: sums run over all m*n cells
+    (unobserved = zero), two-sided.  The binary's NA0 path
+    (initialize_biases_twosided, common.c:4690/4850) carries two quirks a
+    replica pins here: the item update averages biasA[:n] (a length-m
+    array iterated with the ITEM count, common.c "row < n" loop) and both
+    updates skip the opposing-bias mean entirely on the first pass
+    (`if (iter > 0)`).  Our implementation solves the intended exact
+    alternating closed forms instead; the intent is asserted by checking
+    the two coincide when m == n is not degenerate... (here: replica ==
+    binary; exact == ours)."""
+    from cmfrec_tpu import MostPopular
+    from .ref_binary import ref_fit_most_popular
+
+    rng = np.random.default_rng(14)
+    m, n = 40, 25
+    mask = rng.uniform(size=(m, n)) < 0.3
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    lam = 1.5
+    ref = ref_fit_most_popular(rows, cols, vals, m, n,
+                               lam_user=lam, lam_item=lam, NA_as_zero=True)
+    mu = ref["glob_mean"]
+    assert abs(mu - np.sum(vals) / (m * n)) < 1e-10
+
+    # literal replica of the binary's quirky recursion (5 passes)
+    meanA = np.bincount(rows, weights=vals, minlength=m) / n
+    meanB = np.bincount(cols, weights=vals, minlength=n) / m
+    biasA = np.zeros(m)
+    biasB = np.zeros(n)
+    for it in range(5):
+        bmeanA = biasA[:n].mean() if it > 0 else 0.0
+        biasB = (meanB - bmeanA - mu) * (m / (m + lam))
+        bmeanB = biasB[:n].mean() if it > 0 else 0.0
+        biasA = (meanA - bmeanB - mu) * (n / (n + lam))
+    np.testing.assert_allclose(biasB, ref["biasB"], atol=1e-10)
+    np.testing.assert_allclose(biasA, ref["biasA"], atol=1e-10)
+
+    # ours == the exact alternating closed forms (intended semantics)
+    model = MostPopular(lambda_=lam, user_bias=True, NA_as_zero=True,
+                        use_float=False).fit_triplets(rows, cols, vals, m, n)
+    assert abs(model.glob_mean_ - mu) < 1e-10
+    bA = np.zeros(m)
+    for _ in range(6):
+        bB = (np.bincount(cols, weights=vals, minlength=n)
+              - m * mu - bA.sum()) / (m + lam)
+        bA = (np.bincount(rows, weights=vals, minlength=m)
+              - n * mu - bB.sum()) / (n + lam)
+    np.testing.assert_allclose(np.asarray(model.item_bias_), bB, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(model.user_bias_), bA, atol=1e-9)

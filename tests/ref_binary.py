@@ -115,10 +115,18 @@ def ref_fit_explicit_als(
     add_implicit_features=False, Ai0=None, Bi0=None,
     weights=None, lam_unique=None, l1_lam=0.0,
     nonneg=False, max_cd_steps=100,
+    Xfull=None,
 ):
     """fit_collective_explicit_als with reset_values=false: A/B (and C,
     Ai/Bi) start from the provided inits, biases start at zero — the
-    exact analog of cmfrec_tpu's init= warm start."""
+    exact analog of cmfrec_tpu's init= warm start.
+
+    ``Xfull`` (m×n, NaN = missing) exercises the reference's DENSE code
+    path instead of the sparse one: pass ``rows=cols=vals=None`` and,
+    when weighting, an (m, n) dense ``weights`` array.  Notably the
+    dense path does NOT have the sparse path's CSC weight-misalignment
+    defect (collective.c:8642), so weighted fits can be pinned
+    positively against the binary through it."""
     lib = get_lib()
     assert lib is not None
     width_A = k_user + k + k_main
@@ -141,9 +149,18 @@ def ref_fit_explicit_als(
         Bi = np.ascontiguousarray(np.asarray(Bi0, np.float64)).copy()
     Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
     U_colmeans = (np.zeros(p) if (U is not None and center_U) else None)
-    ixA = np.ascontiguousarray(rows, np.int32)
-    ixB = np.ascontiguousarray(cols, np.int32)
-    X = np.ascontiguousarray(vals, np.float64)
+    if Xfull is not None:
+        assert rows is None and cols is None and vals is None
+        Xf = np.ascontiguousarray(Xfull, np.float64).copy()
+        assert Xf.shape == (m, n)
+        ixA = ixB = X = None
+        nnz = 0
+    else:
+        Xf = None
+        ixA = np.ascontiguousarray(rows, np.int32)
+        ixB = np.ascontiguousarray(cols, np.int32)
+        X = np.ascontiguousarray(vals, np.float64)
+        nnz = X.size
     W = None if weights is None else np.ascontiguousarray(weights, np.float64)
     lam_u = (None if lam_unique is None
              else np.ascontiguousarray(lam_unique, np.float64))
@@ -163,8 +180,8 @@ def ref_fit_explicit_als(
         ct.byref(glob_mean),
         _ptr(U_colmeans), None,             # U_colmeans, I_colmeans
         c_int_t(m), c_int_t(n), c_int_t(k),
-        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
-        None,                               # Xfull
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(nnz),
+        _ptr(Xf),
         _ptr(W),
         ct.c_bool(user_bias), ct.c_bool(item_bias), ct.c_bool(center),
         c_real(lam), _ptr(lam_u),
@@ -435,6 +452,62 @@ def ref_fit_offsets_explicit_als(
     return {"A": A, "B": B, "C": C, "C_bias": C_bias, "D": D,
             "D_bias": D_bias, "biasA": biasA, "biasB": biasB,
             "Am": Am, "Bm": Bm, "glob_mean": float(glob_mean.value)}
+
+
+def ref_fit_offsets_implicit_als(
+    rows, cols, vals, m, n, *, k, lam, niter, alpha=1.0,
+    A0, B0, U=None, II=None, add_intercepts=True,
+    apply_log_transf=False,
+    use_cg=False, max_cg_steps=3, finalize_chol=False,
+):
+    """fit_offsets_implicit_als (/root/reference/src/offsets.c:2221)
+    with reset_values=false: the inner WRMF Am/Bm ALS starts from A0/B0,
+    then the GELSD attribute regression recovers C/D and the offsets.
+    Like the explicit variant, pass U/II pre-centered."""
+    lib = get_lib()
+    assert lib is not None
+    A = np.ascontiguousarray(np.asarray(A0, np.float64)).copy()
+    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
+    p = 0 if U is None else U.shape[1]
+    q = 0 if II is None else II.shape[1]
+    C = np.zeros((p, k)) if U is not None else None
+    C_bias = np.zeros(k) if (U is not None and add_intercepts) else None
+    D = np.zeros((q, k)) if II is not None else None
+    D_bias = np.zeros(k) if (II is not None and add_intercepts) else None
+    Am = np.zeros((m, k))
+    Bm = np.zeros((n, k))
+    Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    Icont = None if II is None else np.ascontiguousarray(II, np.float64)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    # the implicit path scales X by alpha through the caller's pointer
+    X = np.ascontiguousarray(vals, np.float64).copy()
+
+    fn = lib.fit_offsets_implicit_als
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(A), _ptr(B),
+        _ptr(C), _ptr(C_bias),
+        _ptr(D), _ptr(D_bias),
+        ct.c_bool(False), c_int_t(1),       # reset_values, seed
+        c_int_t(m), c_int_t(n), c_int_t(k),
+        _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(X.size),
+        ct.c_bool(add_intercepts),
+        c_real(lam),
+        _ptr(Ucont), c_int_t(p),
+        _ptr(Icont), c_int_t(q),
+        c_real(alpha), ct.c_bool(apply_log_transf),
+        c_int_t(niter), ct.c_int(1),
+        ct.c_bool(use_cg), c_int_t(max_cg_steps),
+        ct.c_bool(False), ct.c_bool(finalize_chol),
+        ct.c_bool(False), ct.c_bool(True),  # verbose, handle_interrupt
+        ct.c_bool(False),                   # precompute_for_predictions
+        _ptr(Am), _ptr(Bm),
+        None,
+    )
+    assert ret == 0, f"fit_offsets_implicit_als returned {ret}"
+    return {"A": A, "B": B, "C": C, "C_bias": C_bias, "D": D,
+            "D_bias": D_bias, "Am": Am, "Bm": Bm}
 
 
 def ref_factors_collective_implicit_single(

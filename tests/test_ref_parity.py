@@ -23,6 +23,11 @@ Verified agreements (max |diff| over full factor matrices, f64):
     weighted, scale_lam) and implicit (plain, side-info) . ~1e-8
   * topN ranking incl. include=/exclude= ................. exact
   * MostPopular two-sided (6 alternating passes) ......... ~1e-9
+  * dense Xfull path, plain and WEIGHTED (the dense path
+    lacks the sparse CSC weight defect, so weighted fits
+    pin positively here), biases+centering ............... ~1e-9
+  * OMF implicit (fit_offsets_implicit_als): inner WRMF
+    Am/Bm + attribute regression ......................... ~1e-6
 
 Documented divergences (each pinned by a test below):
   * explicit CG with biases: the reference's pre-update "restore the
@@ -966,3 +971,114 @@ def test_most_popular_na_as_zero_vs_binary():
               - n * mu - bB.sum()) / (n + lam)
     np.testing.assert_allclose(np.asarray(model.item_bias_), bB, atol=1e-9)
     np.testing.assert_allclose(np.asarray(model.user_bias_), bA, atol=1e-9)
+
+
+def test_explicit_dense_weighted_vs_binary():
+    """Weighted fit pinned POSITIVELY against the binary through its
+    DENSE code path (Xfull + dense weights), which does not have the
+    sparse path's CSC weight-misalignment defect (collective.c:8642).
+    Our engine treats dense X as the equivalent COO triplets, so the
+    same weighted fit must match the binary exactly here — biases,
+    weighted centering, and factor trajectories included."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=11)
+    wgt = rng.uniform(0.5, 2.0, rows.size)
+    k, lam, niter = 4, 0.3, 3
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    Xfull = np.full((m, n), np.nan)
+    Xfull[rows, cols] = vals
+    Wfull = np.ones((m, n))
+    Wfull[rows, cols] = wgt
+
+    ref = ref_fit_explicit_als(
+        None, None, None, m, n, k=k, lam=lam, niter=niter,
+        A0=A0, B0=B0, use_cg=False, weights=Wfull, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, Xfull=Xfull)
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=niter,
+        use_cg=False, user_bias=True, item_bias=True, center=True,
+        weights=wgt, dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-10
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+def test_explicit_dense_plain_vs_binary():
+    """Unweighted dense-Xfull fit == our COO fit == the binary's sparse
+    fit: anchors that our single engine covers BOTH reference input
+    paths (the reference maintains separate dense/sparse kernels;
+    collective.c optimizeA cases)."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=12)
+    k, lam, niter = 5, 0.6, 3
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    Xfull = np.full((m, n), np.nan)
+    Xfull[rows, cols] = vals
+
+    ref = ref_fit_explicit_als(
+        None, None, None, m, n, k=k, lam=lam, niter=niter,
+        A0=A0, B0=B0, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, Xfull=Xfull)
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=niter,
+        use_cg=False, user_bias=True, item_bias=True, center=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-10
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_offsets_implicit_als_vs_binary():
+    """OMF implicit (offsets WRMF): inner Am/Bm implicit ALS from a
+    shared init, then the GELSD attribute regression — pinned against
+    fit_offsets_implicit_als (/root/reference/src/offsets.c:2221).
+    As with the explicit variant, the binary regresses on U as given,
+    so it receives the pre-centered side matrices."""
+    from cmfrec_tpu.solvers.offsets import fit_offsets_als
+    from .ref_binary import ref_fit_offsets_implicit_als
+
+    rng = np.random.default_rng(31)
+    m, n = 32, 24
+    mask = rng.uniform(size=(m, n)) < 0.3
+    rows, cols = np.nonzero(mask)
+    vals = rng.uniform(1.0, 10.0, rows.size)
+    p, q, k, lam, alpha = 5, 4, 4, 0.8, 2.0
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    Uc = U - U.mean(axis=0)
+    Ic = I - I.mean(axis=0)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_offsets_als(
+        rows, cols, vals, m, n, implicit=True,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        k=k, lambda_=lam, alpha=alpha, niter=3,
+        use_cg=False, finalize_chol=False, add_intercepts=True,
+        dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_offsets_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, alpha=alpha, niter=3,
+        A0=A0, B0=B0, U=Uc, II=Ic, add_intercepts=True,
+        use_cg=False, finalize_chol=False)
+    np.testing.assert_allclose(np.asarray(ours["Am"]), ref["Am"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["Bm"]), ref["Bm"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["C_bias"]), ref["C_bias"],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["D"]), ref["D"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)

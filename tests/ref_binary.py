@@ -104,9 +104,9 @@ def _iptr(arr):
 
 def ref_fit_explicit_als(
     rows, cols, vals, m, n, *, k, lam, niter,
-    A0, B0, C0=None, U=None,
+    A0, B0, C0=None, U=None, D0=None, II=None,
     k_user=0, k_item=0, k_main=0,
-    w_main=1.0, w_user=1.0, w_implicit=0.5,
+    w_main=1.0, w_user=1.0, w_item=1.0, w_implicit=0.5,
     use_cg=False, max_cg_steps=3, precondition_cg=False,
     finalize_chol=True,
     user_bias=True, item_bias=True, center=True, center_U=True,
@@ -115,11 +115,15 @@ def ref_fit_explicit_als(
     add_implicit_features=False, Ai0=None, Bi0=None,
     weights=None, lam_unique=None, l1_lam=0.0,
     nonneg=False, max_cd_steps=100,
-    Xfull=None,
+    Xfull=None, U_sp=None,
 ):
     """fit_collective_explicit_als with reset_values=false: A/B (and C,
     Ai/Bi) start from the provided inits, biases start at zero — the
     exact analog of cmfrec_tpu's init= warm start.
+
+    ``U_sp`` = (u_rows, u_cols, u_vals, m_u, p) exercises the SPARSE
+    side-info path (U_row/U_col/U_sp in the C API); mutually exclusive
+    with dense ``U``.
 
     ``Xfull`` (m×n, NaN = missing) exercises the reference's DENSE code
     path instead of the sparse one: pass ``rows=cols=vals=None`` and,
@@ -131,24 +135,45 @@ def ref_fit_explicit_als(
     assert lib is not None
     width_A = k_user + k + k_main
     width_B = k_item + k + k_main
-    p = 0 if U is None else U.shape[1]
-    m_u = 0 if U is None else U.shape[0]
+    if U_sp is not None:
+        assert U is None
+        u_rows, u_cols, u_vals, m_u, p = U_sp
+        u_rows = np.ascontiguousarray(u_rows, np.int32)
+        u_cols = np.ascontiguousarray(u_cols, np.int32)
+        u_vals = np.ascontiguousarray(u_vals, np.float64)
+        nnz_U = u_vals.size
+    else:
+        u_rows = u_cols = u_vals = None
+        nnz_U = 0
+        p = 0 if U is None else U.shape[1]
+        m_u = 0 if U is None else U.shape[0]
     A = np.ascontiguousarray(np.zeros((max(m, m_u), width_A)), np.float64)
     A[: A0.shape[0], :] = A0
-    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
-    assert B.shape == (n, width_B)
+    n_b = max(n, 0 if II is None else II.shape[0])
+    B = np.ascontiguousarray(np.zeros((n_b, width_B)), np.float64)
+    B[: B0.shape[0], :] = B0
     biasA = np.zeros(max(m, m_u)) if user_bias else None
-    biasB = np.zeros(n) if item_bias else None
+    biasB = np.zeros(n_b) if item_bias else None
     C = None
-    if U is not None:
+    if U is not None or U_sp is not None:
         C = np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
         assert C.shape == (p, k_user + k)
+    q = 0 if II is None else II.shape[1]
+    n_i = 0 if II is None else II.shape[0]
+    D = None
+    if II is not None:
+        D = np.ascontiguousarray(np.asarray(D0, np.float64)).copy()
+        assert D.shape == (q, k_item + k)
     Ai = Bi = None
     if add_implicit_features:
         Ai = np.ascontiguousarray(np.asarray(Ai0, np.float64)).copy()
         Bi = np.ascontiguousarray(np.asarray(Bi0, np.float64)).copy()
     Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
-    U_colmeans = (np.zeros(p) if (U is not None and center_U) else None)
+    Icont = None if II is None else np.ascontiguousarray(II, np.float64)
+    U_colmeans = (np.zeros(p)
+                  if ((U is not None or U_sp is not None) and center_U)
+                  else None)
+    I_colmeans = (np.zeros(q) if (II is not None and center_U) else None)
     if Xfull is not None:
         assert rows is None and cols is None and vals is None
         Xf = np.ascontiguousarray(Xfull, np.float64).copy()
@@ -173,12 +198,12 @@ def ref_fit_explicit_als(
     ret = fn(
         _ptr(biasA), _ptr(biasB),
         _ptr(A), _ptr(B),
-        _ptr(C), None,                      # C, D
+        _ptr(C), _ptr(D),
         _ptr(Ai), _ptr(Bi),
         ct.c_bool(add_implicit_features),
         ct.c_bool(False), c_int_t(1),       # reset_values, seed
         ct.byref(glob_mean),
-        _ptr(U_colmeans), None,             # U_colmeans, I_colmeans
+        _ptr(U_colmeans), _ptr(I_colmeans),
         c_int_t(m), c_int_t(n), c_int_t(k),
         _iptr(ixA), _iptr(ixB), _ptr(X), ct.c_size_t(nnz),
         _ptr(Xf),
@@ -190,12 +215,12 @@ def ref_fit_explicit_als(
         ct.c_bool(scale_bias_const),
         ct.byref(scaling_biasA), ct.byref(scaling_biasB),
         _ptr(Ucont), c_int_t(m_u), c_int_t(p),
-        None, c_int_t(0), c_int_t(0),       # II, n_i, q
-        None, None, None, ct.c_size_t(0),   # U sparse
+        _ptr(Icont), c_int_t(n_i), c_int_t(q),
+        _iptr(u_rows), _iptr(u_cols), _ptr(u_vals), ct.c_size_t(nnz_U),
         None, None, None, ct.c_size_t(0),   # I sparse
         ct.c_bool(NA_as_zero), ct.c_bool(NA_as_zero_U), ct.c_bool(False),
         c_int_t(k_main), c_int_t(k_user), c_int_t(k_item),
-        c_real(w_main), c_real(w_user), c_real(1.0), c_real(w_implicit),
+        c_real(w_main), c_real(w_user), c_real(w_item), c_real(w_implicit),
         c_int_t(niter), ct.c_int(1),        # niter, nthreads
         ct.c_bool(False), ct.c_bool(True),  # verbose, handle_interrupt
         ct.c_bool(use_cg), c_int_t(max_cg_steps),
@@ -208,10 +233,10 @@ def ref_fit_explicit_als(
     )
     assert ret == 0, f"reference fit_collective_explicit_als returned {ret}"
     return {
-        "A": A[:, :], "B": B, "C": C, "Ai": Ai, "Bi": Bi,
+        "A": A[:, :], "B": B, "C": C, "D": D, "Ai": Ai, "Bi": Bi,
         "biasA": biasA, "biasB": biasB,
         "glob_mean": float(glob_mean.value),
-        "U_colmeans": U_colmeans,
+        "U_colmeans": U_colmeans, "I_colmeans": I_colmeans,
     }
 
 

@@ -1082,3 +1082,190 @@ def test_offsets_implicit_als_vs_binary():
     np.testing.assert_allclose(np.asarray(ours["D"]), ref["D"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)
+
+
+def test_collective_chol_both_sides_vs_binary():
+    """Two-sided collective model (C from U AND D from I), k_user/k_item/
+    k_main splits, w_user/w_item — the item-side (D) half-step was never
+    binary-pinned before this test."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(7)
+    m, n, k, p, q = 25, 18, 4, 6, 5
+    k_user, k_item, k_main = 2, 1, 1
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    A0 = rng.normal(size=(m, k_user + k + k_main)) * 0.1
+    B0 = rng.normal(size=(n, k_item + k + k_main)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    D0 = rng.normal(size=(q, k_item + k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        k_user=k_user, k_item=k_item, k_main=k_main,
+        w_main=1.0, w_user=0.5, w_item=0.8,
+        use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0, "D": D0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U=U, D0=D0, II=I,
+        k_user=k_user, k_item=k_item, k_main=k_main,
+        w_main=1.0, w_user=0.5, w_item=0.8,
+        use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["D"]), ref["D"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def _sparse_side(rng, m, p, density=0.5):
+    mask = rng.uniform(size=(m, p)) < density
+    ur, uc = np.nonzero(mask)
+    uv = rng.normal(size=ur.size)
+    return ur, uc, uv
+
+
+def test_collective_chol_sparse_U_vs_binary():
+    """Sparse side-info matrix (U_row/U_col/U_sp path in the C API) with a
+    k_user split — the sparse-U ingestion path was previously only
+    oracle-tested.  center_U=False here: the binary's sparse-U centering
+    is defective (see test_sparse_U_centering_defect_replica)."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(17)
+    m, n, k, p = 25, 18, 4, 6
+    k_user, k_main = 2, 1
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    ur, uc, uv = _sparse_side(rng, m, p)
+    A0 = rng.normal(size=(m, k_user + k + k_main)) * 0.1
+    B0 = rng.normal(size=(n, k + k_main)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(ur, uc, uv, m, p, False, None),
+        k_user=k_user, k_main=k_main,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=False,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U_sp=(ur, uc, uv, m, p),
+        k_user=k_user, k_main=k_main,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_sparse_U_centering_defect_replica():
+    """REFERENCE DEFECT (not copied): for sparse U without NA_as_zero_U and
+    center_U=True, preprocess_sideinfo_matrix captures the COO values
+    pointer BEFORE center_by_cols replaces it with a centered copy
+    (collective.c:6508 vs :6529), so coo_to_csr_and_csc (:6551) builds the
+    fit's CSR/CSC from the STALE UNCENTERED array.  The binary thus fits
+    on raw U while still reporting observed-count U_colmeans (which its
+    own factor routines later subtract — internally inconsistent).  We
+    center for real.  Replica pin: binary(center_U=True) == ours
+    (center_U=False) on every fitted matrix, while the binary's returned
+    U_colmeans are the observed means."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(17)
+    m, n, k, p = 25, 18, 4, 6
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    ur, uc, uv = _sparse_side(rng, m, p)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.7
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U_sp=(ur, uc, uv, m, p),
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=True)
+    ours_uncentered = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(ur, uc, uv, m, p, False, None),
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=False,
+        dtype=np.float64, init={"A": A0, "B": B0, "C": C0})
+    # the binary fit on raw values == our explicit center_U=False fit
+    np.testing.assert_allclose(
+        np.asarray(ours_uncentered["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ours_uncentered["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(ours_uncentered["C"]), ref["C"], atol=1e-9)
+    # ...yet the binary reports observed-count column means as if it had
+    # centered (the means its factor routines will subtract at inference)
+    obs_means = (np.bincount(uc, weights=uv, minlength=p)
+                 / np.bincount(uc, minlength=p))
+    np.testing.assert_allclose(ref["U_colmeans"], obs_means, atol=1e-12)
+    # and OUR center_U=True fit genuinely differs (it actually centers)
+    ours_centered = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(ur, uc, uv, m, p, False, None),
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=True,
+        dtype=np.float64, init={"A": A0, "B": B0, "C": C0})
+    assert np.abs(np.asarray(ours_centered["C"]) - ref["C"]).max() > 1e-3
+
+
+def test_collective_chol_na_as_zero_U_vs_binary():
+    """Sparse U with NA_as_zero_U: missing side entries are literal
+    zeros (dense closed form over all p columns per row)."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(19)
+    m, n, k, p = 25, 18, 4, 6
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    ur, uc, uv = _sparse_side(rng, m, p, density=0.35)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(ur, uc, uv, m, p, False, None),
+        NA_as_zero_user=True,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U_sp=(ur, uc, uv, m, p),
+        NA_as_zero_U=True,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)

@@ -652,6 +652,9 @@ def fit_collective_explicit_als(
                 D_orig = blocks_to_orig(D_blocks, pI, I.p)
 
         # ---- Bi / Ai updates (implicit features) ----
+        # Always closed-form: the reference hard-codes use_cg=false for
+        # these half-steps even in CG fits (collective.c:8479/8520), and
+        # the NA0 shared-Gram solve is the cheap path anyway.
         if add_implicit_features:
             A_x = _pad_cols(A_orig[:, k_user : k_user + ki_w], ki_pad, 0, dtype)
             plan_bi = SidePlan(None, "na0", m)
@@ -659,7 +662,7 @@ def fit_collective_explicit_als(
                 plan_bi, Bi_blocks, A_x, None, lam_vec_Bi,
                 buckets_data=dB,
                 G0=gram_matrix(A_x), ones_val=True,
-                method=method, n_steps=max_cg_steps, nonneg=nonneg,
+                method="chol", n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
             )
             Bi_orig = blocks_to_orig(Bi_blocks, pB, n_eff)
@@ -670,7 +673,7 @@ def fit_collective_explicit_als(
                 plan_ai, Ai_blocks, B_x, None, lam_vec_Ai,
                 buckets_data=dA,
                 G0=gram_matrix(B_x), ones_val=True,
-                method=method, n_steps=max_cg_steps, nonneg=nonneg,
+                method="chol", n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
             )
             Ai_orig = blocks_to_orig(Ai_blocks, pA, m_eff)

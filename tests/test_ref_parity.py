@@ -1236,6 +1236,79 @@ def test_sparse_U_centering_defect_replica():
     assert np.abs(np.asarray(ours_centered["C"]) - ref["C"]).max() > 1e-3
 
 
+def test_collective_cg_side_info_vs_binary():
+    """Collective CG (the bench's flagship solver family) with dense side
+    info — previously only the Chol collective path was binary-pinned.
+    Bias-free: the reference's CG bias warm-start quirk (documented in
+    test_explicit_cg_bias_quirk_documented) would otherwise diverge."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(23)
+    m, n, k, p = 25, 18, 4, 6
+    k_user, k_main = 2, 1
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k_user + k + k_main)) * 0.1
+    B0 = rng.normal(size=(n, k + k_main)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=4,
+        side_U=(None, None, None, m, p, True, U),
+        k_user=k_user, k_main=k_main,
+        w_main=1.0, w_user=0.5,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=True,
+        dtype=np.float64, init={"A": A0, "B": B0, "C": C0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=4,
+        A0=A0, B0=B0, C0=C0, U=U,
+        k_user=k_user, k_main=k_main,
+        w_main=1.0, w_user=0.5,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+
+
+def test_collective_cg_implicit_features_vs_binary():
+    """CG + add_implicit_features — the reference's best-RMSE benchmark
+    config (benchmark/README.md:29 is its Chol variant; :28 is this one).
+    Bias-free for the CG bias quirk."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(29)
+    m, n, k = 25, 18, 4
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    Ai0 = rng.normal(size=(m, k)) * 0.1
+    Bi0 = rng.normal(size=(n, k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=4,
+        add_implicit_features=True, w_implicit=0.5,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "Ai": Ai0, "Bi": Bi0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=4,
+        A0=A0, B0=B0, Ai0=Ai0, Bi0=Bi0,
+        add_implicit_features=True, w_implicit=0.5,
+        use_cg=True, max_cg_steps=3, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["Ai"]), ref["Ai"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["Bi"]), ref["Bi"], atol=1e-9)
+
+
 def test_collective_chol_na_as_zero_U_vs_binary():
     """Sparse U with NA_as_zero_U: missing side entries are literal
     zeros (dense closed form over all p columns per row)."""

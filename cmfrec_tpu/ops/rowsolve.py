@@ -218,7 +218,11 @@ def solve_cg(
     # Two-tolerance stopping, matching the reference exactly
     # (/root/reference/src/common.c:1147,1181): skip rows already below
     # 1e-12, and stop a row once its post-step residual falls below 1e-8.
-    live0 = rz0 > jnp.asarray(rel_tol, dt)
+    # The reference's PCG variant (factors_explicit_pcg, common.c:1198)
+    # has NO stopping tests — it always runs max_cg_steps — so under
+    # jacobi we only guard against zero denominators.
+    live0 = (jnp.ones((R,), bool) if jacobi
+             else rz0 > jnp.asarray(rel_tol, dt))
 
     def body(carry, _):
         a, r, p, rz, live = carry
@@ -229,7 +233,8 @@ def solve_cg(
         r = r - alpha[:, None] * Ap
         z = precond(r)
         rz_new = jnp.sum(r * z, axis=-1)
-        live = live & (rz_new > 1e-8)
+        if not jacobi:
+            live = live & (rz_new > 1e-8)
         beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1, rz), 0.0)
         p = jnp.where(live[:, None], z + beta[:, None] * p, p)
         return (a, r, p, jnp.where(live, rz_new, rz), live), None

@@ -206,18 +206,23 @@ def _dense_rhs(U_slice, Ce, w):
     return w * jnp.einsum("rp,pk->rk", U_slice, Ce, precision=SOLVER_PRECISION)
 
 
-def _dense_full_solve(A1, U, lam_vec, w, nonneg, l1_vec, max_cd_steps, dtype):
+def _dense_full_solve(A1, U, lam_vec, w, nonneg, l1_vec, max_cd_steps, dtype,
+                      lam_scale=1.0):
     """Whole-matrix update for C (or D) when the side matrix is fully dense:
     (w A1^T A1 + diag(lam)) C^T = w A1^T U
-    (the reference's optimizeA case-1 fast path, common.c:2787)."""
-    G = w * gram_matrix(A1) + jnp.diag(lam_vec)
+    (the reference's optimizeA case-1 fast path, common.c:2787).
+
+    lam_scale: scale_lam multiplier — the per-feature observed count, = the
+    number of side-info rows when fully dense (common.c case 1 uses lam*n)."""
+    G = w * gram_matrix(A1) + jnp.diag(lam_vec * lam_scale)
     rhs = w * jnp.einsum("mk,mp->pk", A1, U, precision=SOLVER_PRECISION)
     if nonneg or (l1_vec is not None):
         from ..ops import rowsolve
 
         p = rhs.shape[0]
         Gb = jnp.broadcast_to(G[None], (p,) + G.shape)
-        l1 = l1_vec if l1_vec is not None else jnp.zeros_like(lam_vec)
+        l1 = (l1_vec if l1_vec is not None else jnp.zeros_like(lam_vec))
+        l1 = l1 * lam_scale
         return rowsolve.solve_cd(Gb, rhs, l1, nonneg=nonneg,
                                  max_steps=max_cd_steps)
     L = jax.lax.linalg.cholesky(G)
@@ -571,7 +576,12 @@ def fit_collective_explicit_als(
 
     def side_factor_update(S, featb_data, blocks, A1, lam_vec, l1_s, w_side,
                            nonneg_s, method, mean_slices):
-        """Update C (or D): rows = side-info features, opp = A[:, :k_off+k]."""
+        """Update C (or D): rows = side-info features, opp = A[:, :k_off+k].
+
+        Under scale_lam OR scale_lam_sideinfo the reference scales this
+        half-step's lambda by the per-feature observed-entry count too
+        (collective.c:8373 forwards scale_lam||scale_lam_sideinfo from
+        :7465 into optimizeA for C)."""
         plan = SidePlan(None, "na0" if S.na0 else "explicit", S.n_ent)
         G0 = None
         r0_blocks = None
@@ -588,7 +598,7 @@ def fit_collective_explicit_als(
             buckets_data=featb_data,
             w=w_side, G0=G0, r0_blocks=r0_blocks,
             l1_vec=l1_s, method=method, n_steps=max_cg_steps,
-            nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=False,
+            nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             precondition=precondition_cg, dtype=dtype,
         )
 
@@ -628,6 +638,7 @@ def fit_collective_explicit_als(
                 C_orig = _dense_full_solve(
                     A1, U_dn, lam_vec_C, w_user, nonneg_C,
                     l1_vec_C, max_cd_steps, dtype,
+                    lam_scale=float(U.n_ent) if scale_lam else 1.0,
                 )
             else:
                 C_blocks = side_factor_update(
@@ -643,6 +654,7 @@ def fit_collective_explicit_als(
                 D_orig = _dense_full_solve(
                     B1, I_dn, lam_vec_D, w_item, nonneg_D,
                     l1_vec_D, max_cd_steps, dtype,
+                    lam_scale=float(I.n_ent) if scale_lam else 1.0,
                 )
             else:
                 D_blocks = side_factor_update(

@@ -74,7 +74,7 @@ def estimate_dense_bytes(m, n, itemsize=4):
     return 2 * m * n * itemsize
 
 
-@partial(jax.jit, static_argnames=("n_steps", "rows_axis"))
+@partial(jax.jit, static_argnames=("n_steps", "rows_axis", "jacobi"))
 def dense_cg_update(
     P,  # [R, K] warm start (R = m for the A side, n for the B side)
     X,  # [m, n] zero-filled centered values
@@ -87,6 +87,7 @@ def dense_cg_update(
     n_steps: int,
     rows_axis: int,  # 0: solving X's rows (A update); 1: columns (B update)
     rel_tol: float = 1e-12,
+    jacobi: bool = False,  # precondition_cg: diagonal-preconditioned PCG
 ):
     """Batched truncated CG over every row of one side at once."""
     dt = P.dtype
@@ -119,13 +120,34 @@ def dense_cg_update(
     def matvec(Q):
         return small(big(Q) * W) + Q * lam_row
 
+    if jacobi:
+        # Jacobi diagonal: sum_s W[r,s] * Be[s,k]^2 + lam (the reference's
+        # factors_explicit_pcg preconditioner, common.c:1234).
+        Be2 = Be * Be
+        if rows_axis == 0:
+            diag = jnp.einsum("rs,sk->rk", W, Be2, precision=_PREC)
+        else:
+            diag = jnp.einsum("sr,sk->rk", W, Be2, precision=_PREC)
+        diag = diag + lam_row
+        inv_diag = jnp.where(diag > 0, 1.0 / jnp.where(diag > 0, diag, 1.0),
+                             1.0)
+    else:
+        inv_diag = None
+
+    def precond(r):
+        return r if inv_diag is None else r * inv_diag
+
     rhs = small(V * W)
     r = rhs - matvec(P)
-    rs0 = jnp.sum(r * r, axis=-1)
+    z = precond(r)
+    rs0 = jnp.sum(r * z, axis=-1)
     # Two-tolerance stopping, matching the reference exactly
     # (/root/reference/src/common.c:1147,1181): skip rows already below
     # 1e-12, and stop a row once its post-step residual falls below 1e-8.
-    live0 = rs0 > jnp.asarray(rel_tol, dt)
+    # The reference's PCG (factors_explicit_pcg, common.c:1198) has NO
+    # stopping tests — under jacobi every row runs all n_steps.
+    live0 = (jnp.ones(rs0.shape, bool) if jacobi
+             else rs0 > jnp.asarray(rel_tol, dt))
 
     def body(carry, _):
         a, r, p, rs, live = carry
@@ -134,14 +156,16 @@ def dense_cg_update(
         alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
-        rs_new = jnp.sum(r * r, axis=-1)
-        live = live & (rs_new > 1e-8)
+        z = precond(r)
+        rs_new = jnp.sum(r * z, axis=-1)
+        if not jacobi:
+            live = live & (rs_new > 1e-8)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
-        p = jnp.where(live[:, None], r + beta[:, None] * p, p)
+        p = jnp.where(live[:, None], z + beta[:, None] * p, p)
         return (a, r, p, jnp.where(live, rs_new, rs), live), None
 
     (a, _, _, _, _), _ = jax.lax.scan(
-        body, (P, r, r, rs0, live0), None, length=n_steps)
+        body, (P, r, z, rs0, live0), None, length=n_steps)
     # rows with no observations solve to zero (reference zero_out)
     live_rows = jnp.sum(W.astype(jnp.float32), axis=1 - rows_axis) > 0
     return jnp.where(live_rows[:, None], a, 0.0)

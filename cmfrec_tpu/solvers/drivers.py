@@ -241,9 +241,13 @@ def fit_explicit_als(
     # engine remains for CPU runs and f64.  Its actual residency is the
     # PADDED dims in four arrays (bf16 X + mask W, both orientations), and
     # its int32 scatter index requires m_pad*n_pad < 2**31.
+    # precondition_cg: the fused pallas kernels implement plain CG only;
+    # PCG fits run on the XLA dense/bucketed engines (same fixed point,
+    # reference-exact PCG trajectory).
     use_pallas = use_dense and (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
+        and not precondition_cg
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
     )
     if use_pallas:
@@ -303,6 +307,7 @@ def fit_explicit_als(
             scale_lam=scale_lam, scale_bias_const=scale_bias_const,
             biasA0=biasA0, biasB0=biasB0,
             dtype=dtype, seed=seed, verbose=verbose, init=init,
+            precondition_cg=precondition_cg,
         )
 
     RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
@@ -807,7 +812,7 @@ def _fit_explicit_dense(
     rows, cols, vals_c, m, n, *, weights,
     k, lam6, niter, max_cg_steps, finalize_chol, user_bias, item_bias,
     glob_mean, scale_lam, scale_bias_const, biasA0, biasB0,
-    dtype, seed, verbose, init=None,
+    dtype, seed, verbose, init=None, precondition_cg=False,
 ) -> dict:
     """Dense-masked CG fit (see dense_engine.py).  finalize_chol runs the
     final iteration through the bucketed engine (per-row Cholesky)."""
@@ -874,11 +879,13 @@ def _fit_explicit_dense(
             B = dense_cg_update(
                 B, Xd, Wd, Ae, A[:, k] if user_bias else None,
                 lam_vec_B, lam_mult_B, lam_const_B, steps, 1,
+                jacobi=precondition_cg and not final,
             )
             Be = _ext_with_ones(B, k) if user_bias else _ext_with_zeros(B, k)
             A = dense_cg_update(
                 A, Xd, Wd, Be, B[:, k] if item_bias else None,
                 lam_vec_A, lam_mult_A, lam_const_A, steps, 0,
+                jacobi=precondition_cg and not final,
             )
             if verbose:
                 jax.block_until_ready(B)

@@ -1309,6 +1309,155 @@ def test_collective_cg_implicit_features_vs_binary():
     np.testing.assert_allclose(np.asarray(ours["Bi"]), ref["Bi"], atol=1e-9)
 
 
+@pytest.mark.parametrize("engine", ["dense", "sparse"])
+def test_explicit_pcg_vs_binary(engine):
+    """precondition_cg=True: the Jacobi-preconditioned CG trajectory
+    (previously pinned only against our own oracle).  The reference PCG
+    has NO stopping tests (factors_explicit_pcg) — both our engines
+    replicate that."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng = np.random.default_rng(43)
+    m, n, k = 25, 18, 4
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    lam = 0.7
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=4,
+        use_cg=True, max_cg_steps=3, precondition_cg=True,
+        finalize_chol=False, engine=engine,
+        user_bias=False, item_bias=False, center=False,
+        dtype=np.float64, init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=4,
+        A0=A0, B0=B0,
+        use_cg=True, max_cg_steps=3, precondition_cg=True,
+        finalize_chol=False,
+        user_bias=False, item_bias=False, center=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+
+
+def test_collective_chol_scale_lam_sideinfo_vs_binary():
+    """scale_lam_sideinfo=True (scale_lam=False): per-row lambda scaling
+    counts BOTH the X entries and the side-info entries — the wiring the
+    r2 advisor flagged at inference is here pinned for the fit itself."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(31)
+    m, n, k, p = 25, 18, 4, 6
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.05
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        scale_lam_sideinfo=True,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U=U,
+        scale_lam_sideinfo=True,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_collective_chol_lam_unique_vs_binary():
+    """Six-entry lambda on a collective model: lam_unique[4] governs C
+    (divided by w_user inside the reference's C half-step)."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(37)
+    m, n, k, p = 25, 18, 4, 6
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam6 = np.array([0.3, 0.4, 0.6, 0.8, 1.1, 0.9])
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam6, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=1.0, lam_unique=lam6, niter=3,
+        A0=A0, B0=B0, C0=C0, U=U,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-9)
+
+
+def test_collective_dense_X_side_info_vs_binary():
+    """Dense Xfull (NaN = missing) + dense side info: the reference's
+    dense collective half-steps (whole-matrix optimizeA_collective) reach
+    the same fixed point as our triplet engine from identical init."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(41)
+    m, n, k, p = 25, 18, 4, 6
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    Xfull = np.full((m, n), np.nan)
+    Xfull[rows, cols] = vals
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.7
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True,
+        dtype=np.float64,
+        init={"A": A0, "B": B0, "C": C0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_explicit_als(
+        None, None, None, m, n, k=k, lam=lam, niter=3,
+        A0=A0, B0=B0, C0=C0, U=U, Xfull=Xfull,
+        w_main=1.0, w_user=0.5, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=True)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), ref["biasB"],
+                               atol=1e-8)
+
+
 def test_collective_chol_na_as_zero_U_vs_binary():
     """Sparse U with NA_as_zero_U: missing side entries are literal
     zeros (dense closed form over all p columns per row)."""

@@ -242,9 +242,9 @@ def ref_fit_explicit_als(
 
 def ref_fit_implicit_als(
     rows, cols, vals, m, n, *, k, lam, niter, alpha,
-    A0, B0, C0=None, U=None,
+    A0, B0, C0=None, U=None, D0=None, II=None,
     k_user=0, k_item=0, k_main=0,
-    w_main=1.0, w_user=1.0, center_U=True,
+    w_main=1.0, w_user=1.0, w_item=1.0, center_U=True,
     use_cg=False, max_cg_steps=3, precondition_cg=False,
     finalize_chol=False,
     apply_log_transf=False, adjust_weight=False,
@@ -258,14 +258,22 @@ def ref_fit_implicit_als(
     m_u = 0 if U is None else U.shape[0]
     A = np.ascontiguousarray(np.zeros((max(m, m_u), width_A)), np.float64)
     A[: A0.shape[0], :] = A0
-    B = np.ascontiguousarray(np.asarray(B0, np.float64)).copy()
-    assert B.shape == (n, width_B)
+    q = 0 if II is None else II.shape[1]
+    n_i = 0 if II is None else II.shape[0]
+    B = np.ascontiguousarray(np.zeros((max(n, n_i), width_B)), np.float64)
+    B[: B0.shape[0], :] = B0
     C = None
     if U is not None:
         C = np.ascontiguousarray(np.asarray(C0, np.float64)).copy()
         assert C.shape == (p, k_user + k)
+    D = None
+    if II is not None:
+        D = np.ascontiguousarray(np.asarray(D0, np.float64)).copy()
+        assert D.shape == (q, k_item + k)
     Ucont = None if U is None else np.ascontiguousarray(U, np.float64)
+    Icont = None if II is None else np.ascontiguousarray(II, np.float64)
     U_colmeans = (np.zeros(p) if (U is not None and center_U) else None)
+    I_colmeans = (np.zeros(q) if (II is not None and center_U) else None)
     X_row = np.ascontiguousarray(rows, np.int32)
     X_col = np.ascontiguousarray(cols, np.int32)
     # the C implicit path scales X by alpha IN PLACE via a copy? no — it
@@ -277,20 +285,20 @@ def ref_fit_implicit_als(
     fn.restype = c_int_t
     ret = fn(
         _ptr(A), _ptr(B),
-        _ptr(C), None,                      # C, D
+        _ptr(C), _ptr(D),
         ct.c_bool(False), c_int_t(1),       # reset_values, seed
-        _ptr(U_colmeans), None,             # U_colmeans, I_colmeans
+        _ptr(U_colmeans), _ptr(I_colmeans),
         c_int_t(m), c_int_t(n), c_int_t(k),
         _iptr(X_row), _iptr(X_col), _ptr(X), ct.c_size_t(X.size),
         c_real(lam), None,
         c_real(l1_lam), None,
         _ptr(Ucont), c_int_t(m_u), c_int_t(p),
-        None, c_int_t(0), c_int_t(0),       # II, n_i, q
+        _ptr(Icont), c_int_t(n_i), c_int_t(q),
         None, None, None, ct.c_size_t(0),   # U sparse
         None, None, None, ct.c_size_t(0),   # I sparse
         ct.c_bool(False), ct.c_bool(False),  # NA_as_zero_U/I
         c_int_t(k_main), c_int_t(k_user), c_int_t(k_item),
-        c_real(w_main), c_real(w_user), c_real(1.0),  # w_main/user/item
+        c_real(w_main), c_real(w_user), c_real(w_item),
         ct.byref(w_main_multiplier),
         c_real(alpha), ct.c_bool(adjust_weight), ct.c_bool(apply_log_transf),
         c_int_t(niter), ct.c_int(1),
@@ -303,7 +311,8 @@ def ref_fit_implicit_als(
         None, None, None, None,
     )
     assert ret == 0, f"reference fit_collective_implicit_als returned {ret}"
-    return {"A": A, "B": B, "C": C, "U_colmeans": U_colmeans,
+    return {"A": A, "B": B, "C": C, "D": D,
+            "U_colmeans": U_colmeans, "I_colmeans": I_colmeans,
             "w_main_multiplier": float(w_main_multiplier.value)}
 
 

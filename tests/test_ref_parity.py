@@ -486,6 +486,31 @@ def test_explicit_chol_nonneg_cd():
     np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-5)
 
 
+def test_explicit_chol_l1_cd_vs_binary():
+    """Elastic-net (l1_lambda > 0) half-steps via coordinate descent.
+    Same protocol as the nonneg test: each half-step's lasso problem is
+    strictly convex (ridge term), so one iteration pins to CD tolerance."""
+    from cmfrec_tpu.solvers.drivers import fit_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=9)
+    k, lam, l1 = 3, 0.5, 0.3
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    ours = fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, l1_lambda=l1, niter=1,
+        use_cg=False, user_bias=False, item_bias=False, center=True,
+        max_cd_steps=400, dtype=np.float64,
+        init={"A": A0, "B": B0})
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, l1_lam=l1, niter=1,
+        A0=A0, B0=B0, use_cg=False, max_cd_steps=400,
+        user_bias=False, item_bias=False, center=True)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-5)
+    # l1 must actually sparsify: some exact zeros on both sides
+    assert (np.asarray(ours["A"]) == 0).any() or (ref["A"] == 0).any()
+
+
 def test_implicit_chol_side_info():
     """Collective WRMF with dense user side info and k splits."""
     from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
@@ -511,6 +536,39 @@ def test_implicit_chol_side_info():
     np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+
+
+def test_implicit_chol_both_sides_vs_binary():
+    """Two-sided collective WRMF: item side info (D) in the implicit
+    model — the implicit D half-step was never binary-pinned before."""
+    from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
+
+    rows, cols, vals, m, n, k, _, _ = _implicit_data()
+    rng = np.random.default_rng(11)
+    p, q, k_user, k_item = 5, 4, 2, 1
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    A0 = rng.normal(size=(m, k_user + k)) * 0.1
+    B0 = rng.normal(size=(n, k_item + k)) * 0.1
+    C0 = rng.normal(size=(p, k_user + k)) * 0.1
+    D0 = rng.normal(size=(q, k_item + k)) * 0.1
+    lam, alpha = 0.9, 2.0
+    ours = fit_collective_implicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, alpha=alpha, niter=3,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        k_user=k_user, k_item=k_item, w_user=0.6, w_item=0.8,
+        use_cg=False, finalize_chol=False, center_U=True, center_I=True,
+        dtype=np.float64, init={"A": A0, "B": B0, "C": C0, "D": D0})
+    ref = ref_fit_implicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=3, alpha=alpha,
+        A0=A0, B0=B0, C0=C0, U=U, D0=D0, II=I,
+        k_user=k_user, k_item=k_item, w_user=0.6, w_item=0.8,
+        center_U=True, use_cg=False)
+    np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours["D"]), ref["D"], atol=1e-9)
 
 
 def test_implicit_chol_log_transf_adjust_weight():
@@ -849,6 +907,54 @@ def test_lbfgs_objective_quality_vs_binary():
     assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-10
     # ours must be at least as good (within 0.5% slack), and not
     # mysteriously better by an amount suggesting a different objective
+    assert f_ours <= f_ref * 1.005, (f_ours, f_ref)
+    assert f_ours >= f_ref * 0.95, (f_ours, f_ref)
+
+
+def test_lbfgs_ubin_objective_quality_vs_binary():
+    """U_bin (binary side info, sigmoid-squared loss through Cb) — the
+    only capability the reference restricts to its L-BFGS path.  Same
+    same-init final-objective protocol as the plain L-BFGS test."""
+    from cmfrec_tpu.solvers.lbfgs import fit_collective_explicit_lbfgs
+    from .ref_binary import ref_fit_lbfgs
+
+    rng, rows, cols, vals, m, n = _data(seed=53, m=25, n=18)
+    pbin, k, lam = 4, 3, 0.5
+    Ub = (rng.uniform(size=(m, pbin)) < 0.5).astype(np.float64)
+    A0 = rng.normal(size=(m, k)) * 0.3
+    B0 = rng.normal(size=(n, k)) * 0.3
+    Cb0 = rng.normal(size=(pbin, k)) * 0.3
+
+    def objective(A, B, Cb, biasA, biasB, gm, w_user=0.7):
+        resid = vals - gm - biasA[rows] - biasB[cols] - np.einsum(
+            "nk,nk->n", A[rows], B[cols])
+        f = 0.5 * np.sum(resid ** 2)
+        s = 1.0 / (1.0 + np.exp(-(A @ Cb.T)))
+        f += 0.5 * w_user * np.sum((Ub - s) ** 2)
+        f += 0.5 * lam * (np.sum(A ** 2) + np.sum(B ** 2) + np.sum(Cb ** 2)
+                          + np.sum(biasA ** 2) + np.sum(biasB ** 2))
+        return f
+
+    ours = fit_collective_explicit_lbfgs(
+        rows, cols, vals, m, n,
+        side_Ub=(None, None, None, m, pbin, True, Ub),
+        k=k, lambda_=lam, w_user=0.7,
+        user_bias=True, item_bias=True, center=True,
+        maxiter=1000, corr_pairs=5, dtype=np.float64,
+        init={"A": A0, "B": B0, "Cb": Cb0,
+              "biasA": np.zeros(m), "biasB": np.zeros(n)})
+    ref = ref_fit_lbfgs(
+        rows, cols, vals, m, n, k=k, lam=lam, maxiter=1000,
+        A0=A0, B0=B0, U_bin=Ub, Cb0=Cb0, w_user=0.7,
+        user_bias=True, item_bias=True, center=True, corr_pairs=5)
+    f_ours = objective(
+        np.asarray(ours["A"], np.float64), np.asarray(ours["B"], np.float64),
+        np.asarray(ours["Cb"], np.float64),
+        np.asarray(ours["biasA"], np.float64),
+        np.asarray(ours["biasB"], np.float64), ours["glob_mean"])
+    f_ref = objective(ref["A"], ref["B"], ref["Cb"],
+                      ref["biasA"], ref["biasB"], ref["glob_mean"])
+    assert abs(ours["glob_mean"] - ref["glob_mean"]) < 1e-10
     assert f_ours <= f_ref * 1.005, (f_ours, f_ref)
     assert f_ours >= f_ref * 0.95, (f_ours, f_ref)
 

@@ -171,6 +171,16 @@ def solve_cg(
     (``precondition_cg``, /root/reference/src/common.c:1190
     factors_explicit_pcg).
 
+    DELIBERATE DIVERGENCE (collective PCG only): our preconditioner is
+    the true Jacobi diagonal of the system being solved (w_user-scaled
+    CtC, w_implicit-scaled BiTBi included via G0/parts).  The reference's
+    collective_block_cg builds its PC from the RAW Grams instead — no
+    w_user on CtC (collective.c:2266), BiTBi built with 1.0 under CG
+    (:1493) — so collective PCG trajectories differ from the binary
+    (plain-model PCG pins exactly; see test_explicit_pcg_vs_binary).
+    Both preconditioners are SPD and reach optima of equal objective
+    quality (test_collective_pcg_objective_quality_vs_binary).
+
     Early per-row termination (residual below tolerance) is realized by
     masking the step size to zero, which freezes converged rows without
     breaking the static loop structure.

@@ -242,12 +242,13 @@ def fit_explicit_als(
     # PADDED dims in four arrays (bf16 X + mask W, both orientations), and
     # its int32 scatter index requires m_pad*n_pad < 2**31.
     # precondition_cg: the fused pallas kernels implement plain CG only;
-    # PCG fits run on the XLA dense/bucketed engines (same fixed point,
-    # reference-exact PCG trajectory).
+    # PCG fits run on the XLA dense/bucketed engines (same fixed point;
+    # trajectory reference-exact for the plain model, see solve_cg).  The
+    # flag is inert without use_cg (the reference ignores it too).
     use_pallas = use_dense and (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
-        and not precondition_cg
+        and not (use_cg and precondition_cg)
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
     )
     if use_pallas:

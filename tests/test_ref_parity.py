@@ -680,6 +680,90 @@ def test_factors_warm_plain_vs_binary():
         assert abs(b_ours - b_ref) < 1e-8
 
 
+def test_factors_implicit_features_vs_binary():
+    """Warm AND cold single factors on an add_implicit_features model.
+    Pins the r2-advisor fix: cold solves must EXCLUDE the Bi/BiTBi block
+    (collective_factors_cold solves only against C, collective.c:3309)
+    while warm solves include it."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_factors_collective_explicit_single
+
+    rng = np.random.default_rng(13)
+    m, n, p = 40, 25, 6
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    k, lam = 4, 0.7
+    model = CMF(k=k, lambda_=lam, w_user=0.6, niter=4, use_cg=False,
+                add_implicit_features=True, w_implicit=0.4,
+                use_float=False, user_bias=True,
+                item_bias=True).fit_triplets(rows, cols, vals, m, n, U=U)
+
+    sel = rows == 7
+    xc, xv = cols[sel].astype(np.int64), vals[sel]
+    a_ours, b_ours = model.factors_warm(
+        X_col=xc, X_val=xv, U=U[7], return_bias=True)
+    a_ref, b_ref = ref_factors_collective_explicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=xv, x_col=xc, n=n,
+        C=np.asarray(model.C_, np.float64), u_vec=U[7],
+        U_colmeans=model.U_colmeans_,
+        Bi=np.asarray(model.Bi_, np.float64), add_implicit_features=True,
+        w_implicit=0.4,
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=True, w_user=0.6)
+    np.testing.assert_allclose(a_ours, a_ref, atol=1e-8)
+    assert abs(b_ours - b_ref) < 1e-8
+
+    # cold: the Bi block must NOT enter the system
+    a_cold = model.factors_cold(U=U[7])
+    a_refc, _ = ref_factors_collective_explicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=np.zeros(0), x_col=np.zeros(0, np.int64), n=n,
+        C=np.asarray(model.C_, np.float64), u_vec=U[7],
+        U_colmeans=model.U_colmeans_,
+        Bi=np.asarray(model.Bi_, np.float64), add_implicit_features=True,
+        w_implicit=0.4,
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=False, w_user=0.6)
+    np.testing.assert_allclose(a_cold, a_refc, atol=1e-8)
+
+
+def test_factors_scale_lam_sideinfo_vs_binary():
+    """Warm single factors on a scale_lam_sideinfo model: the lambda
+    multiplier counts X entries + side entries (r2-advisor fix)."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_factors_collective_explicit_single
+
+    rng = np.random.default_rng(14)
+    m, n, p = 40, 25, 6
+    mask = rng.uniform(size=(m, n)) < 0.4
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    k, lam = 4, 0.05
+    model = CMF(k=k, lambda_=lam, w_user=0.6, niter=4, use_cg=False,
+                scale_lam_sideinfo=True, use_float=False,
+                user_bias=True, item_bias=True).fit_triplets(
+                    rows, cols, vals, m, n, U=U)
+
+    sel = rows == 5
+    xc, xv = cols[sel].astype(np.int64), vals[sel]
+    a_ours, b_ours = model.factors_warm(
+        X_col=xc, X_val=xv, U=U[5], return_bias=True)
+    a_ref, b_ref = ref_factors_collective_explicit_single(
+        k=k, lam=lam, B=np.asarray(model.B_, np.float64),
+        xa=xv, x_col=xc, n=n,
+        C=np.asarray(model.C_, np.float64), u_vec=U[5],
+        U_colmeans=model.U_colmeans_,
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=model.glob_mean_, user_bias=True, w_user=0.6,
+        scale_lam_sideinfo=True)
+    np.testing.assert_allclose(a_ours, a_ref, atol=1e-8)
+    assert abs(b_ours - b_ref) < 1e-8
+
+
 def test_most_popular_vs_binary():
     """MostPopular two-sided explicit (user_bias=True: the iterated
     alternating bias solve) vs fit_most_popular.  The binary's

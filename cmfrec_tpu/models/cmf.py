@@ -108,9 +108,14 @@ class CMF(_BaseModel):
                  use_float=True,
                  random_state=1, verbose=False, print_every=10,
                  handle_interrupt=True, produce_dicts=False,
-                 nthreads=-1, n_jobs=None):
+                 nthreads=-1, n_jobs=None,
+                 checkpoint_path=None, checkpoint_every=0):
         self.k = k
         self.lambda_ = lambda_
+        # cmfrec_tpu extension: mid-fit periodic checkpoints (ALS only;
+        # utils/checkpoint.py — resume via the drivers' init=)
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self.method = method
         self.use_cg = use_cg
         self.user_bias = user_bias
@@ -193,6 +198,8 @@ class CMF(_BaseModel):
                 max_cd_steps=self.max_cd_steps, weights=wgt,
                 dtype=self.dtype_, seed=self.random_state,
                 verbose=self.verbose,
+                checkpoint_path=self.checkpoint_path,
+                checkpoint_every=self.checkpoint_every,
             )
         else:
             from ..solvers.collective import fit_collective_explicit_als
@@ -225,6 +232,8 @@ class CMF(_BaseModel):
                 nonneg_D=self.nonneg_D, max_cd_steps=self.max_cd_steps,
                 weights=wgt, dtype=self.dtype_, seed=self.random_state,
                 verbose=self.verbose,
+                checkpoint_path=self.checkpoint_path,
+                checkpoint_every=self.checkpoint_every,
             )
             self.C_ = res.get("C")
             self.D_ = res.get("D")
@@ -605,10 +614,13 @@ class CMF_implicit(_BaseModel):
                  precompute_for_predictions=True,
                  use_float=True, random_state=1, verbose=False,
                  print_every=10, handle_interrupt=True, produce_dicts=False,
-                 nthreads=-1, n_jobs=None):
+                 nthreads=-1, n_jobs=None,
+                 checkpoint_path=None, checkpoint_every=0):
         self.k = k
         self.lambda_ = lambda_
         self.alpha = alpha
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = checkpoint_every
         self.use_cg = use_cg
         self.k_user = k_user
         self.k_item = k_item
@@ -667,6 +679,8 @@ class CMF_implicit(_BaseModel):
                 adjust_weight=self.downweight, nonneg=self.nonneg,
                 max_cd_steps=self.max_cd_steps, dtype=self.dtype_,
                 seed=self.random_state, verbose=self.verbose,
+                checkpoint_path=self.checkpoint_path,
+                checkpoint_every=self.checkpoint_every,
             )
         else:
             from ..solvers.collective import fit_collective_implicit_als
@@ -692,6 +706,8 @@ class CMF_implicit(_BaseModel):
                 nonneg_D=self.nonneg_D, max_cd_steps=self.max_cd_steps,
                 dtype=self.dtype_, seed=self.random_state,
                 verbose=self.verbose,
+                checkpoint_path=self.checkpoint_path,
+                checkpoint_every=self.checkpoint_every,
             )
             self.C_ = res.get("C")
             self.D_ = res.get("D")

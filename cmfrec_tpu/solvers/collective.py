@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import profiled_fit
+from ..utils.checkpoint import FitCheckpointer
 
 from ..config import SOLVER_PRECISION
 from ..data.shards import BucketedRows, build_bucketed_rows
@@ -256,9 +257,12 @@ def fit_collective_explicit_als(
     mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
     init=None,  # warm restart (reset_values=False analog): dict with any of
     # A, B, C, D, Ai, Bi, biasA, biasB — unpadded [rows, width] arrays
+    checkpoint_path=None,  # mid-fit periodic checkpoints
+    checkpoint_every=0,  # every N iterations (utils/checkpoint.py)
 ) -> dict:
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
     scale_lam = scale_lam or scale_lam_sideinfo
     if nonneg:
         use_cg = False
@@ -754,6 +758,22 @@ def fit_collective_explicit_als(
     if mesh is not None:
         state, dat = _mesh_place_collective(mesh, state, dat)
 
+    def _ckpt_state(st):
+        (Ab, Bb, _Cb, _Db, Co, Do, Aib, Bib) = st
+        Ao = blocks_to_orig(Ab, perm_A, m_eff)
+        Bo = blocks_to_orig(Bb, perm_B, n_eff)
+        return {
+            "A": Ao[:, :ka], "B": Bo[:, :kb],
+            "biasA": Ao[:, ka] if user_bias else None,
+            "biasB": Bo[:, kb] if item_bias else None,
+            "C": None if Co is None else Co[:, :kc],
+            "D": None if Do is None else Do[:, :kd],
+            "Ai": (blocks_to_orig(Aib, perm_A, m_eff)[:, :ki_w]
+                   if add_implicit_features else None),
+            "Bi": (blocks_to_orig(Bib, perm_B, n_eff)[:, :ki_w]
+                   if add_implicit_features else None),
+        }
+
     try:
         for it in range(niter):
             method = ("cg" if (use_cg and not (finalize_chol
@@ -765,6 +785,7 @@ def fit_collective_explicit_als(
                 _ = float(jnp.sum(state[0][0]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] "
                       f"{time.time() - t0:.3f}s")
+            ckpt.maybe_save(it + 1, lambda: _ckpt_state(state))
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():
@@ -821,10 +842,13 @@ def fit_collective_implicit_als(
     mesh=None,  # jax.sharding.Mesh: row-parallel multi-chip fit
     init=None,  # warm restart (reset_values=False analog): dict with any
     # of A/B/C/D to continue training from
+    checkpoint_path=None,  # mid-fit periodic checkpoints
+    checkpoint_every=0,  # every N iterations (utils/checkpoint.py)
 ) -> dict:
     """WRMF with side info (/root/reference/src/collective.c:9375)."""
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
+    ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
     if nonneg:
         use_cg = False
 
@@ -1161,6 +1185,15 @@ def fit_collective_implicit_als(
     if mesh is not None:
         state, dat = _mesh_place_collective(mesh, state, dat)
 
+    def _ckpt_state(st):
+        (Ab, Bb, _Cb, _Db, Co, Do) = st
+        return {
+            "A": blocks_to_orig(Ab, perm_A, m_eff)[:, :ka],
+            "B": blocks_to_orig(Bb, perm_B, n_eff)[:, :kb],
+            "C": None if Co is None else Co[:, :kc],
+            "D": None if Do is None else Do[:, :kd],
+        }
+
     try:
         for it in range(niter):
             method = ("cg" if (use_cg and not (finalize_chol
@@ -1172,6 +1205,7 @@ def fit_collective_implicit_als(
                 _ = float(jnp.sum(state[0][0]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] "
                       f"{time.time() - t0:.3f}s")
+            ckpt.maybe_save(it + 1, lambda: _ckpt_state(state))
 
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt

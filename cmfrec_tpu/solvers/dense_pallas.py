@@ -259,7 +259,7 @@ def fit_explicit_dense_pallas(
     user_bias, item_bias, glob_mean,
     scale_lam, scale_bias_const, biasA0, biasB0,
     dtype, seed, verbose, interpret=False, mesh=None, init=None,
-    na_as_zero=False,
+    na_as_zero=False, ckpt=None,
 ) -> dict:
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)  # bs_m streams m (B half-step)
@@ -376,8 +376,11 @@ def fit_explicit_dense_pallas(
                    na0=na_as_zero)
     args = (X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu)
 
+    checkpointing = ckpt is not None and ckpt.every > 0
     try:
-        if verbose:
+        if verbose or checkpointing:
+            # per-iteration dispatch (checkpointing needs iteration
+            # boundaries on the host; costs ~one dispatch latency/iter)
             for it in range(niter):
                 final = finalize_chol and (it == niter - 1)
                 t0 = time.time()
@@ -387,9 +390,20 @@ def fit_explicit_dense_pallas(
                     compute="f32" if final else "bf16",
                     **statics,
                 )
-                _ = float(jnp.sum(B[-1]))  # fence the device queue
-                tag = "pallas-f32*" if final else "pallas-bf16"
-                print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
+                if verbose:
+                    _ = float(jnp.sum(B[-1]))  # fence the device queue
+                    tag = "pallas-f32*" if final else "pallas-bf16"
+                    print(f"iter {it + 1}/{niter} [{tag}] "
+                          f"{time.time() - t0:.3f}s")
+                if checkpointing:
+                    ckpt.maybe_save(it + 1, lambda: {
+                        "A": A[:m, :k].astype(jnp.dtype(dtype)),
+                        "B": B[:n, :k].astype(jnp.dtype(dtype)),
+                        "biasA": (A[:m, k].astype(jnp.dtype(dtype))
+                                  if user_bias else None),
+                        "biasB": (B[:n, k].astype(jnp.dtype(dtype))
+                                  if item_bias else None),
+                    })
         else:
             # all bulk iterations in one dispatch, the f32 polish in another
             # (NA-as-zero solves are exact closed forms — no polish needed)
@@ -724,7 +738,7 @@ def _run_implicit_iterations(
 def fit_implicit_dense_pallas(
     rows, cols, vals, m, n, *, k, lam6, niter, max_cg_steps, finalize_steps,
     finalize_chol, alpha, w_main_multiplier, dtype, seed, verbose,
-    interpret=False, mesh=None, init=None,
+    interpret=False, mesh=None, init=None, ckpt=None,
 ) -> dict:
     """WRMF on the fused masked kernels (dense confidence form); same
     systems as the bucketed implicit path (optimizeA_implicit,
@@ -775,16 +789,29 @@ def fit_implicit_dense_pallas(
     statics = dict(k=k, bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh)
     args = (Wx, Xp, M, WxT, XpT, MT, lam_vec_A, lam_vec_B, live_A, live_B,
             w_mult)
+    checkpointing = ckpt is not None and ckpt.every > 0
     try:
-        n_bulk = niter - 1 if finalize_chol else niter
-        if n_bulk > 0:
-            A, B = _run_implicit_iterations(
-                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
-                compute="bf16", **statics)
-        if finalize_chol and niter > 0:
-            A, B = _run_implicit_iterations(
-                A, B, *args, n_iters=1, n_steps=finalize_steps,
-                compute="f32", **statics)
+        if checkpointing:
+            for it in range(niter):
+                final = finalize_chol and (it == niter - 1)
+                A, B = _run_implicit_iterations(
+                    A, B, *args, n_iters=1,
+                    n_steps=finalize_steps if final else max_cg_steps,
+                    compute="f32" if final else "bf16", **statics)
+                ckpt.maybe_save(it + 1, lambda: {
+                    "A": A[:m, :k].astype(jnp.dtype(dtype)),
+                    "B": B[:n, :k].astype(jnp.dtype(dtype)),
+                })
+        else:
+            n_bulk = niter - 1 if finalize_chol else niter
+            if n_bulk > 0:
+                A, B = _run_implicit_iterations(
+                    A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+                    compute="bf16", **statics)
+            if finalize_chol and niter > 0:
+                A, B = _run_implicit_iterations(
+                    A, B, *args, n_iters=1, n_steps=finalize_steps,
+                    compute="f32", **statics)
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.profiling import profiled_fit
+from ..utils.checkpoint import FitCheckpointer
 
 from ..config import SOLVER_PRECISION, resolve_dtype
 from ..data.shards import BucketedRows, build_bucketed_rows
@@ -40,6 +41,18 @@ from .als import (
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _sparse_fit_state(A_blocks, B_blocks, perm_A, perm_B, m, n, k,
+                      user_bias, item_bias):
+    """Bucketed-engine state -> the init= dict shape (checkpointing)."""
+    A_orig = blocks_to_orig(A_blocks, perm_A, m)
+    B_orig = blocks_to_orig(B_blocks, perm_B, n)
+    return {
+        "A": A_orig[:, :k], "B": B_orig[:, :k],
+        "biasA": A_orig[:, k] if user_bias else None,
+        "biasB": B_orig[:, k] if item_bias else None,
+    }
 
 
 @partial(jax.jit, static_argnames=("col",))
@@ -173,6 +186,8 @@ def fit_explicit_als(
     mesh=None,  # jax.sharding.Mesh for multi-chip DP (dense pallas engine)
     init=None,  # warm restart: dict(A=, B=[, biasA=, biasB=]) to continue
     # training from (the reference's reset_values=False)
+    checkpoint_path: Optional[str] = None,  # mid-fit periodic checkpoints
+    checkpoint_every: int = 0,  # every N iterations (utils/checkpoint.py)
     shard_opposing_rows: bool = False,  # big-axis mode: keep the opposing
     # factor matrix row-sharded over the mesh and assemble row systems by
     # rotating its shards around the ring (parallel/ring.py).  Use when
@@ -282,6 +297,8 @@ def fit_explicit_als(
             scale_lam=scale_lam, nonneg=nonneg,
         )
 
+    ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
+
     if use_dense:
         if use_pallas:
             from .dense_pallas import fit_explicit_dense_pallas
@@ -298,7 +315,7 @@ def fit_explicit_als(
                 scale_bias_const=scale_bias_const,
                 biasA0=biasA0, biasB0=biasB0,
                 dtype=dtype, seed=seed, verbose=verbose, mesh=mesh,
-                init=init, na_as_zero=NA_as_zero,
+                init=init, na_as_zero=NA_as_zero, ckpt=ckpt,
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,
@@ -308,7 +325,7 @@ def fit_explicit_als(
             scale_lam=scale_lam, scale_bias_const=scale_bias_const,
             biasA0=biasA0, biasB0=biasB0,
             dtype=dtype, seed=seed, verbose=verbose, init=init,
-            precondition_cg=precondition_cg,
+            precondition_cg=precondition_cg, ckpt=ckpt,
         )
 
     RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
@@ -406,6 +423,9 @@ def fit_explicit_als(
             if verbose:
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+            ckpt.maybe_save(it + 1, lambda: _sparse_fit_state(
+                A_blocks, B_blocks, perm_A, perm_B, m, n, k,
+                user_bias, item_bias))
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():
@@ -620,10 +640,13 @@ def fit_implicit_als(
     verbose: bool = False,
     mesh=None,  # jax.sharding.Mesh for multi-chip row-parallel solves
     init=None,  # warm restart: dict(A=, B=)
+    checkpoint_path: Optional[str] = None,  # mid-fit periodic checkpoints
+    checkpoint_every: int = 0,
     shard_opposing_rows: bool = False,  # big-axis mode (see fit_explicit_als)
 ) -> dict:
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     dtype = resolve_dtype(dtype)
+    ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
     if nonneg:
         use_cg = False
 
@@ -673,7 +696,7 @@ def fit_implicit_als(
                 ),
                 finalize_chol=finalize_chol, alpha=alpha,
                 w_main_multiplier=w_main, dtype=dtype, seed=seed,
-                verbose=verbose, init=init,
+                verbose=verbose, init=init, ckpt=ckpt,
             )
 
     RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype,
@@ -738,6 +761,8 @@ def fit_implicit_als(
             if verbose:
                 _ = float(jnp.sum(A_blocks[-1]))  # fence the device queue
                 print(f"iter {it + 1}/{niter} [{method}] {time.time() - t0:.3f}s")
+            ckpt.maybe_save(it + 1, lambda: _sparse_fit_state(
+                A_blocks, B_blocks, perm_A, perm_B, m, n, k, False, False))
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():
@@ -813,7 +838,7 @@ def _fit_explicit_dense(
     rows, cols, vals_c, m, n, *, weights,
     k, lam6, niter, max_cg_steps, finalize_chol, user_bias, item_bias,
     glob_mean, scale_lam, scale_bias_const, biasA0, biasB0,
-    dtype, seed, verbose, init=None, precondition_cg=False,
+    dtype, seed, verbose, init=None, precondition_cg=False, ckpt=None,
 ) -> dict:
     """Dense-masked CG fit (see dense_engine.py).  finalize_chol runs the
     final iteration through the bucketed engine (per-row Cholesky)."""
@@ -892,6 +917,12 @@ def _fit_explicit_dense(
                 jax.block_until_ready(B)
                 tag = "dense-cg*" if final else "dense-cg"
                 print(f"iter {it + 1}/{niter} [{tag}] {time.time() - t0:.3f}s")
+            if ckpt is not None:
+                ckpt.maybe_save(it + 1, lambda: {
+                    "A": A[:, :k], "B": B[:, :k],
+                    "biasA": A[:, k] if user_bias else None,
+                    "biasB": B[:, k] if item_bias else None,
+                })
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():

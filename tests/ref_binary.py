@@ -424,6 +424,59 @@ def ref_fit_most_popular(
             "w_main_multiplier": float(w_main_multiplier.value)}
 
 
+def ref_factors_offsets_explicit_single(
+    *, k, lam, Bm, xa, x_col, n,
+    C=None, u_vec=None, C_bias=None,
+    biasB=None, glob_mean=0.0, with_bias=False,
+    k_sec=0, k_main=0, w_user=1.0,
+    weight=None, lam_unique=None, exact=False,
+):
+    """factors_offsets_explicit_single (cmfrec.h.in:2039) →
+    offsets_factors_warm (offsets.c:578).  Returns the raw offset vector
+    a_vec, the combined factor output_a (Bm-space), and the bias."""
+    lib = get_lib()
+    assert lib is not None
+    width = k_sec + k + k_main
+    a_vec = np.zeros(max(k + k_main, 1))
+    output_a = np.zeros(width)
+    a_bias = c_real(0.0)
+    p = 0 if u_vec is None else u_vec.shape[0]
+    Ccont = None if C is None else np.ascontiguousarray(C, np.float64)
+    Cb = None if C_bias is None else np.ascontiguousarray(C_bias, np.float64)
+    ucont = None if u_vec is None else np.ascontiguousarray(u_vec, np.float64)
+    Xa = np.ascontiguousarray(xa, np.float64)
+    Xcol = np.ascontiguousarray(x_col, np.int32)
+    Bcont = np.ascontiguousarray(Bm, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    W = None if weight is None else np.ascontiguousarray(weight, np.float64)
+    lam_u = (None if lam_unique is None
+             else np.ascontiguousarray(lam_unique, np.float64))
+
+    fn = lib.factors_offsets_explicit_single
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(a_vec), ct.byref(a_bias) if with_bias else None,
+        _ptr(output_a),
+        _ptr(ucont), c_int_t(p),
+        None, None, ct.c_size_t(0),        # u_vec sparse
+        _ptr(Xa), _iptr(Xcol), ct.c_size_t(Xa.size),
+        None, c_int_t(n),                  # Xa_dense, n
+        _ptr(W),
+        _ptr(Bcont), _ptr(Ccont),
+        _ptr(Cb),
+        c_real(glob_mean), _ptr(bb),
+        c_int_t(k), c_int_t(k_sec), c_int_t(k_main),
+        c_real(w_user),
+        c_real(lam), _ptr(lam_u),
+        ct.c_bool(exact),
+        None, None,                        # precomputed TransBtBinvBt, BtB
+        None,                              # Bm_plus_bias
+    )
+    assert ret == 0, f"factors_offsets_explicit_single returned {ret}"
+    return {"a_vec": a_vec, "output_a": output_a,
+            "bias": float(a_bias.value)}
+
+
 def ref_fit_offsets_explicit_als(
     rows, cols, vals, m, n, *, k, lam, niter,
     A0, B0, U=None, II=None, add_intercepts=True,

@@ -814,6 +814,80 @@ def test_most_popular_vs_binary():
     np.testing.assert_allclose(np.asarray(ms.user_bias_), bA, atol=1e-9)
 
 
+def test_offsets_factors_warm_vs_binary():
+    """OMF warm single factors (offsets_factors_warm, offsets.c:578) on
+    the same trained parameters: with side info (base = U@C + C_bias) and
+    without, exact=False and exact=True — the three reference cases in
+    solvers/warm.py:396-542 were previously only oracle-tested."""
+    from cmfrec_tpu import OMF_explicit
+    from .ref_binary import ref_factors_offsets_explicit_single
+
+    rng = np.random.default_rng(57)
+    m, n, p = 35, 22, 5
+    mask = rng.uniform(size=(m, n)) < 0.45
+    rows, cols = np.nonzero(mask)
+    vals = 3.0 + rng.normal(size=rows.size)
+    U = rng.normal(size=(m, p))
+    k, lam = 4, 0.8
+    model = OMF_explicit(k=k, lambda_=lam, method="als", niter=4,
+                         use_cg=False, user_bias=True, item_bias=True,
+                         add_intercepts=True,
+                         use_float=False).fit_triplets(
+                             rows, cols, vals, m, n, U=U)
+
+    sel = rows == 3
+    xc, xv = cols[sel].astype(np.int64), vals[sel]
+    u_raw = U[3]
+    u_centered = u_raw - np.asarray(model.U_colmeans_)
+    Bm = np.asarray(model.Bm_, np.float64)
+    C = np.asarray(model.C_, np.float64)
+    Cb = (None if model.C_bias_ is None
+          else np.asarray(model.C_bias_, np.float64))
+    bB = np.asarray(model.item_bias_, np.float64)
+
+    for exact in (False, True):
+        a_ours, bias_ours = model.factors_warm(
+            X_col=xc, X_val=xv, U=u_raw, return_bias=True, exact=exact)
+        ref = ref_factors_offsets_explicit_single(
+            k=k, lam=lam, Bm=Bm, xa=xv, x_col=xc, n=n,
+            C=C, u_vec=u_centered, C_bias=Cb,
+            biasB=bB, glob_mean=model.glob_mean_, with_bias=True,
+            exact=exact)
+        # a_vec is the combined factor Am — ours matches exactly
+        np.testing.assert_allclose(np.asarray(a_ours), ref["a_vec"],
+                                   atol=1e-8, err_msg=f"exact={exact}")
+        assert abs(bias_ours - ref["bias"]) < 1e-8
+        base = u_centered @ C + Cb
+        if not exact:
+            # REFERENCE DEFECT (not copied): in the k_sec==0 fast branch
+            # the binary's output_a ("A := Am - U*C", offsets.c:732)
+            # actually computes w_user*(U*C) - w_user*Am — sign inverted,
+            # w_user on the wrong operand.  Replica pin:
+            np.testing.assert_allclose(ref["output_a"],
+                                       base - ref["a_vec"], atol=1e-8)
+        else:
+            # the exact branch (offsets.c:845) stores A correctly
+            np.testing.assert_allclose(ref["output_a"],
+                                       ref["a_vec"] - base, atol=1e-8)
+        # ours returns the intended A = Am - base (same call family:
+        # return_bias changes the solve by appending the bias coordinate)
+        a_raw, _ = model.factors_warm(X_col=xc, X_val=xv, U=u_raw,
+                                      return_raw_A=True, return_bias=True,
+                                      exact=exact)
+        np.testing.assert_allclose(np.asarray(a_raw),
+                                   np.asarray(a_ours) - base, atol=1e-8)
+
+    # no side info for the new row: base is zero
+    a_ours, bias_ours = model.factors_warm(
+        X_col=xc, X_val=xv, return_bias=True)
+    ref = ref_factors_offsets_explicit_single(
+        k=k, lam=lam, Bm=Bm, xa=xv, x_col=xc, n=n,
+        biasB=bB, glob_mean=model.glob_mean_, with_bias=True)
+    np.testing.assert_allclose(np.asarray(a_ours), ref["a_vec"],
+                               atol=1e-8)
+    assert abs(bias_ours - ref["bias"]) < 1e-8
+
+
 def test_offsets_explicit_als_vs_binary():
     """OMF (offsets model, ALS mode): inner Am/Bm ALS from a shared init,
     then the attribute regression — A/B offsets, C/C_bias, Am/Bm all

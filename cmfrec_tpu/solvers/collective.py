@@ -794,30 +794,17 @@ def fit_collective_explicit_als(
         # /root/reference/src/helpers.c:1493, act_on_interrupt cmfrec.h:622)
         print("interrupted — returning partially-fit model")
 
-    (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
-     Ai_blocks, Bi_blocks) = state
-    A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
-    if add_implicit_features:
-        Ai_orig = blocks_to_orig(Ai_blocks, perm_A, m_eff)
-        Bi_orig = blocks_to_orig(Bi_blocks, perm_B, n_eff)
-
-    A_final = np.asarray(A_orig)
-    B_final = np.asarray(B_orig)
-    return {
-        "A": A_final[:, :ka],
-        "B": B_final[:, :kb],
-        "biasA": A_final[:, ka] if user_bias else None,
-        "biasB": B_final[:, kb] if item_bias else None,
-        "C": None if C_orig is None else np.asarray(C_orig)[:, :kc],
-        "D": None if D_orig is None else np.asarray(D_orig)[:, :kd],
-        "Ai": None if Ai_orig is None else np.asarray(Ai_orig)[:, :ki_w],
-        "Bi": None if Bi_orig is None else np.asarray(Bi_orig)[:, :ki_w],
+    # the return layout IS the checkpoint layout (1:1 with init=) — built
+    # from the same extraction helper so they can never desync
+    out = {key: (None if v is None else np.asarray(v))
+           for key, v in _ckpt_state(state).items()}
+    out.update({
         "U_colmeans": None if U is None else U.colmeans,
         "I_colmeans": None if I is None else I.colmeans,
         "glob_mean": float(glob_mean),
         "k": k,
-    }
+    })
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -1213,19 +1200,15 @@ def fit_collective_implicit_als(
             raise
         print("interrupted — returning partially-fit model")
 
-    A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig = state
-    A_orig = blocks_to_orig(A_blocks, perm_A, m_eff)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n_eff)
-
-    return {
-        "A": np.asarray(A_orig)[:, :ka],
-        "B": np.asarray(B_orig)[:, :kb],
-        "C": None if C_orig is None else np.asarray(C_orig)[:, :kc],
-        "D": None if D_orig is None else np.asarray(D_orig)[:, :kd],
+    # return layout == checkpoint layout (1:1 with init=) by construction
+    out = {key: (None if v is None else np.asarray(v))
+           for key, v in _ckpt_state(state).items()}
+    out.update({
         "U_colmeans": None if U is None else U.colmeans,
         "I_colmeans": None if I is None else I.colmeans,
         "glob_mean": 0.0,
         "w_main_multiplier": w_mult,
         "alpha": alpha,
         "k": k,
-    }
+    })
+    return out

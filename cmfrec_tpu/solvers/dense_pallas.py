@@ -376,45 +376,61 @@ def fit_explicit_dense_pallas(
                    na0=na_as_zero)
     args = (X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu)
 
+    def _state():
+        # checkpoint layout == return layout (1:1 with init=)
+        dt = jnp.dtype(dtype)
+        return {
+            "A": A[:m, :k].astype(dt),
+            "B": B[:n, :k].astype(dt),
+            "biasA": A[:m, k].astype(dt) if user_bias else None,
+            "biasB": B[:n, k].astype(dt) if item_bias else None,
+        }
+
     checkpointing = ckpt is not None and ckpt.every > 0
+    # NA-as-zero solves are exact closed forms — no f32 polish needed.
+    # The same rule MUST hold on every dispatch strategy below or
+    # checkpointing/verbose would change the fit result.
+    do_polish = finalize_chol and not na_as_zero and niter > 0
+    n_bulk = niter - 1 if do_polish else niter
     try:
         if verbose or checkpointing:
-            # per-iteration dispatch (checkpointing needs iteration
-            # boundaries on the host; costs ~one dispatch latency/iter)
-            for it in range(niter):
-                final = finalize_chol and (it == niter - 1)
+            # dispatch in host-visible chunks: every iteration when
+            # verbose, else checkpoint_every iterations — one ~50-65 ms
+            # axon dispatch per chunk, not per iteration
+            step = 1 if verbose else ckpt.every
+            it = 0
+            while it < n_bulk:
+                n_now = min(step, n_bulk - it)
+                t0 = time.time()
+                A, B = _run_iterations(
+                    A, B, *args, n_iters=n_now, n_steps=max_cg_steps,
+                    compute="bf16", **statics,
+                )
+                it += n_now
+                if verbose:
+                    _ = float(jnp.sum(B[-1]))  # fence the device queue
+                    print(f"iter {it}/{niter} [pallas-bf16] "
+                          f"{time.time() - t0:.3f}s")
+                if checkpointing:
+                    ckpt.maybe_save(it, _state)
+            if do_polish:
                 t0 = time.time()
                 A, B = _iteration(
-                    A, B, *args,
-                    n_steps=finalize_steps if final else max_cg_steps,
-                    compute="f32" if final else "bf16",
+                    A, B, *args, n_steps=finalize_steps, compute="f32",
                     **statics,
                 )
                 if verbose:
-                    _ = float(jnp.sum(B[-1]))  # fence the device queue
-                    tag = "pallas-f32*" if final else "pallas-bf16"
-                    print(f"iter {it + 1}/{niter} [{tag}] "
+                    _ = float(jnp.sum(B[-1]))
+                    print(f"iter {niter}/{niter} [pallas-f32*] "
                           f"{time.time() - t0:.3f}s")
-                if checkpointing:
-                    ckpt.maybe_save(it + 1, lambda: {
-                        "A": A[:m, :k].astype(jnp.dtype(dtype)),
-                        "B": B[:n, :k].astype(jnp.dtype(dtype)),
-                        "biasA": (A[:m, k].astype(jnp.dtype(dtype))
-                                  if user_bias else None),
-                        "biasB": (B[:n, k].astype(jnp.dtype(dtype))
-                                  if item_bias else None),
-                    })
         else:
             # all bulk iterations in one dispatch, the f32 polish in another
-            # (NA-as-zero solves are exact closed forms — no polish needed)
-            n_bulk = (niter - 1 if finalize_chol and not na_as_zero
-                      else niter)
             if n_bulk > 0:
                 A, B = _run_iterations(
                     A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                     compute="bf16", **statics,
                 )
-            if finalize_chol and not na_as_zero and niter > 0:
+            if do_polish:
                 A, B = _iteration(
                     A, B, *args, n_steps=finalize_steps, compute="f32",
                     **statics,
@@ -428,15 +444,9 @@ def fit_explicit_dense_pallas(
     # Returned as device arrays: downloading over the host link is the
     # caller's (lazy) cost, exactly as the C reference hands back arrays
     # that already live in RAM.
-    dtype = jnp.dtype(dtype)
-    return {
-        "A": A[:m, :k].astype(dtype),
-        "B": B[:n, :k].astype(dtype),
-        "biasA": A[:m, k].astype(dtype) if user_bias else None,
-        "biasB": B[:n, k].astype(dtype) if item_bias else None,
-        "glob_mean": float(glob_mean),
-        "k": k,
-    }
+    out = _state()
+    out.update({"glob_mean": float(glob_mean), "k": k})
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -789,21 +799,31 @@ def fit_implicit_dense_pallas(
     statics = dict(k=k, bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh)
     args = (Wx, Xp, M, WxT, XpT, MT, lam_vec_A, lam_vec_B, live_A, live_B,
             w_mult)
+
+    def _state():
+        # checkpoint layout == return layout (1:1 with init=)
+        dt = jnp.dtype(dtype)
+        return {"A": A[:m, :k].astype(dt), "B": B[:n, :k].astype(dt)}
+
     checkpointing = ckpt is not None and ckpt.every > 0
     try:
+        n_bulk = niter - 1 if finalize_chol else niter
         if checkpointing:
-            for it in range(niter):
-                final = finalize_chol and (it == niter - 1)
+            # chunked dispatch: one ~50-65 ms axon round-trip per
+            # checkpoint interval, not per iteration
+            it = 0
+            while it < n_bulk:
+                n_now = min(ckpt.every, n_bulk - it)
                 A, B = _run_implicit_iterations(
-                    A, B, *args, n_iters=1,
-                    n_steps=finalize_steps if final else max_cg_steps,
-                    compute="f32" if final else "bf16", **statics)
-                ckpt.maybe_save(it + 1, lambda: {
-                    "A": A[:m, :k].astype(jnp.dtype(dtype)),
-                    "B": B[:n, :k].astype(jnp.dtype(dtype)),
-                })
+                    A, B, *args, n_iters=n_now, n_steps=max_cg_steps,
+                    compute="bf16", **statics)
+                it += n_now
+                ckpt.maybe_save(it, _state)
+            if finalize_chol and niter > 0:
+                A, B = _run_implicit_iterations(
+                    A, B, *args, n_iters=1, n_steps=finalize_steps,
+                    compute="f32", **statics)
         else:
-            n_bulk = niter - 1 if finalize_chol else niter
             if n_bulk > 0:
                 A, B = _run_implicit_iterations(
                     A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
@@ -818,17 +838,11 @@ def fit_implicit_dense_pallas(
             raise
         print("interrupted — returning partially-fit model")
 
-    dtype = jnp.dtype(dtype)
-    return {
-        "A": A[:m, :k].astype(dtype),
-        "B": B[:n, :k].astype(dtype),
-        "biasA": None,
-        "biasB": None,
-        "glob_mean": 0.0,
-        "k": k,
-        "w_main_multiplier": float(w_main_multiplier),
-        "alpha": alpha,
-    }
+    out = _state()
+    out.update({"biasA": None, "biasB": None, "glob_mean": 0.0, "k": k,
+                "w_main_multiplier": float(w_main_multiplier),
+                "alpha": alpha})
+    return out
 
 
 @partial(

@@ -435,18 +435,12 @@ def fit_explicit_als(
         # act_on_interrupt cmfrec.h:622)
         print("interrupted — returning partially-fit model")
 
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-
-    # device arrays returned lazily; downloads are the caller's cost
-    return {
-        "A": A_orig[:, :k],
-        "B": B_orig[:, :k],
-        "biasA": A_orig[:, k] if user_bias else None,
-        "biasB": B_orig[:, k] if item_bias else None,
-        "glob_mean": float(glob_mean),
-        "k": k,
-    }
+    # device arrays returned lazily; downloads are the caller's cost.
+    # Return layout == checkpoint layout (1:1 with init=) by construction.
+    out = _sparse_fit_state(A_blocks, B_blocks, perm_A, perm_B, m, n, k,
+                            user_bias, item_bias)
+    out.update({"glob_mean": float(glob_mean), "k": k})
+    return out
 
 
 
@@ -769,18 +763,12 @@ def fit_implicit_als(
             raise
         print("interrupted — returning partially-fit model")
 
-    A_orig = blocks_to_orig(A_blocks, perm_A, m)
-    B_orig = blocks_to_orig(B_blocks, perm_B, n)
-    return {
-        "A": A_orig[:, :k],
-        "B": B_orig[:, :k],
-        "biasA": None,
-        "biasB": None,
-        "glob_mean": 0.0,
-        "k": k,
-        "w_main_multiplier": w_main,
-        "alpha": alpha,
-    }
+    # return layout == checkpoint layout (1:1 with init=) by construction
+    out = _sparse_fit_state(A_blocks, B_blocks, perm_A, perm_B, m, n, k,
+                            False, False)
+    out.update({"glob_mean": 0.0, "k": k,
+                "w_main_multiplier": w_main, "alpha": alpha})
+    return out
 
 
 

@@ -39,15 +39,24 @@ def save_fit_checkpoint(path: str, arrays: dict, iterations_done: int,
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **payload)
+        # rename-without-fsync can leave a zero-length file after power
+        # loss / VM preemption — exactly the event this module guards
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def load_fit_checkpoint(path: str):
     """Returns (init_dict, iterations_done).  ``init_dict`` plugs directly
     into any fit driver's ``init=``."""
-    z = np.load(path)
-    done = int(z["__iterations_done__"])
-    init = {k: z[k] for k in z.files if not k.startswith("__")}
+    with np.load(path) as z:
+        done = int(z["__iterations_done__"])
+        init = {k: z[k] for k in z.files if not k.startswith("__")}
     return init, done
 
 
@@ -60,6 +69,18 @@ class FitCheckpointer:
         self.path = path
         self.every = int(every) if path else 0
         self.niter = niter
+        if path and self.every <= 0:
+            raise ValueError(
+                "checkpoint_path was given but checkpoint_every is "
+                f"{every!r}; pass checkpoint_every=N (N >= 1) or no "
+                "checkpoint is ever written")
+        if path and self.every >= niter and niter > 1:
+            import warnings
+            warnings.warn(
+                f"checkpoint_every={self.every} >= niter={niter}: the only "
+                "checkpointable iteration is the last one, whose state is "
+                "the fit's own return value — no checkpoint file will be "
+                "written", stacklevel=3)
 
     def maybe_save(self, it_done: int, state_fn) -> None:
         if self.every <= 0:

@@ -436,9 +436,14 @@ def ref_factors_offsets_explicit_single(
     a_vec, the combined factor output_a (Bm-space), and the bias."""
     lib = get_lib()
     assert lib is not None
+    # the binary writes k_sec+k+k_main entries into a_vec
+    # (offsets.c:673/:717/:720) and, in the k_sec==0 branch, fills
+    # output_a through offsets_factors_cold at the same width
+    # (offsets.c:734) — allocate BOTH at full width or k_sec>0 calls
+    # corrupt the heap
     width = k_sec + k + k_main
-    a_vec = np.zeros(max(k + k_main, 1))
-    output_a = np.zeros(width)
+    a_vec = np.zeros(max(width, 1))
+    output_a = np.zeros(max(width, 1))
     a_bias = c_real(0.0)
     p = 0 if u_vec is None else u_vec.shape[0]
     Ccont = None if C is None else np.ascontiguousarray(C, np.float64)

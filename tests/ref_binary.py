@@ -863,3 +863,124 @@ def ref_impute_X(
     )
     assert ret == 0, f"impute_X_collective_explicit returned {ret}"
     return Xf
+
+
+def ref_precompute_collective_explicit(
+    *, B, n, C=None, Bi=None, biasB=None, glob_mean=0.0,
+    U_colmeans=None, NA_as_zero_X=False, NA_as_zero_U=False,
+    k, k_user=0, k_item=0, k_main=0, user_bias=False, nonneg=False,
+    lam=1.0, lam_unique=None, scale_lam=False, scale_lam_sideinfo=False,
+    scale_bias_const=False, scaling_biasA=0.0,
+    w_main=1.0, w_user=1.0, w_implicit=0.5,
+):
+    """precompute_collective_explicit (collective.c:10209).  Returns every
+    output buffer the binary fills; callers compare against our
+    warm.build_precomputed caches.  Buffer dims follow the source: with
+    user_bias the binary bumps k_main by one and swaps in B_plus_bias
+    (collective.c:10296)."""
+    lib = get_lib()
+    assert lib is not None
+    p = 0 if C is None else C.shape[0]
+    kb = k + k_main + (1 if user_bias else 0)   # B-system width
+    ke = k_user + kb                            # extended width
+    Bc = np.ascontiguousarray(B, np.float64)
+    Cc = None if C is None else np.ascontiguousarray(C, np.float64)
+    Bic = None if Bi is None else np.ascontiguousarray(Bi, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    lam_u = (None if lam_unique is None
+             else np.ascontiguousarray(lam_unique, np.float64))
+
+    B_plus_bias = np.zeros((n, k_item + k + k_main + 1)) if user_bias else None
+    BtB = np.zeros((kb, kb))
+    add_if = Bi is not None
+    TransBtBinvBt = (np.zeros((n, kb))
+                     if (not nonneg and not add_if) else None)
+    BtXbias = np.zeros(kb) if NA_as_zero_X else None
+    BeTBeChol = (np.zeros((ke, ke))
+                 if (not nonneg and (C is not None or add_if)) else None)
+    BiTBi = np.zeros((k + k_main, k + k_main)) if add_if else None
+    TransCtCinvCt = (np.zeros((p, k_user + k))
+                     if (C is not None and not nonneg and not add_if)
+                     else None)
+    CtCw = np.zeros((k_user + k, k_user + k)) if C is not None else None
+    CtUbias = (np.zeros(k_user + k)
+               if (C is not None and NA_as_zero_U and um is not None)
+               else None)
+
+    fn = lib.precompute_collective_explicit
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(Bc), c_int_t(n), c_int_t(n), ct.c_bool(True),
+        _ptr(Cc), c_int_t(p),
+        _ptr(Bic), ct.c_bool(add_if),
+        _ptr(bb), c_real(glob_mean), ct.c_bool(NA_as_zero_X),
+        _ptr(um), ct.c_bool(NA_as_zero_U),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        ct.c_bool(user_bias),
+        ct.c_bool(nonneg),
+        c_real(lam), _ptr(lam_u),
+        ct.c_bool(scale_lam), ct.c_bool(scale_lam_sideinfo),
+        ct.c_bool(scale_bias_const), c_real(scaling_biasA),
+        c_real(w_main), c_real(w_user), c_real(w_implicit),
+        _ptr(B_plus_bias),
+        _ptr(BtB),
+        _ptr(TransBtBinvBt),
+        _ptr(BtXbias),
+        _ptr(BeTBeChol),
+        _ptr(BiTBi),
+        _ptr(TransCtCinvCt),
+        _ptr(CtCw),
+        _ptr(CtUbias),
+    )
+    assert ret == 0, f"precompute_collective_explicit returned {ret}"
+    return {
+        "B_plus_bias": B_plus_bias, "BtB": BtB,
+        "TransBtBinvBt": TransBtBinvBt, "BtXbias": BtXbias,
+        "BeTBeChol": BeTBeChol, "BiTBi": BiTBi,
+        "TransCtCinvCt": TransCtCinvCt, "CtCw": CtCw, "CtUbias": CtUbias,
+    }
+
+
+def ref_precompute_collective_implicit(
+    *, B, n, C=None, U_colmeans=None, NA_as_zero_U=False,
+    k, k_user=0, k_item=0, k_main=0, lam=1.0,
+    w_main=1.0, w_user=1.0, w_main_multiplier=1.0, nonneg=False,
+    extra_precision=False,
+):
+    """precompute_collective_implicit (collective.c:10487)."""
+    lib = get_lib()
+    assert lib is not None
+    p = 0 if C is None else C.shape[0]
+    kb = k + k_main
+    ke = k_user + k + k_main
+    Bc = np.ascontiguousarray(B, np.float64)
+    Cc = None if C is None else np.ascontiguousarray(C, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    BtB = np.zeros((kb, kb))
+    BeTBe = np.zeros((ke, ke)) if p else None
+    BeTBeChol = np.zeros((ke, ke)) if (p and not nonneg) else None
+    CtUbias = (np.zeros(k_user + k)
+               if (p and NA_as_zero_U and um is not None) else None)
+
+    fn = lib.precompute_collective_implicit
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(Bc), c_int_t(n),
+        _ptr(Cc), c_int_t(p),
+        _ptr(um), ct.c_bool(NA_as_zero_U),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), c_real(w_main), c_real(w_user),
+        c_real(w_main_multiplier),
+        ct.c_bool(nonneg),
+        ct.c_bool(extra_precision),
+        _ptr(BtB),
+        _ptr(BeTBe),
+        _ptr(BeTBeChol),
+        _ptr(CtUbias),
+    )
+    assert ret == 0, f"precompute_collective_implicit returned {ret}"
+    return {"BtB": BtB, "BeTBe": BeTBe, "BeTBeChol": BeTBeChol,
+            "CtUbias": CtUbias}

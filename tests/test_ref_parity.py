@@ -1803,3 +1803,232 @@ def test_collective_chol_na_as_zero_U_vs_binary():
     np.testing.assert_allclose(np.asarray(ours["A"]), ref["A"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
     np.testing.assert_allclose(np.asarray(ours["C"]), ref["C"], atol=1e-9)
+
+
+# --------------------------------------------------------------------- #
+# precompute caches vs the binary (precompute_collective_explicit /     #
+# precompute_collective_implicit, collective.c:10209 / :10487)          #
+# --------------------------------------------------------------------- #
+
+
+def _triu_close(ref_buf, ours_full, atol=1e-9):
+    """syrk(Upper)-filled binary buffers only define the upper triangle."""
+    np.testing.assert_allclose(np.triu(ref_buf), np.triu(ours_full),
+                               rtol=1e-7, atol=atol)
+
+
+def _chol_reconstruct(raw):
+    """LAPACK potrf('L') on a row-major buffer writes the factor into the
+    row-major UPPER triangle (column-major lower); R^T R recovers the
+    matrix."""
+    R = np.triu(raw)
+    return R.T @ R
+
+
+def test_precompute_explicit_caches_vs_binary():
+    """Our build_precomputed caches == the binary's
+    precompute_collective_explicit outputs, computed from the SAME fitted
+    model (B/C/biasB as inputs).  Pins B_plus_bias, BtB, TransBtBinvBt,
+    TransCtCinvCt, CtCw and BeTBeChol semantics including the k_item
+    column offset and the bias fold-in (collective.c:10296)."""
+    from cmfrec_tpu import CMF
+    from cmfrec_tpu.solvers.warm import build_precomputed
+    from .ref_binary import ref_precompute_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=11)
+    p, q = 6, 5
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    k, ku, ki, km = 4, 2, 1, 1
+    lam, w_u = 0.6, 0.7
+    model = CMF(k=k, k_user=ku, k_item=ki, k_main=km, lambda_=lam,
+                w_user=w_u, niter=3, use_cg=False, use_float=False,
+                verbose=False).fit_triplets(rows, cols, vals, m, n,
+                                            U=U, I=I)
+    ours = build_precomputed(model)
+    ref = ref_precompute_collective_explicit(
+        B=np.asarray(model.B_, np.float64), n=n,
+        C=np.asarray(model.C_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_),
+        k=k, k_user=ku, k_item=ki, k_main=km,
+        user_bias=True, lam=lam, w_user=w_u)
+
+    wb = ku + k + km + 1          # extended width incl. bias
+    kb = k + km + 1               # B-system width incl. bias
+    # B_plus_bias: binary keeps k_item cols; ours drops them and places
+    # the rest at the k_user offset
+    np.testing.assert_allclose(ref["B_plus_bias"][:, ki:],
+                               ours["extB"][:, ku:wb], atol=1e-12)
+    _triu_close(ref["BtB"], ours["BtB"][ku:ku + kb, ku:ku + kb])
+    # ours stores the regularized Gram; the realized rows are
+    # w_main * G^-1 B_i (w_main = 1 here)
+    sol = np.linalg.solve(ours["TransBtBinvBt_G"], ours["extB"].T).T
+    np.testing.assert_allclose(ref["TransBtBinvBt"], sol[:, ku:ku + kb],
+                               rtol=1e-7, atol=1e-9)
+    _triu_close(ref["CtCw"], ours["CtCw"][:ku + k, :ku + k])
+    np.testing.assert_allclose(ref["TransCtCinvCt"],
+                               ours["TransCtCinvCt"].T, rtol=1e-7,
+                               atol=1e-9)
+    ours_L = ours["BeTBeChol"][:wb, :wb]
+    np.testing.assert_allclose(_chol_reconstruct(ref["BeTBeChol"]),
+                               ours_L @ ours_L.T, rtol=1e-7, atol=1e-8)
+
+
+def test_precompute_explicit_implicit_features_vs_binary():
+    """add_implicit_features: BiTBi (w_implicit-scaled Bi Gram) and its
+    inclusion in BeTBeChol; TransBtBinvBt is skipped by BOTH sides
+    (collective.c:10370 gate)."""
+    from cmfrec_tpu import CMF
+    from cmfrec_tpu.solvers.warm import build_precomputed
+    from .ref_binary import ref_precompute_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=12)
+    p = 5
+    U = rng.normal(size=(m, p))
+    k, km = 4, 1
+    lam, w_imp = 0.8, 0.45
+    model = CMF(k=k, k_main=km, lambda_=lam, niter=3, use_cg=False,
+                add_implicit_features=True, w_implicit=w_imp,
+                use_float=False).fit_triplets(rows, cols, vals, m, n, U=U)
+    ours = build_precomputed(model)
+    assert "TransBtBinvBt_G" not in ours
+    ref = ref_precompute_collective_explicit(
+        B=np.asarray(model.B_, np.float64), n=n,
+        C=np.asarray(model.C_, np.float64),
+        Bi=np.asarray(model.Bi_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_),
+        k=k, k_main=km, user_bias=True, lam=lam, w_implicit=w_imp)
+    assert ref["TransBtBinvBt"] is None
+
+    kiw = np.asarray(model.Bi_).shape[1]
+    _triu_close(ref["BiTBi"][:kiw, :kiw], ours["BiTBi"][:kiw, :kiw])
+    wb = k + km + 1
+    ours_L = ours["BeTBeChol"][:wb, :wb]
+    np.testing.assert_allclose(_chol_reconstruct(ref["BeTBeChol"]),
+                               ours_L @ ours_L.T, rtol=1e-7, atol=1e-8)
+
+
+def test_precompute_na0_btxbias_ctubias_vs_binary():
+    """NA_as_zero: BtXbias = B^T(-mu - biasB) (collective.c:10300);
+    NA_as_zero_U: CtUbias = -w_user C^T U_colmeans (:10466)."""
+    import scipy.sparse as sp
+
+    from cmfrec_tpu import CMF
+    from cmfrec_tpu.solvers.warm import build_precomputed
+    from .ref_binary import ref_precompute_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=13)
+    p = 5
+    u_mask = rng.uniform(size=(m, p)) < 0.5
+    ur, uc = np.nonzero(u_mask)
+    uv = rng.normal(size=ur.size)
+    k, ku = 4, 2
+    lam, w_u = 0.7, 0.6
+    model = CMF(k=k, k_user=ku, lambda_=lam, w_user=w_u, niter=3,
+                use_cg=False, NA_as_zero=True, NA_as_zero_user=True,
+                use_float=False).fit_triplets(
+                    rows, cols, vals, m, n,
+                    U=sp.coo_matrix((uv, (ur, uc)), shape=(m, p)))
+    ours = build_precomputed(model)
+    ref = ref_precompute_collective_explicit(
+        B=np.asarray(model.B_, np.float64), n=n,
+        C=np.asarray(model.C_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_),
+        U_colmeans=np.asarray(model.U_colmeans_, np.float64),
+        NA_as_zero_X=True, NA_as_zero_U=True,
+        k=k, k_user=ku, user_bias=True, lam=lam, w_user=w_u)
+
+    kb = k + 1
+    np.testing.assert_allclose(ref["BtXbias"],
+                               ours["BtXbias"][ku:ku + kb],
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(ref["CtUbias"], ours["CtUbias"],
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_precompute_wmain_scaling_vs_binary():
+    """w_main != 1: the binary normalizes the whole system by w_main
+    (lam/=w_main, w_user/=w_main, collective.c:10248); our caches keep the
+    unnormalized form, so binary == ours/w_main everywhere."""
+    from cmfrec_tpu import CMF
+    from cmfrec_tpu.solvers.warm import build_precomputed
+    from .ref_binary import ref_precompute_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=14)
+    p = 5
+    U = rng.normal(size=(m, p))
+    k, ku = 3, 1
+    lam, w_m, w_u = 0.9, 2.0, 0.7
+    model = CMF(k=k, k_user=ku, lambda_=lam, w_main=w_m, w_user=w_u,
+                niter=3, use_cg=False, use_float=False).fit_triplets(
+                    rows, cols, vals, m, n, U=U)
+    ours = build_precomputed(model)
+    ref = ref_precompute_collective_explicit(
+        B=np.asarray(model.B_, np.float64), n=n,
+        C=np.asarray(model.C_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_),
+        k=k, k_user=ku, user_bias=True, lam=lam,
+        w_main=w_m, w_user=w_u)
+
+    wb = ku + k + 1
+    kb = k + 1
+    # binary BtB is the raw Gram (computed before normalization)
+    _triu_close(ref["BtB"], ours["BtB"][ku:ku + kb, ku:ku + kb])
+    # binary solves (BtB + lam/w_m)^-1 B_i == w_m * (w_m BtB + lam)^-1 B_i
+    sol = w_m * np.linalg.solve(ours["TransBtBinvBt_G"], ours["extB"].T).T
+    np.testing.assert_allclose(ref["TransBtBinvBt"], sol[:, ku:ku + kb],
+                               rtol=1e-7, atol=1e-9)
+    _triu_close(ref["CtCw"], ours["CtCw"][:ku + k, :ku + k] / w_m)
+    np.testing.assert_allclose(ref["TransCtCinvCt"],
+                               ours["TransCtCinvCt"].T, rtol=1e-7,
+                               atol=1e-9)
+    ours_L = ours["BeTBeChol"][:wb, :wb]
+    np.testing.assert_allclose(_chol_reconstruct(ref["BeTBeChol"]) * w_m,
+                               ours_L @ ours_L.T, rtol=1e-7, atol=1e-8)
+
+
+def test_precompute_implicit_caches_vs_binary():
+    """precompute_collective_implicit (collective.c:10487): the binary
+    stores lam-regularized, w-normalized Grams; ours keep the raw Gram +
+    weights, related by BtB_bin = (w_eff*BtB + lam I)/w_eff with
+    w_eff = w_main * w_main_multiplier."""
+    from cmfrec_tpu import CMF_implicit
+    from cmfrec_tpu.solvers.warm import build_precomputed
+    from .ref_binary import ref_precompute_collective_implicit
+
+    rng, rows, cols, vals, m, n = _data(seed=15)
+    vals = np.abs(vals) + 0.5
+    p = 5
+    U = rng.normal(size=(m, p))
+    k, ku, km = 4, 2, 1
+    lam, w_u, alpha = 0.8, 0.7, 2.0
+    model = CMF_implicit(k=k, k_user=ku, k_main=km, lambda_=lam,
+                         w_user=w_u, alpha=alpha, niter=3, use_cg=False,
+                         use_float=False).fit_triplets(
+                             rows, cols, vals, m, n, U=U)
+    ours = build_precomputed(model)
+    w_eff = float(getattr(model, "w_main", 1.0)) * float(
+        model.w_main_multiplier_)
+    ref = ref_precompute_collective_implicit(
+        B=np.asarray(model.B_, np.float64), n=n,
+        C=np.asarray(model.C_, np.float64),
+        k=k, k_user=ku, k_main=km, lam=lam, w_user=w_u,
+        w_main_multiplier=float(model.w_main_multiplier_))
+
+    kb = k + km
+    ke = ku + k + km
+    BtB_ours = ours["BtB"][ku:ku + kb, ku:ku + kb]
+    _triu_close(ref["BtB"], BtB_ours + (lam / w_eff) * np.eye(kb))
+    CtC = ours["CtC"][:ku + k, :ku + k]
+    expected = np.zeros((ke, ke))
+    expected[ku:, ku:] += w_eff * ours["BtB"][ku:ku + kb, ku:ku + kb]
+    expected[:ku + k, :ku + k] += w_u * CtC
+    expected += lam * np.eye(ke)
+    expected /= w_eff
+    _triu_close(ref["BeTBe"], expected)
+    np.testing.assert_allclose(_chol_reconstruct(ref["BeTBeChol"]),
+                               expected, rtol=1e-7, atol=1e-8)

@@ -984,3 +984,147 @@ def ref_precompute_collective_implicit(
     assert ret == 0, f"precompute_collective_implicit returned {ret}"
     return {"BtB": BtB, "BeTBe": BeTBe, "BeTBeChol": BeTBeChol,
             "CtUbias": CtUbias}
+
+
+def ref_predict_X_old_collective_explicit(
+    *, row, col, A, B, biasA=None, biasB=None, glob_mean=0.0,
+    k, k_user=0, k_item=0, k_main=0, m, n_max,
+):
+    """predict_X_old_collective_explicit (collective.c:11797): fused
+    factor dot + biases, with out-of-range ids falling back to
+    glob_mean (+ whichever bias index IS valid)."""
+    lib = get_lib()
+    assert lib is not None
+    rowc = np.ascontiguousarray(row, np.int32)
+    colc = np.ascontiguousarray(col, np.int32)
+    out = np.zeros(rowc.size)
+    Ac = np.ascontiguousarray(A, np.float64)
+    Bc = np.ascontiguousarray(B, np.float64)
+    ba = None if biasA is None else np.ascontiguousarray(biasA, np.float64)
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    fn = lib.predict_X_old_collective_explicit
+    fn.restype = c_int_t
+    ret = fn(
+        _iptr(rowc), _iptr(colc), _ptr(out), ct.c_size_t(out.size),
+        _ptr(Ac), _ptr(ba),
+        _ptr(Bc), _ptr(bb),
+        c_real(glob_mean),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_int_t(m), c_int_t(n_max),
+        ct.c_int(1),
+    )
+    assert ret == 0
+    return out
+
+
+def ref_factors_collective_explicit_multiple(
+    *, m_new, rows, cols, vals, n, B, k, lam,
+    U=None, C=None, U_colmeans=None,
+    biasB=None, glob_mean=0.0, user_bias=False,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, weight=None,
+):
+    """factors_collective_explicit_multiple (collective.c:10865) with no
+    precomputed inputs: the batch warm/cold path exactly as the Python
+    wrapper drives it.  X passed as COO over the new rows."""
+    lib = get_lib()
+    assert lib is not None
+    p = 0 if U is None else U.shape[1]
+    m_u = 0 if U is None else U.shape[0]
+    m_max = max(m_new, m_u)
+    width = k_user + k + k_main
+    A = np.zeros((m_max, width))
+    biasA = np.zeros(m_max) if user_bias else None
+    Uc = None if U is None else np.ascontiguousarray(U, np.float64)
+    Cc = None if C is None else np.ascontiguousarray(C, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    bb = None if biasB is None else np.ascontiguousarray(biasB, np.float64)
+    Bc = np.ascontiguousarray(B, np.float64)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+    W = None if weight is None else np.ascontiguousarray(weight, np.float64)
+
+    fn = lib.factors_collective_explicit_multiple
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(A), _ptr(biasA), c_int_t(m_new),
+        _ptr(Uc), c_int_t(m_u), c_int_t(p),
+        ct.c_bool(False), ct.c_bool(False),   # NA_as_zero_U / _X
+        ct.c_bool(False),                     # nonneg
+        None, None, None, ct.c_size_t(0),     # U COO
+        None, None, None,                     # U CSR
+        None, c_int_t(0), c_int_t(0),         # Ub
+        _ptr(Cc), None,                       # C, Cb
+        c_real(glob_mean), _ptr(bb),
+        _ptr(um),
+        _ptr(X), _iptr(ixA), _iptr(ixB), ct.c_size_t(X.size),
+        None, None, None,                     # X CSR
+        None, c_int_t(n),                     # Xfull, n
+        _ptr(W),
+        _ptr(Bc),
+        None, ct.c_bool(False),               # Bi, add_implicit_features
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), None,
+        c_real(0.0), None,
+        ct.c_bool(False), ct.c_bool(False),   # scale_lam / _sideinfo
+        ct.c_bool(False), c_real(0.0),        # scale_bias_const
+        c_real(w_main), c_real(w_user), c_real(0.5),
+        c_int_t(n), ct.c_bool(True),          # n_max, include_all_X
+        None, None, None, None, None, None, None, None, None,
+        ct.c_int(1),
+    )
+    assert ret == 0, f"factors_collective_explicit_multiple returned {ret}"
+    return {"A": A, "biasA": biasA}
+
+
+def ref_factors_collective_implicit_multiple(
+    *, m_new, rows, cols, vals, n, B, k, lam, alpha=1.0,
+    U=None, C=None, U_colmeans=None,
+    k_user=0, k_item=0, k_main=0,
+    w_main=1.0, w_user=1.0, w_main_multiplier=1.0,
+    apply_log_transf=False,
+):
+    """factors_collective_implicit_multiple (collective.c:11176), no
+    precomputed inputs, X as COO over the new rows."""
+    lib = get_lib()
+    assert lib is not None
+    p = 0 if U is None else U.shape[1]
+    m_u = 0 if U is None else U.shape[0]
+    m_max = max(m_new, m_u)
+    width = k_user + k + k_main
+    A = np.zeros((m_max, width))
+    Uc = None if U is None else np.ascontiguousarray(U, np.float64)
+    Cc = None if C is None else np.ascontiguousarray(C, np.float64)
+    um = (None if U_colmeans is None
+          else np.ascontiguousarray(U_colmeans, np.float64))
+    Bc = np.ascontiguousarray(B, np.float64)
+    ixA = np.ascontiguousarray(rows, np.int32)
+    ixB = np.ascontiguousarray(cols, np.int32)
+    X = np.ascontiguousarray(vals, np.float64)
+
+    fn = lib.factors_collective_implicit_multiple
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(A), c_int_t(m_new),
+        _ptr(Uc), c_int_t(m_u), c_int_t(p),
+        ct.c_bool(False),                     # NA_as_zero_U
+        ct.c_bool(False),                     # nonneg
+        None, None, None, ct.c_size_t(0),     # U COO
+        None, None, None,                     # U CSR
+        _ptr(X), _iptr(ixA), _iptr(ixB), ct.c_size_t(X.size),
+        None, None, None,                     # X CSR
+        _ptr(Bc), c_int_t(n),
+        _ptr(Cc),
+        _ptr(um),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        c_real(lam), c_real(0.0), c_real(alpha), c_real(w_main),
+        c_real(w_user),
+        c_real(w_main_multiplier),
+        ct.c_bool(apply_log_transf),
+        None, None, None, None,
+        ct.c_int(1),
+    )
+    assert ret == 0, f"factors_collective_implicit_multiple returned {ret}"
+    return A

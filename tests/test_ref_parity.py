@@ -2032,3 +2032,160 @@ def test_precompute_implicit_caches_vs_binary():
     _triu_close(ref["BeTBe"], expected)
     np.testing.assert_allclose(_chol_reconstruct(ref["BeTBeChol"]),
                                expected, rtol=1e-7, atol=1e-8)
+
+
+# --------------------------------------------------------------------- #
+# batch inference vs the binary (factors_*_multiple, predict_X_old)     #
+# --------------------------------------------------------------------- #
+
+
+def test_factors_explicit_multiple_vs_binary():
+    """Batch warm factors for new users (X COO + dense side U + biases)
+    == factors_collective_explicit_multiple (collective.c:10865) with no
+    precomputed inputs."""
+    import scipy.sparse as sp
+
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_factors_collective_explicit_multiple
+
+    rng, rows, cols, vals, m, n = _data(seed=21)
+    p = 5
+    U = rng.normal(size=(m, p))
+    k, ku, km = 4, 2, 1
+    lam, w_u = 0.7, 0.6
+    model = CMF(k=k, k_user=ku, k_main=km, lambda_=lam, w_user=w_u,
+                niter=3, use_cg=False, use_float=False).fit_triplets(
+                    rows, cols, vals, m, n, U=U)
+
+    R = 7
+    new_mask = rng.uniform(size=(R, n)) < 0.4
+    nr, nc = np.nonzero(new_mask)
+    nv = 3.0 + rng.normal(size=nr.size)
+    U_new = rng.normal(size=(R, p))
+    Xnew = sp.coo_matrix((nv, (nr, nc)), shape=(R, n))
+
+    a_ours, bias_ours = model.factors_multiple(X=Xnew, U=U_new,
+                                               return_bias=True)
+    ref = ref_factors_collective_explicit_multiple(
+        m_new=R, rows=nr, cols=nc, vals=nv, n=n,
+        B=np.asarray(model.B_, np.float64), k=k, lam=lam,
+        U=U_new, C=np.asarray(model.C_, np.float64),
+        U_colmeans=np.asarray(model.U_colmeans_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_), user_bias=True,
+        k_user=ku, k_main=km, w_user=w_u)
+    np.testing.assert_allclose(np.asarray(a_ours), ref["A"],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(bias_ours), ref["biasA"],
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_factors_implicit_multiple_vs_binary():
+    """Batch implicit factors (X COO + dense side U) ==
+    factors_collective_implicit_multiple (collective.c:11176)."""
+    import scipy.sparse as sp
+
+    from cmfrec_tpu import CMF_implicit
+    from .ref_binary import ref_factors_collective_implicit_multiple
+
+    rng, rows, cols, vals, m, n = _data(seed=22)
+    vals = np.abs(vals) + 0.5
+    p = 5
+    U = rng.normal(size=(m, p))
+    k, ku = 4, 2
+    lam, w_u, alpha = 0.9, 0.7, 2.0
+    model = CMF_implicit(k=k, k_user=ku, lambda_=lam, w_user=w_u,
+                         alpha=alpha, niter=3, use_cg=False,
+                         use_float=False).fit_triplets(
+                             rows, cols, vals, m, n, U=U)
+
+    R = 6
+    new_mask = rng.uniform(size=(R, n)) < 0.4
+    nr, nc = np.nonzero(new_mask)
+    nv = np.abs(rng.normal(size=nr.size)) + 0.5
+    U_new = rng.normal(size=(R, p))
+    Xnew = sp.coo_matrix((nv, (nr, nc)), shape=(R, n))
+
+    a_ours = model.factors_multiple(X=Xnew, U=U_new)
+    ref = ref_factors_collective_implicit_multiple(
+        m_new=R, rows=nr, cols=nc, vals=nv, n=n,
+        B=np.asarray(model.B_, np.float64), k=k, lam=lam, alpha=alpha,
+        U=U_new, C=np.asarray(model.C_, np.float64),
+        U_colmeans=np.asarray(model.U_colmeans_, np.float64),
+        k_user=ku, w_user=w_u,
+        w_main_multiplier=float(model.w_main_multiplier_))
+    np.testing.assert_allclose(np.asarray(a_ours), ref,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_predict_pairs_vs_binary():
+    """predict() on (user, item) id arrays — including OUT-OF-RANGE ids,
+    which fall back to glob_mean + whichever bias IS valid — matches
+    predict_X_old_collective_explicit (collective.c:11797) when
+    k_main=0.  (For k_main>0 see the defect replica below.)"""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_predict_X_old_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=23)
+    k, ku = 4, 1
+    model = CMF(k=k, k_user=ku, lambda_=0.8, niter=3,
+                use_cg=False, use_float=False).fit_triplets(
+                    rows, cols, vals, m, n,
+                    U=rng.normal(size=(m, 4)))
+    uu = np.array([0, 3, 5, m + 4, 2, m + 9, 7])
+    ii = np.array([1, 4, n + 2, 0, 6, n + 5, 3])
+    ref = ref_predict_X_old_collective_explicit(
+        row=uu, col=ii,
+        A=np.asarray(model.A_, np.float64),
+        B=np.asarray(model.B_, np.float64),
+        biasA=np.asarray(model.user_bias_, np.float64),
+        biasB=np.asarray(model.item_bias_, np.float64),
+        glob_mean=float(model.glob_mean_),
+        k=k, k_user=ku, m=m, n_max=n)
+    ours = model.predict(uu, ii)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-7,
+                               atol=1e-9)
+
+
+def test_predict_kmain_defect_documented():
+    """REFERENCE DEFECT 7 (replica-pinned, not copied): predict_multiple
+    dots over k coords ONLY (common.c:5066 `cblas_tdot(k, ...)`), while
+    topN scores with k_pred = k + k_main (common.c's topN) and the fit
+    trains the k_main coords against X.  The shipped package's .predict()
+    (cmfrec/__init__.py:1253 -> predict_X_old_collective_explicit)
+    therefore DISAGREES with its own .topN() ranking whenever k_main > 0.
+    Ours includes k_main in both, matching the model objective and the
+    reference's own topN."""
+    from cmfrec_tpu import CMF
+    from .ref_binary import ref_predict_X_old_collective_explicit
+
+    rng, rows, cols, vals, m, n = _data(seed=24)
+    k, ku, km = 4, 1, 2
+    model = CMF(k=k, k_user=ku, k_main=km, lambda_=0.8, niter=3,
+                use_cg=False, use_float=False).fit_triplets(
+                    rows, cols, vals, m, n,
+                    U=rng.normal(size=(m, 4)))
+    A = np.asarray(model.A_, np.float64)
+    B = np.asarray(model.B_, np.float64)
+    ua = np.asarray(model.user_bias_, np.float64)
+    ib = np.asarray(model.item_bias_, np.float64)
+    uu = np.array([0, 3, 5, 2, 7])
+    ii = np.array([1, 4, 2, 6, 3])
+    ref = ref_predict_X_old_collective_explicit(
+        row=uu, col=ii, A=A, B=B, biasA=ua, biasB=ib,
+        glob_mean=float(model.glob_mean_),
+        k=k, k_user=ku, k_main=km, m=m, n_max=n)
+
+    # replica of the binary semantics: dot over k coords only
+    replica = (np.einsum("rk,rk->r", A[uu, ku:ku + k], B[ii, :k])
+               + ua[uu] + ib[ii] + model.glob_mean_)
+    np.testing.assert_allclose(ref, replica, rtol=1e-10, atol=1e-12)
+
+    # ours = the intended semantics (all k+k_main shared coords), which
+    # equals the score the binary's own topN ranks by
+    intended = (np.einsum("rk,rk->r", A[uu, ku:], B[ii, :])
+                + ua[uu] + ib[ii] + model.glob_mean_)
+    ours = model.predict(uu, ii)
+    np.testing.assert_allclose(np.asarray(ours), intended, rtol=1e-7,
+                               atol=1e-9)
+    assert np.max(np.abs(ref - intended)) > 1e-3  # the defect is material

@@ -37,7 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-BLOCK_R = int(os.environ.get("CMFREC_TPU_BLOCK_R", "512"))
+# r3 TPU sweep (scripts/sweep_masked_kernel.py, dependency-chained timing at
+# the ML10M shape): BLOCK_R=1024 beats 512 at every stream width; at the
+# pad_dim-selected bs=2816 the int8-mask matvec is 5.40 ms (30.7 TF/s) vs
+# 6.20 ms for 512.  All configs cluster at 5.4-6.2 ms — ~5x above both the
+# HBM-stream floor (~1.0 ms for the 790 MB int8 mask at 819 GB/s) and the
+# MXU floor (~0.8 ms), because K=52 fills only 40% of the 128-deep
+# contraction and the [R,S] intermediate makes three VPU passes
+# (f32->bf16 cast, mask multiply, cast to operand dtype).
+BLOCK_R = int(os.environ.get("CMFREC_TPU_BLOCK_R", "1024"))
 # Preferred inner (streamed) block widths; all multiples of 128 lanes.
 # Small widths cause an out-block revisit pipeline stall (measured 4-5x
 # slowdown at bs<=1024 on v5e), so candidates stay in [2048, 4096].

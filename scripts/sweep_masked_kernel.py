@@ -14,6 +14,9 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 M, N, K = 69878, 10677, 52  # ML10M shape, k=50 + two bias columns
 
@@ -45,8 +48,11 @@ def run_one():
         for wdt in ("int8", "bf16"):
             W = Wm.astype(jnp.bfloat16) if wdt == "bf16" else Wm
 
-            @jax.jit
-            def chain(Q, n=8):
+            # arrays passed as ARGS, not closed over: closure constants get
+            # baked into the HLO and the axon remote-compile endpoint
+            # rejects the ~860 MB request body (HTTP 413)
+            @partial(jax.jit, static_argnames=("bs", "n"))
+            def chain(Q, Be, W, bs, n=8):
                 def body(q, _):
                     y = masked_gram_matvec(q, Be, W, block_s=bs)
                     return (y * 1e-3).astype(jnp.bfloat16), None
@@ -54,10 +60,10 @@ def run_one():
                 q, _ = jax.lax.scan(body, Q, None, length=n)
                 return q
 
-            out = chain(Q0)
+            out = chain(Q0, Be, W, bs)
             float(jnp.sum(out.astype(jnp.float32)))  # warm + fence
             t0 = time.perf_counter()
-            out = chain(Q0)
+            out = chain(Q0, Be, W, bs)
             float(jnp.sum(out.astype(jnp.float32)))
             dt = (time.perf_counter() - t0) / 8
             flops = 4 * R * S * K

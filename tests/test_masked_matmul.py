@@ -42,7 +42,7 @@ def _mk(rng, R, S, K, w_int8=True):
 
 @pytest.mark.parametrize("w_int8", [True, False])
 def test_masked_gram_matvec_matches_einsum(rng, w_int8):
-    R, S, K = 1024, 2048, 64
+    R, S, K = BLOCK_R, 2048, 64
     Q, Be, W = _mk(rng, R, S, K, w_int8)
     out = masked_gram_matvec(Q, Be, W, block_s=1024, interpret=INTERP)
     Wf = W.astype(jnp.float32)
@@ -53,7 +53,7 @@ def test_masked_gram_matvec_matches_einsum(rng, w_int8):
 
 
 def test_masked_rhs_matches_einsum(rng):
-    R, S, K = 512, 1024, 64
+    R, S, K = BLOCK_R, 1024, 64
     X = jnp.asarray(
         np.round(rng.uniform(1, 10, size=(R, S))) / 2, jnp.bfloat16
     )

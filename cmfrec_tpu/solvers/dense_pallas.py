@@ -468,39 +468,75 @@ def _solve_side_factor(Ak, Ud, w_side, lam, k):
     return out.T  # [p, k]
 
 
+def _shared_na0_solve(Fk, Mask, lam_diag, cdt):
+    """Implicit-features half-step (Ai or Bi): Xones is the FULL binary
+    matrix (zeros at missing entries), so every row of the solved side
+    shares one system matrix and the whole update is a single Cholesky:
+
+        (Fk^T Fk + diag(lam)) out_r = (Mask @ Fk)_r
+
+    The reference hard-codes the closed form for these half-steps even in
+    CG fits (/root/reference/src/collective.c:8479,8520)."""
+    hp = jax.lax.Precision.HIGHEST
+    G = (jnp.einsum("mk,ml->kl", Fk, Fk, precision=hp)
+         + jnp.diag(lam_diag))
+    rhs = jnp.einsum("nm,mk->nk", Mask.astype(cdt), Fk.astype(cdt),
+                     precision=hp, preferred_element_type=jnp.float32)
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs.T, left_side=True, lower=True)
+    out = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                          transpose_a=True)
+    return out.T  # [rows, k] f32
+
+
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "mesh",
-                     "has_U", "has_I", "n_iters"),
+                     "has_U", "has_I", "has_impl", "n_iters"),
 )
 def _run_collective_iterations(
-    A, B, X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B, live_A, live_B, mu,
-    lamC, lamD, w_user, w_item,
+    A, B, Ai, Bi, X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B,
+    live_A, live_B, mu, lamC, lamD, w_user, w_item,
+    lam_ai, lam_bi, w_imp,
     *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
-    interpret, mesh, has_U, has_I,
+    interpret, mesh, has_U, has_I, has_impl,
 ):
-    """n_iters collective ALS iterations (C, D, A, B updates) in one
-    dispatch.  Side info must be fully dense (the reference's case-1 fast
-    path applies, /root/reference/src/collective.c:5118)."""
+    """n_iters collective ALS iterations (C, D, Bi, Ai, B, A updates) in
+    one dispatch.  Side info must be fully dense (the reference's case-1
+    fast path applies, /root/reference/src/collective.c:5118)."""
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
     Kp = A.shape[1]
     m_pad, n_pad = A.shape[0], B.shape[0]
     hp = jax.lax.Precision.HIGHEST
 
     def body(carry, _):
-        A, B = carry
-        # Reference in-iteration order: C, D, then B, then A
-        # (/root/reference/src/collective.c:8345,8396,8614,8802).
+        A, B, Ai, Bi = carry
+        # Reference in-iteration order: C, D, Bi, Ai, then B, then A
+        # (/root/reference/src/collective.c:8345,8396,8479,8520,8614,8802).
         C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
         D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
+        if has_impl:
+            # Xones ~ A[:, :k] Bi^T and Xones^T ~ B[:, :k] Ai^T; both use
+            # the PRE-update main factors (bucketed path order).
+            Bi = _shared_na0_solve(A[:, :k], WT, lam_bi, cdt)
+            Ai = _shared_na0_solve(B[:, :k], W, lam_ai, cdt)
 
         G0B = R0B = None
-        if has_I:
-            G0B = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
-                w_item * jnp.einsum("qk,ql->kl", D, D, precision=hp))
-            R0B = jnp.zeros((n_pad, Kp), jnp.float32).at[:, :k].set(
-                w_item * jnp.einsum("nq,qk->nk", Id, D, precision=hp))
+        if has_I or has_impl:
+            G0B = jnp.zeros((Kp, Kp), jnp.float32)
+            R0B = jnp.zeros((n_pad, Kp), jnp.float32)
+            if has_I:
+                G0B = G0B.at[:k, :k].add(
+                    w_item * jnp.einsum("qk,ql->kl", D, D, precision=hp))
+                R0B = R0B.at[:, :k].add(
+                    w_item * jnp.einsum("nq,qk->nk", Id, D, precision=hp))
+            if has_impl:
+                G0B = G0B.at[:k, :k].add(
+                    w_imp * jnp.einsum("mk,ml->kl", Ai, Ai, precision=hp))
+                R0B = R0B.at[:, :k].add(w_imp * jnp.einsum(
+                    "nm,mk->nk", WT.astype(cdt), Ai.astype(cdt),
+                    precision=hp, preferred_element_type=jnp.float32))
         Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
         mbB = mu * jnp.ones(m_pad, jnp.float32)
         if user_bias:
@@ -510,11 +546,20 @@ def _run_collective_iterations(
                        interpret=interpret, mesh=mesh, G0=G0B, R0=R0B)
 
         G0A = R0A = None
-        if has_U:
-            G0A = jnp.zeros((Kp, Kp), jnp.float32).at[:k, :k].set(
-                w_user * jnp.einsum("pk,pl->kl", C, C, precision=hp))
-            R0A = jnp.zeros((m_pad, Kp), jnp.float32).at[:, :k].set(
-                w_user * jnp.einsum("mp,pk->mk", Ud, C, precision=hp))
+        if has_U or has_impl:
+            G0A = jnp.zeros((Kp, Kp), jnp.float32)
+            R0A = jnp.zeros((m_pad, Kp), jnp.float32)
+            if has_U:
+                G0A = G0A.at[:k, :k].add(
+                    w_user * jnp.einsum("pk,pl->kl", C, C, precision=hp))
+                R0A = R0A.at[:, :k].add(
+                    w_user * jnp.einsum("mp,pk->mk", Ud, C, precision=hp))
+            if has_impl:
+                G0A = G0A.at[:k, :k].add(
+                    w_imp * jnp.einsum("nk,nl->kl", Bi, Bi, precision=hp))
+                R0A = R0A.at[:, :k].add(w_imp * jnp.einsum(
+                    "mn,nk->mk", W.astype(cdt), Bi.astype(cdt),
+                    precision=hp, preferred_element_type=jnp.float32))
         Be = B.at[:, k].set(1.0 if user_bias else 0.0)
         mbA = mu * jnp.ones(n_pad, jnp.float32)
         if item_bias:
@@ -522,12 +567,13 @@ def _run_collective_iterations(
         A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
                        block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
                        interpret=interpret, mesh=mesh, G0=G0A, R0=R0A)
-        return (A, B), None
+        return (A, B, Ai, Bi), None
 
-    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
+    (A, B, Ai, Bi), _ = jax.lax.scan(body, (A, B, Ai, Bi), None,
+                                     length=n_iters)
     C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
     D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
-    return A, B, C, D
+    return A, B, C, D, Ai, Bi
 
 
 def fit_collective_dense_pallas(
@@ -537,10 +583,12 @@ def fit_collective_dense_pallas(
     scale_lam_sideinfo=False,
     scale_bias_const=False, dtype=np.float32, seed=1, verbose=False,
     interpret=False, mesh=None, init=None,
+    add_implicit_features=False, w_implicit=0.5,
 ) -> dict:
-    """Collective explicit ALS with fully-dense side info on the fused
-    masked-kernel engine (k_user = k_item = k_main = 0).  Solves the same
-    per-row systems as solvers/collective.py's bucketed path."""
+    """Collective explicit ALS with fully-dense side info and/or implicit
+    features on the fused masked-kernel engine (k_user = k_item = k_main =
+    0, unweighted when add_implicit_features).  Solves the same per-row
+    systems as solvers/collective.py's bucketed path."""
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)
     n_pad, bs_n = pad_dim(n, row_mult=n_dev)

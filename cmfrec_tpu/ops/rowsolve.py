@@ -153,6 +153,19 @@ def solve_chol(G: jax.Array, rhs: jax.Array) -> jax.Array:
     return x[..., 0]
 
 
+def solve_shared_chol(G: jax.Array, rhs: jax.Array) -> jax.Array:
+    """All rows share ONE [K, K] SPD system matrix (NA-as-zero style
+    half-steps, /root/reference/src/common.c:3118 optimizeA case 3 and the
+    implicit-feature Bi/Ai solves, collective.c:8479/8520): one Cholesky
+    factorization, two triangular solves over the [R, K] rhs."""
+    L = jax.lax.linalg.cholesky(G)
+    y = jax.lax.linalg.triangular_solve(L, rhs.T, left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+    return x.T
+
+
 def solve_cg(
     parts: list[SparsePart],
     lam_vec: jax.Array,

@@ -305,7 +305,9 @@ def fit_collective_explicit_als(
         and not np.any(l16 > 0)
         and not (NA_as_zero or NA_as_zero_user or NA_as_zero_item)
         and k_user == 0 and k_item == 0 and k_main == 0
-        and not add_implicit_features
+        # implicit features ride the dense engine's binary mask, which only
+        # equals Xones when the fit is unweighted
+        and (not add_implicit_features or weights is None)
         and m_eff == m and n_eff == n
         and (U is None or U.dense is not None)
         and (I is None or I.dense is not None)
@@ -334,6 +336,8 @@ def fit_collective_explicit_als(
             user_bias=user_bias, item_bias=item_bias, glob_mean=glob_mean,
             scale_lam=scale_lam, scale_lam_sideinfo=scale_lam_sideinfo,
             scale_bias_const=scale_bias_const,
+            add_implicit_features=add_implicit_features,
+            w_implicit=w_implicit,
             dtype=dtype, seed=seed, verbose=verbose,
         )
         res["U_colmeans"] = None if U is None else U.colmeans

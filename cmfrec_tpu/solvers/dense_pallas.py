@@ -506,6 +506,10 @@ def _run_collective_iterations(
     one dispatch.  Side info must be fully dense (the reference's case-1
     fast path applies, /root/reference/src/collective.c:5118)."""
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
+    # CPU XLA (interpret-mode tests) lacks bf16 x bf16 -> f32 dots; the
+    # plain-XLA einsums below fall back to f32 there (the Pallas kernels
+    # handle bf16 themselves in interpret mode)
+    mdt = jnp.float32 if interpret else cdt
     Kp = A.shape[1]
     m_pad, n_pad = A.shape[0], B.shape[0]
     hp = jax.lax.Precision.HIGHEST
@@ -519,8 +523,8 @@ def _run_collective_iterations(
         if has_impl:
             # Xones ~ A[:, :k] Bi^T and Xones^T ~ B[:, :k] Ai^T; both use
             # the PRE-update main factors (bucketed path order).
-            Bi = _shared_na0_solve(A[:, :k], WT, lam_bi, cdt)
-            Ai = _shared_na0_solve(B[:, :k], W, lam_ai, cdt)
+            Bi = _shared_na0_solve(A[:, :k], WT, lam_bi, mdt)
+            Ai = _shared_na0_solve(B[:, :k], W, lam_ai, mdt)
 
         G0B = R0B = None
         if has_I or has_impl:
@@ -535,7 +539,7 @@ def _run_collective_iterations(
                 G0B = G0B.at[:k, :k].add(
                     w_imp * jnp.einsum("mk,ml->kl", Ai, Ai, precision=hp))
                 R0B = R0B.at[:, :k].add(w_imp * jnp.einsum(
-                    "nm,mk->nk", WT.astype(cdt), Ai.astype(cdt),
+                    "nm,mk->nk", WT.astype(mdt), Ai.astype(mdt),
                     precision=hp, preferred_element_type=jnp.float32))
         Ae = A.at[:, k].set(1.0 if item_bias else 0.0)
         mbB = mu * jnp.ones(m_pad, jnp.float32)
@@ -558,7 +562,7 @@ def _run_collective_iterations(
                 G0A = G0A.at[:k, :k].add(
                     w_imp * jnp.einsum("nk,nl->kl", Bi, Bi, precision=hp))
                 R0A = R0A.at[:, :k].add(w_imp * jnp.einsum(
-                    "mn,nk->mk", W.astype(cdt), Bi.astype(cdt),
+                    "mn,nk->mk", W.astype(mdt), Bi.astype(mdt),
                     precision=hp, preferred_element_type=jnp.float32))
         Be = B.at[:, k].set(1.0 if user_bias else 0.0)
         mbA = mu * jnp.ones(n_pad, jnp.float32)
@@ -613,11 +617,13 @@ def fit_collective_dense_pallas(
         Id = jnp.asarray(
             np.pad(np.asarray(I_dense, np.float32), ((0, n_pad - n), (0, 0))))
 
-    # with dense side info every real row participates
+    # with dense side info (or implicit features, whose Xones part gives
+    # every row a full-rank system) every real row participates
+    has_impl = bool(add_implicit_features)
     real_A = jnp.arange(m_pad) < m
     real_B = jnp.arange(n_pad) < n
-    live_A = real_A if has_U else (cnt_A > 0)
-    live_B = real_B if has_I else (cnt_B > 0)
+    live_A = real_A if (has_U or has_impl) else (cnt_A > 0)
+    live_B = real_B if (has_I or has_impl) else (cnt_B > 0)
 
     mu = jnp.float32(glob_mean)
     key = jax.random.PRNGKey(seed)
@@ -675,23 +681,39 @@ def fit_collective_dense_pallas(
     lam_row_B = lam_row_for(lam6[3], lam6[1], item_bias, cnt_lam_B,
                             count_avg_B)
 
+    # Implicit-features (Xones) half-steps: the bucketed path's scale_lam
+    # multiplier for these NA0 plans is the full opposing length (als.py
+    # _lam_multiplier, mode "na0"), shared across rows, and lambda is
+    # divided by w_implicit so the unweighted shared-Gram solve lands on
+    # the reference's weighted system (collective.c:8479/8520).
+    lam_ai = jnp.full((k,), np.float32(
+        lam6[2] / w_implicit * (float(n) if scale_lam else 1.0)))
+    lam_bi = jnp.full((k,), np.float32(
+        lam6[3] / w_implicit * (float(m) if scale_lam else 1.0)))
+    w_imp = jnp.float32(w_implicit)
+    # Ai/Bi carry: overwritten from the pre-update main factors at the top
+    # of every iteration, so the initial value only seeds dead shapes.
+    Ai = jnp.zeros((m_pad, k), jnp.float32)
+    Bi = jnp.zeros((n_pad, k), jnp.float32)
+
     statics = dict(k=k, user_bias=user_bias, item_bias=item_bias,
                    bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,
-                   has_U=has_U, has_I=has_I)
+                   has_U=has_U, has_I=has_I, has_impl=has_impl)
     args = (X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B, live_A, live_B, mu,
             jnp.float32(lam6[4]), jnp.float32(lam6[5]),
-            jnp.float32(w_user), jnp.float32(w_item))
+            jnp.float32(w_user), jnp.float32(w_item),
+            lam_ai, lam_bi, w_imp)
 
     try:
         n_bulk = niter - 1 if finalize_chol else niter
         C = D = None
         if n_bulk > 0:
-            A, B, C, D = _run_collective_iterations(
-                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
+            A, B, C, D, Ai, Bi = _run_collective_iterations(
+                A, B, Ai, Bi, *args, n_iters=n_bulk, n_steps=max_cg_steps,
                 compute="bf16", **statics)
         if finalize_chol and niter > 0:
-            A, B, C, D = _run_collective_iterations(
-                A, B, *args, n_iters=1, n_steps=finalize_steps,
+            A, B, C, D, Ai, Bi = _run_collective_iterations(
+                A, B, Ai, Bi, *args, n_iters=1, n_steps=finalize_steps,
                 compute="f32", **statics)
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
@@ -714,7 +736,8 @@ def fit_collective_dense_pallas(
         "biasB": B[:n, k].astype(dtype) if item_bias else None,
         "C": None if C is None else C.astype(dtype),
         "D": None if D is None else D.astype(dtype),
-        "Ai": None, "Bi": None,
+        "Ai": Ai[:m].astype(dtype) if has_impl else None,
+        "Bi": Bi[:n].astype(dtype) if has_impl else None,
         "glob_mean": float(glob_mean),
         "k": k,
     }

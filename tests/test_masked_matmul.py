@@ -171,6 +171,107 @@ def test_collective_dense_pallas_matches_bucketed(rng):
     assert abs(eu_p - eu_b) / max(eu_b, 1e-9) < 0.3  # pallas recomputes C post-A-update (fresher)
 
 
+@pytest.mark.parametrize("with_side,scale_lam", [(False, True),
+                                                 (True, False)])
+def test_collective_dense_pallas_implicit_features(rng, with_side, scale_lam):
+    """The fused collective engine with add_implicit_features (the
+    reference's best-RMSE benchmark config, benchmark/README.md:28-29)
+    reaches the bucketed collective path's fixed point — both the plain
+    scale_lam config bench.py times and the side-info+implicit combo."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+    from cmfrec_tpu.solvers.dense_pallas import fit_collective_dense_pallas
+
+    m, n, k, p = 80, 60, 4, 5
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    U = A0 @ rng.normal(size=(k, p)) + 0.05 * rng.normal(size=(m, p))
+    Uc = (U - U.mean(0)).astype(np.float32)
+    mask = rng.uniform(size=(m, n)) < 0.5
+    ro, co = np.nonzero(mask)
+    vals = (A0 @ B0.T)[ro, co] + 3.0 + 0.05 * rng.normal(size=ro.size)
+    mu = float(vals.mean())
+
+    res_p = fit_collective_dense_pallas(
+        ro, co, vals, m, n,
+        U_dense=Uc if with_side else None, I_dense=None, weights=None,
+        k=k, lam6=np.full(6, 0.6 if not scale_lam else 0.02),
+        w_user=0.7, w_item=1.0,
+        niter=15, max_cg_steps=3, finalize_chol=True, finalize_steps=25,
+        user_bias=True, item_bias=True, glob_mean=mu, scale_lam=scale_lam,
+        scale_bias_const=False, dtype=np.float32, seed=5, verbose=False,
+        interpret=True, add_implicit_features=True, w_implicit=0.5,
+    )
+    res_b = fit_collective_explicit_als(
+        ro, co, vals, m, n,
+        side_U=(None, None, None, m, p, True, Uc) if with_side else None,
+        k=k, lambda_=0.6 if not scale_lam else 0.02, w_user=0.7,
+        niter=15, use_cg=False, finalize_chol=True,
+        user_bias=True, item_bias=True, scale_lam=scale_lam,
+        center_U=False, dtype=np.float32, seed=5,
+        add_implicit_features=True, w_implicit=0.5,
+    )
+    assert res_p["Ai"] is not None and res_p["Bi"] is not None
+    assert res_p["Ai"].shape == (m, k) and res_p["Bi"].shape == (n, k)
+
+    def pred(res):
+        return (res["glob_mean"] + np.asarray(res["biasA"])[ro]
+                + np.asarray(res["biasB"])[co]
+                + np.einsum("ek,ek->e", np.asarray(res["A"])[ro, :k],
+                            np.asarray(res["B"])[co, :k]))
+
+    pred_p, pred_b = pred(res_p), pred(res_b)
+    # finite-iteration points differ through bias-init and CG-stop noise
+    # compounding (single-iteration semantics are pinned tightly below);
+    # quality must agree closely
+    np.testing.assert_allclose(pred_p, pred_b, rtol=0, atol=0.6)
+    rmse_p = np.sqrt(np.mean((pred_p - vals) ** 2))
+    rmse_b = np.sqrt(np.mean((pred_b - vals) ** 2))
+    assert abs(rmse_p - rmse_b) < 1.5e-2, (rmse_p, rmse_b)
+    # the Xones factorizations agree in quality: both engines reconstruct
+    # the binary mask from A@Bi^T equally well
+    ones_p = np.asarray(res_p["A"])[:, :k] @ np.asarray(res_p["Bi"]).T
+    ones_b = (np.asarray(res_b["A"])[:, :k]
+              @ np.asarray(res_b["Bi"])[:, :k].T)
+    e_p = np.linalg.norm(mask.astype(np.float64) - ones_p)
+    e_b = np.linalg.norm(mask.astype(np.float64) - ones_b)
+    assert abs(e_p - e_b) / max(e_b, 1e-9) < 0.05, (e_p, e_b)
+
+
+def test_collective_dense_pallas_implicit_one_iter_trajectory(rng):
+    """Single controlled iteration from shared inits: the fused engine's
+    Ai/Bi half-steps must equal the bucketed path's shared-Gram solves to
+    float precision, and the A/B half-steps to CG-stop noise (rows freeze
+    at residual <=1e-8, so ~1e-2 absolute — the same tolerance class the
+    plain-model engines carry)."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+    from cmfrec_tpu.solvers.dense_pallas import fit_collective_dense_pallas
+
+    m, n, k = 30, 20, 3
+    mask = rng.uniform(size=(m, n)) < 0.6
+    ro, co = np.nonzero(mask)
+    vals = rng.normal(size=ro.size) + 3.0
+    A0 = rng.normal(size=(m, k)).astype(np.float32)
+    B0 = rng.normal(size=(n, k)).astype(np.float32)
+
+    kw = dict(k=k, niter=1, user_bias=False, item_bias=False,
+              dtype=np.float32, seed=5)
+    res_b = fit_collective_explicit_als(
+        ro, co, vals, m, n, lambda_=0.5, use_cg=False, finalize_chol=True,
+        center=False, add_implicit_features=True, w_implicit=0.5,
+        init=dict(A=A0, B=B0), **kw)
+    res_p = fit_collective_dense_pallas(
+        ro, co, vals, m, n, U_dense=None, I_dense=None, weights=None,
+        lam6=np.full(6, 0.5), w_user=1.0, w_item=1.0, max_cg_steps=3,
+        finalize_chol=True, finalize_steps=40, glob_mean=0.0,
+        scale_lam=False, scale_bias_const=False, verbose=False,
+        interpret=True, add_implicit_features=True, w_implicit=0.5,
+        init=dict(A=A0, B=B0), **kw)
+    for key, tol in (("Bi", 1e-5), ("Ai", 1e-5), ("B", 0.05), ("A", 0.05)):
+        b = np.asarray(res_b[key], np.float64)[:, :k]
+        p = np.asarray(res_p[key], np.float64)[:, :k]
+        np.testing.assert_allclose(p, b, rtol=0, atol=tol, err_msg=key)
+
+
 def test_dense_na0_matches_bucketed(rng):
     """The shared-Gram NA-as-zero closed form (interpret mode) matches the
     bucketed engine's na0 coefficient path."""

@@ -191,6 +191,13 @@ def main():
             rows[tr], cols[tr], vals[tr], m, n,
             use_cg=False, **collective_kw), "chol_implicit_feat", 35.35)
 
+    # --- the implicit (WRMF) benchmark, embedded so the driver records it
+    # (benchmark/README.md:90: LastFM-360K ALS-CG 31.9 s on the Ryzen) ---
+    if os.environ.get("CMFREC_TPU_BENCH_NO_IMPLICIT", "0") != "1":
+        import bench_implicit
+
+        extras["implicit"] = bench_implicit.run()
+
     rows_per_s = (m + n) * kwargs["niter"] / elapsed
     print(json.dumps({
         "metric": "ml10m_shaped_explicit_als_cg_k50_15iter_fit_seconds",

@@ -151,7 +151,9 @@ def ranking_quality(A, B, tr_rows, tr_cols, te_rows, te_cols, test_users, n):
     return p10, map10, p10_pop
 
 
-def main():
+def run():
+    """Run the protocol and return the result record (bench.py embeds it
+    in its own JSON so the driver captures the implicit number too)."""
     t_setup = time.time()
     from cmfrec_tpu.config import enable_persistent_compilation_cache
 
@@ -201,7 +203,7 @@ def main():
           f"(popularity {p10_pop:.4f}), MAP@10={map10:.4f}",
           file=sys.stderr)
 
-    print(json.dumps({
+    return {
         "metric": "lastfm_shaped_implicit_als_cg_k50_15iter_fit_seconds",
         "value": round(elapsed, 3),
         "unit": "s",
@@ -214,7 +216,11 @@ def main():
                   "map_at_10": round(map10, 5),
                   "p_at_10_lift_vs_popularity":
                       round(p10 / max(p10_pop, 1e-9), 3)},
-    }))
+    }
+
+
+def main():
+    print(json.dumps(run()))
 
 
 if __name__ == "__main__":

@@ -117,6 +117,7 @@ def _lam_multiplier(p: PartData, mode: str, n_total: int):
         "mxu_bf16",
         "lam_mult_add",
         "ring_mesh",
+        "defer_solve",
     ),
 )
 def solve_bucket(
@@ -142,6 +143,10 @@ def solve_bucket(
     # (dense side-info observation count, common.c:689-724)
     ring_mesh=None,  # Mesh: opposing matrices stay row-sharded; Gram/rhs
     # assembled by the ppermute ring (parallel/ring.py).  Chol/CD only.
+    defer_solve: bool = False,  # Cholesky path only: return the assembled
+    # (G, rhs, live) instead of solving, so the caller can concatenate all
+    # buckets into ONE batched Cholesky (update_side) — fewer, larger
+    # decompositions compile much faster on TPU and batch better.
 ):
     sparse_parts = [_coefficients(p, m) for p, m in zip(parts, modes)]
 
@@ -232,6 +237,8 @@ def solve_bucket(
                 G, rhs, l1, nonneg=nonneg, max_steps=max_cd_steps, a0=None
             )
         else:
+            if defer_solve:
+                return G, rhs, live
             a = rowsolve.solve_chol(G, rhs)
         if live is not None:
             a = jnp.where(live[:, None], a, 0.0)
@@ -356,7 +363,6 @@ def update_side(
     dtype=jnp.float32,
 ) -> list:
     """Solve all buckets of one side; returns the new block list."""
-    new_blocks = []
     w_arr = jnp.asarray(w, dtype)
     alpha_arr = None if alpha is None else jnp.asarray(alpha, dtype)
     mu_arr = None if mu is None else jnp.asarray(mu, dtype)
@@ -365,6 +371,16 @@ def update_side(
         if buckets_data is not None
         else bucket_arrays(plan.bucketed)
     )
+    new_blocks = [None] * len(data)
+    # Cholesky solves are deferred and concatenated into ONE batched
+    # decomposition across buckets: 2 large Cholesky instances per
+    # iteration instead of 2 x n_buckets compile far faster on TPU (the
+    # blocked TPU lowering is program-size-heavy) and batch better.
+    defer_ok = (
+        method == "chol" and not nonneg and l1_vec is None
+        and ring_mesh is None and len(data) > 1
+    )
+    deferred = []  # (bi, G, rhs, live)
     for bi, (b_idx, b_val, b_len, b_wgt) in enumerate(data):
         p_main = PartData(
             idx=b_idx,
@@ -387,15 +403,12 @@ def update_side(
                 modes = modes + (pmode,)
                 n_totals = n_totals + (pn,)
                 scale_parts = scale_parts + (psc,)
-        a_new = solve_bucket(
-            parts,
-            blocks[bi],
-            G0,
-            None if r0_blocks is None else r0_blocks[bi],
-            r0_vec,
-            lam_vec,
-            lam_const_vec,
-            l1_vec,
+        # The shared-Gram fast path (all parts na0/unweighted) already does
+        # one tiny Cholesky — keep it per-bucket rather than deferring.
+        shared = all(
+            m == "na0" and p.wgt is None for p, m in zip(parts, modes)
+        )
+        kw = dict(
             modes=modes,
             method=method,
             n_steps=n_steps,
@@ -409,7 +422,33 @@ def update_side(
             lam_mult_add=lam_mult_add,
             ring_mesh=ring_mesh,
         )
-        new_blocks.append(a_new)
+        args = (
+            parts,
+            blocks[bi],
+            G0,
+            None if r0_blocks is None else r0_blocks[bi],
+            r0_vec,
+            lam_vec,
+            lam_const_vec,
+            l1_vec,
+        )
+        if defer_ok and not shared:
+            deferred.append((bi,) + solve_bucket(*args, defer_solve=True,
+                                                 **kw))
+        else:
+            new_blocks[bi] = solve_bucket(*args, **kw)
+    if deferred:
+        a_all = rowsolve.solve_chol(
+            jnp.concatenate([g for _, g, _, _ in deferred]),
+            jnp.concatenate([r for _, _, r, _ in deferred]),
+        )
+        off = 0
+        for bi, _g, r, live in deferred:
+            a = a_all[off:off + r.shape[0]]
+            off += r.shape[0]
+            if live is not None:
+                a = jnp.where(live[:, None], a, 0.0)
+            new_blocks[bi] = a
     return new_blocks
 
 

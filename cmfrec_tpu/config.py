@@ -65,7 +65,11 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERYTHING: over the axon tunnel even a jit(add) costs a
+        # ~0.4-0.5s compile RPC, and a cold fit dispatches ~300 tiny
+        # helper programs (measured r4: that storm, not the iteration
+        # program, dominates first-run latency).  Disk is cheap.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

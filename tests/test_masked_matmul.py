@@ -113,6 +113,7 @@ def test_dense_pallas_fit_matches_xla_engine(rng):
     assert abs(rmse_p - rmse_x) < 5e-3
 
 
+@pytest.mark.slow
 def test_collective_dense_pallas_matches_bucketed(rng):
     """The fused collective engine (interpret mode) reaches the same fixed
     point as the bucketed collective path on dense side info."""
@@ -171,6 +172,7 @@ def test_collective_dense_pallas_matches_bucketed(rng):
     assert abs(eu_p - eu_b) / max(eu_b, 1e-9) < 0.3  # pallas recomputes C post-A-update (fresher)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("with_side,scale_lam", [(False, True),
                                                  (True, False)])
 def test_collective_dense_pallas_implicit_features(rng, with_side, scale_lam):

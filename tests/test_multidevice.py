@@ -10,6 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# 1-vs-8-device trajectory pins re-run every fit twice; inner loop skips
+# them (pytest -m "not slow"), the round-end full suite runs everything
+pytestmark = pytest.mark.slow
+
 from cmfrec_tpu.data.shards import build_bucketed_rows
 from cmfrec_tpu.parallel.mesh import (
     make_mesh,

@@ -59,8 +59,13 @@ import pytest
 
 from .ref_binary import get_lib, ref_fit_explicit_als, ref_fit_implicit_als
 
-pytestmark = pytest.mark.skipif(
-    get_lib() is None, reason="reference libcmfrec could not be built")
+pytestmark = [
+    pytest.mark.skipif(
+        get_lib() is None, reason="reference libcmfrec could not be built"),
+    # the h2h program needs the cmake binary build and runs ~50 fits;
+    # inner loop: pytest -m "not slow" (full suite at round end)
+    pytest.mark.slow,
+]
 
 
 def _data(seed=0, m=30, n=20, density=0.4):

@@ -115,7 +115,13 @@ def build_bucketed_pair_device(
         return jnp.asarray(v.astype(jnp.bfloat16) if ship_bf16
                            else v.astype(dt))
 
-    raw_upload = (os.environ.get("CMFREC_TPU_RAW_UPLOAD", "1") == "1"
+    # Default: host-CSR (native counting sort, ~2s for 10M entries) and
+    # ship 5 B/entry — the raw-COO path ships 8 B/entry to save that host
+    # pass, but the tunnel is the scarcer resource AND suffers sporadic
+    # multi-minute stalls (measured r4: a 20 MB transfer took 268 s, the
+    # next 10 MB took 0.7 s), so fewer wire bytes wins in expectation.
+    # CMFREC_TPU_RAW_UPLOAD=1 restores the overlapped raw path.
+    raw_upload = (os.environ.get("CMFREC_TPU_RAW_UPLOAD", "0") == "1"
                   and not rows_sorted
                   and m < np.iinfo(np.int32).max
                   and n < np.iinfo(np.int32).max)
@@ -227,23 +233,45 @@ def build_bucketed_pair_device(
     )
 
     def attach(out: BucketedRows, meta, idx_f, val_f, wgt_f, n_rows_pad):
-        lengths_pad = (jnp.zeros(n_rows_pad, jnp.int32)
-                       .at[meta["perm_dev"]]
-                       .set(meta["counts_dev"].astype(jnp.int32)))
-        off = 0
-        for (pos, R, n_real, w, _cs) in meta["chunks"]:
-            sz = R * w
+        layout = tuple((pos, R, w) for (pos, R, _nr, w, _cs)
+                       in meta["chunks"])
+        parts = _attach_fused(
+            idx_f, val_f,
+            wgt_f if (wgt_f is not None and weighted) else None,
+            meta["perm_dev"], meta["counts_dev"],
+            layout=layout, n_rows_pad=n_rows_pad)
+        for (pos, R, n_real, w, _cs), (bi, bv, bl, bw) in zip(
+                meta["chunks"], parts):
             out.buckets.append(Bucket(
                 start=pos, n_rows=R, n_real=n_real, width=w,
-                idx=idx_f[off:off + sz].reshape(R, w),
-                val=val_f[off:off + sz].reshape(R, w),
-                length=jax.lax.dynamic_slice(lengths_pad, (pos,), (R,)),
-                wgt=(wgt_f[off:off + sz].reshape(R, w)
-                     if wgt_f is not None and weighted else None),
+                idx=bi, val=bv, length=bl, wgt=bw,
             ))
-            off += sz
         return out
 
     attach(RB, meta_r, idx_f, val_f, wgt_f, RB.n_rows_pad)
     attach(CB, meta_c, idx_f2, val_f2, wgt_f2, CB.n_rows_pad)
     return RB, CB
+
+
+@partial(jax.jit, static_argnames=("layout", "n_rows_pad"))
+def _attach_fused(idx_f, val_f, wgt_f, perm_dev, counts_dev, *, layout,
+                  n_rows_pad):
+    """Slice the flat fill buffers into per-bucket [R, w] views in ONE
+    executable.  The eager per-bucket version dispatched ~4 tiny programs
+    per bucket per side; over the axon tunnel each program's FIRST run
+    costs ~0.5-2s (load RPC), which dominated the cold-start build
+    (measured r4: 88s first vs 3s warm for the whole pair build)."""
+    lengths_pad = (jnp.zeros(n_rows_pad, jnp.int32)
+                   .at[perm_dev].set(counts_dev.astype(jnp.int32)))
+    parts = []
+    off = 0
+    for (pos, R, w) in layout:
+        sz = R * w
+        parts.append((
+            idx_f[off:off + sz].reshape(R, w),
+            val_f[off:off + sz].reshape(R, w),
+            jax.lax.dynamic_slice(lengths_pad, (pos,), (R,)),
+            None if wgt_f is None else wgt_f[off:off + sz].reshape(R, w),
+        ))
+        off += sz
+    return parts

@@ -459,18 +459,31 @@ def blocks_to_orig(blocks: list, perm: jax.Array, n_rows: int) -> jax.Array:
     return jnp.take(full, perm, axis=0)
 
 
-def init_blocks(key, bucketed: BucketedRows, k_tot: int, k_pad: int, dtype):
-    """Random normal init scaled like the reference's random_parallel
-    (/root/reference/src/helpers.c:927): N(0, 1/sqrt(k))-ish start."""
+@partial(jax.jit, static_argnames=("row_counts", "k_tot", "k_pad", "jdtype"))
+def _init_blocks_fused(key, *, row_counts, k_tot, k_pad, jdtype):
+    """All buckets' random init in ONE executable.  Over the axon tunnel
+    each program's first run costs ~0.5-2s (load RPC); the eager
+    per-bucket version dispatched ~3 programs x n_buckets x 2 sides and
+    dominated cold-start setup (measured r4).  The split sequence matches
+    the old per-bucket loop exactly, so streams (and every seeded test)
+    are unchanged."""
     blocks = []
     scale = float(1.0 / np.sqrt(max(k_tot, 1)))
-    for b in bucketed.buckets:
+    for r in row_counts:
         key, sub = jax.random.split(key)
-        blk = scale * jax.random.normal(sub, (b.n_rows, k_pad), dtype)
+        blk = scale * jax.random.normal(sub, (r, k_pad), jdtype)
         if k_pad > k_tot:
             blk = blk.at[:, k_tot:].set(0.0)
         blocks.append(blk)
     return key, blocks
+
+
+def init_blocks(key, bucketed: BucketedRows, k_tot: int, k_pad: int, dtype):
+    """Random normal init scaled like the reference's random_parallel
+    (/root/reference/src/helpers.c:927): N(0, 1/sqrt(k))-ish start."""
+    return _init_blocks_fused(
+        key, row_counts=tuple(b.n_rows for b in bucketed.buckets),
+        k_tot=k_tot, k_pad=k_pad, jdtype=jnp.dtype(dtype))
 
 
 def gram_matrix(mat: jax.Array) -> jax.Array:

@@ -39,12 +39,24 @@ import os
 
 # r3 TPU sweep (scripts/sweep_masked_kernel.py, dependency-chained timing at
 # the ML10M shape): BLOCK_R=1024 beats 512 at every stream width; at the
-# pad_dim-selected bs=2816 the int8-mask matvec is 5.40 ms (30.7 TF/s) vs
-# 6.20 ms for 512.  All configs cluster at 5.4-6.2 ms — ~5x above both the
-# HBM-stream floor (~1.0 ms for the 790 MB int8 mask at 819 GB/s) and the
-# MXU floor (~0.8 ms), because K=52 fills only 40% of the 128-deep
-# contraction and the [R,S] intermediate makes three VPU passes
-# (f32->bf16 cast, mask multiply, cast to operand dtype).
+# pad_dim-selected bs=2816 the int8-mask matvec is 5.40 ms.
+# r4 floor decomposition (scripts/sweep_kernel_probe{2,3}.py) KILLED the
+# r3 header's "5x above the HBM floor" narrative: the floor was computed
+# from HBM bytes (790 MB / 819 GB/s ~ 1.0 ms), but element-wise int8
+# consumption on this chip is ELEMENT-rate-bound, not byte-bound.
+# Measured: plain-XLA jnp.sum over the same int8 W takes 3.50 ms; a
+# pallas stream+reduce of W alone takes 4.28-4.57 ms across ALL block
+# geometries (512-8832 x 384-4096); a bf16 W (2x the bytes) costs only
+# 1.3 ms more, giving the rate model 4 ps/element + 1.7 ps/byte — the
+# per-element term dominates.  Within the kernel: full body 5.38 ms,
+# dots-only 5.25 ms (mask multiply ~0.13 ms, fused well), W-stream-only
+# 4.12 ms.  So the kernel sits ~1.25x above the irreducible W-stream
+# floor, and the gap IS the two MXU dots.  bf16-output dots
+# (preferred_element_type=bf16) are rejected by Mosaic ("matmul acc must
+# be 32-bit"); storing W pre-cast to bf16 gains nothing (5.49 ms).
+# Candidates that cannot win here: bit-packed masks (8x fewer bytes but
+# unpack pays the same per-element cost that dominates), gather-based
+# sparse (4.3 ns/slot x 10M = 43 ms), complement masking (98.7% dense).
 BLOCK_R = int(os.environ.get("CMFREC_TPU_BLOCK_R", "1024"))
 # Preferred inner (streamed) block widths; all multiples of 128 lanes.
 # Small widths cause an out-block revisit pipeline stall (measured 4-5x

@@ -61,12 +61,14 @@ from .drivers import (
 )
 
 
-def _mesh_place_collective(mesh, state, dat):
+def _mesh_place_collective(mesh, state, dat, ring=False):
     """Shard a collective fit's state/dat pytrees over the mesh: bucketed
     interaction data, factor blocks, aligned side parts, dense slices and
     mean slices row-sharded on the data axis; opposing/full matrices
     (C_orig/D_orig, dense side matrices) and permutations replicated
-    (SURVEY §2.4 P1/P5 — XLA inserts the psum/all-gather collectives)."""
+    (SURVEY §2.4 P1/P5 — XLA inserts the psum/all-gather collectives).
+    In ring (big-axis) mode the dense side matrices and concat-layout row
+    masks are row-sharded too: they align with the sharded main factors."""
     from ..parallel.mesh import replicated, row_sharding
 
     rs, rep = row_sharding(mesh), replicated(mesh)
@@ -77,18 +79,56 @@ def _mesh_place_collective(mesh, state, dat):
     d = list(dat)
     for i in range(8):  # dataA, dataB, dataU, dataI, U_al, I_al, U_ds, I_ds
         d[i] = put(d[i], rs)
-    d[8] = put(d[8], rep)  # U dense matrix (C full solve)
-    d[9] = put(d[9], rep)  # I dense matrix
+    d[8] = put(d[8], rs if ring else rep)  # U dense matrix (C full solve)
+    d[9] = put(d[9], rs if ring else rep)  # I dense matrix
     d[10] = put(d[10], rs)  # U mean slices
     d[11] = put(d[11], rs)  # I mean slices
     for i in range(12, 16):  # perms
         d[i] = put(d[i], rep)
+    if len(d) > 16:  # concat-layout real-row masks (ring mode)
+        d[16] = put(d[16], rs)
+        d[17] = put(d[17], rs)
     s = list(state)
     for i, v in enumerate(s):
         if v is None:
             continue
         s[i] = put(v, rs if isinstance(v, list) else rep)
     return tuple(s), tuple(d)
+
+
+def _ring_setup_collective(RB, CB, dataA, dataB, dataU, dataI, U, I, dtype):
+    """Big-axis (ring) fit setup — the collective analog of
+    drivers._ring_remap: the opposing main factors are consumed in their
+    CONCAT block layout and never permuted back to original order (the
+    permuted gather would all-gather the full [S, K] matrix — measured),
+    so every id array that indexes a big-axis matrix is remapped once:
+    dataA slots index B rows, dataB slots index A rows, and the dataU/dataI
+    feature buckets index A/B rows.  Dense side matrices are permuted into
+    concat order (zero padding rows) so they align with the sharded
+    factors row-wise."""
+    from .drivers import _remap_bucket_ids
+
+    pA_i32 = jnp.asarray(RB.perm.astype(np.int32))
+    pB_i32 = jnp.asarray(CB.perm.astype(np.int32))
+    dataA = _remap_bucket_ids(dataA, pB_i32)
+    dataB = _remap_bucket_ids(dataB, pA_i32)
+    if dataU is not None:
+        dataU = _remap_bucket_ids(dataU, pA_i32)
+    if dataI is not None:
+        dataI = _remap_bucket_ids(dataI, pB_i32)
+    mask_A = jnp.asarray((RB.row_of >= 0).astype(dtype))
+    mask_B = jnp.asarray((CB.row_of >= 0).astype(dtype))
+    U_dense_arr = I_dense_arr = None
+    if U is not None and U.dense is not None:
+        Uc = np.zeros((RB.n_rows_pad, U.p), dtype)
+        Uc[RB.perm] = np.asarray(U.dense, dtype)
+        U_dense_arr = jnp.asarray(Uc)
+    if I is not None and I.dense is not None:
+        Ic = np.zeros((CB.n_rows_pad, I.p), dtype)
+        Ic[CB.perm] = np.asarray(I.dense, dtype)
+        I_dense_arr = jnp.asarray(Ic)
+    return (dataA, dataB, dataU, dataI, mask_A, mask_B,
+            U_dense_arr, I_dense_arr)
 
 
 # --------------------------------------------------------------------- #
@@ -259,11 +299,24 @@ def fit_collective_explicit_als(
     # A, B, C, D, Ai, Bi, biasA, biasB — unpadded [rows, width] arrays
     checkpoint_path=None,  # mid-fit periodic checkpoints
     checkpoint_every=0,  # every N iterations (utils/checkpoint.py)
+    shard_opposing_rows=False,  # big-axis mode: opposing factors stay
+    # row-sharded; systems assembled by the ppermute ring (parallel/ring.py).
+    # Requires mesh= and use_cg=False (same contract as fit_explicit_als).
 ) -> dict:
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
     scale_lam = scale_lam or scale_lam_sideinfo
+    ring = bool(shard_opposing_rows)
+    if ring:
+        if mesh is None:
+            raise ValueError("shard_opposing_rows requires mesh=")
+        if use_cg:
+            raise ValueError(
+                "shard_opposing_rows supports Cholesky/CD solves only "
+                "(truncated CG would cost one ring per matvec); "
+                "pass use_cg=False"
+            )
     if nonneg:
         use_cg = False
 
@@ -580,6 +633,7 @@ def fit_collective_explicit_als(
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             lam_mult_add=lam_mult_add,
             precondition=precondition_cg, dtype=dtype,
+            ring_mesh=mesh if ring else None,
         )
 
     def side_factor_update(S, featb_data, blocks, A1, lam_vec, l1_s, w_side,
@@ -608,6 +662,7 @@ def fit_collective_explicit_als(
             l1_vec=l1_s, method=method, n_steps=max_cg_steps,
             nonneg=nonneg_s, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             precondition=precondition_cg, dtype=dtype,
+            ring_mesh=mesh if ring else None,
         )
 
     perm_A = jnp.asarray(RB.perm)
@@ -624,6 +679,21 @@ def fit_collective_explicit_als(
     U_dense_arr = None if (U is None or U.dense is None) else jnp.asarray(U.dense)
     I_dense_arr = None if (I is None or I.dense is None) else jnp.asarray(I.dense)
 
+    mask_A = mask_B = None
+    if ring:
+        (dataA, dataB, dataU, dataI, mask_A, mask_B,
+         U_dense_arr, I_dense_arr) = _ring_setup_collective(
+            RB, CB, dataA, dataB, dataU, dataI, U, I, dtype)
+
+    def _ring_cat(blocks, mask):
+        """Concat-layout opposing matrix: bucket padding rows carry random
+        init values and would pollute shared Grams — zero them."""
+        from .drivers import _ring_shard
+
+        return _ring_shard(
+            jnp.concatenate(blocks, axis=0) * mask[:, None],
+            mesh if ring else None)
+
     def _one_iteration(method, state, dat):
         """One full collective iteration (C, D, Bi/Ai, B, A updates), a pure
         function of (state, dat) so the whole thing can run under ONE jit:
@@ -633,10 +703,16 @@ def fit_collective_explicit_als(
         (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
          Ai_blocks, Bi_blocks) = state
         (dA, dB, dU, dI, U_al, I_al, U_ds, I_ds, U_dn, I_dn,
-         U_ms, I_ms, pA, pB, pU, pI) = dat
+         U_ms, I_ms, pA, pB, pU, pI, mkA, mkB) = dat
 
-        A_orig = blocks_to_orig(A_blocks, pA, m_eff)
-        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
+        if ring:
+            # big-axis mode: opposing factors consumed in concat layout
+            # (ids in dat were remapped); NEVER permuted to orig order
+            A_orig = _ring_cat(A_blocks, mkA)
+            B_orig = _ring_cat(B_blocks, mkB)
+        else:
+            A_orig = blocks_to_orig(A_blocks, pA, m_eff)
+            B_orig = blocks_to_orig(B_blocks, pB, n_eff)
         Ai_orig = Bi_orig = None
 
         # ---- C update ----
@@ -684,8 +760,10 @@ def fit_collective_explicit_als(
                 G0=gram_matrix(A_x), ones_val=True,
                 method="chol", n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
+                ring_mesh=mesh if ring else None,
             )
-            Bi_orig = blocks_to_orig(Bi_blocks, pB, n_eff)
+            Bi_orig = (_ring_cat(Bi_blocks, mkB) if ring
+                       else blocks_to_orig(Bi_blocks, pB, n_eff))
 
             B_x = _pad_cols(B_orig[:, k_item : k_item + ki_w], ki_pad, 0, dtype)
             plan_ai = SidePlan(None, "na0", n)
@@ -695,31 +773,35 @@ def fit_collective_explicit_als(
                 G0=gram_matrix(B_x), ones_val=True,
                 method="chol", n_steps=max_cg_steps, nonneg=nonneg,
                 max_cd_steps=max_cd_steps, scale_lam=scale_lam, dtype=dtype,
+                ring_mesh=mesh if ring else None,
             )
-            Ai_orig = blocks_to_orig(Ai_blocks, pA, m_eff)
+            Ai_orig = (_ring_cat(Ai_blocks, mkA) if ring
+                       else blocks_to_orig(Ai_blocks, pA, m_eff))
 
         # ---- B update (items; opposing = A, D, Ai) ----
-        opp = jnp.zeros((m_eff, kb_pad), dtype)
+        opp = jnp.zeros((A_orig.shape[0], kb_pad), dtype)
         opp = opp.at[:, k_item : k_item + k + k_main].set(
             A_orig[:, k_user : k_user + k + k_main]
         )
         if item_bias:
-            opp = opp.at[:, kb].set(1.0)
+            # concat layout: the bias-ones column must stay 0 on padding
+            opp = opp.at[:, kb].set(mkA if ring else 1.0)
         opp_bias = A_orig[:, ka] if user_bias else None
         B_blocks = factor_update(
             B_blocks, plan_B, dB, opp, opp_bias, lam_vec_B, l1_vec_B, method,
             I, I_al, I_ds, D_orig, kd, kd_pad,
             w_item, Ai_orig, side_is_user=False, mu_main=glob_mean,
         )
-        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
+        B_orig = (_ring_cat(B_blocks, mkB) if ring
+                  else blocks_to_orig(B_blocks, pB, n_eff))
 
         # ---- A update (users; opposing = B, C, Bi) ----
-        opp = jnp.zeros((n_eff, ka_pad), dtype)
+        opp = jnp.zeros((B_orig.shape[0], ka_pad), dtype)
         opp = opp.at[:, k_user : k_user + k + k_main].set(
             B_orig[:, k_item : k_item + k + k_main]
         )
         if user_bias:
-            opp = opp.at[:, ka].set(1.0)
+            opp = opp.at[:, ka].set(mkB if ring else 1.0)
         opp_bias = B_orig[:, kb] if item_bias else None
         A_blocks = factor_update(
             A_blocks, plan_A, dA, opp, opp_bias, lam_vec_A, l1_vec_A, method,
@@ -758,9 +840,10 @@ def fit_collective_explicit_als(
              Ai_blocks, Bi_blocks)
     dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
            U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
-           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I,
+           mask_A, mask_B)
     if mesh is not None:
-        state, dat = _mesh_place_collective(mesh, state, dat)
+        state, dat = _mesh_place_collective(mesh, state, dat, ring=ring)
 
     def _ckpt_state(st):
         (Ab, Bb, _Cb, _Db, Co, Do, Aib, Bib) = st
@@ -835,11 +918,22 @@ def fit_collective_implicit_als(
     # of A/B/C/D to continue training from
     checkpoint_path=None,  # mid-fit periodic checkpoints
     checkpoint_every=0,  # every N iterations (utils/checkpoint.py)
+    shard_opposing_rows=False,  # big-axis mode (see fit_collective_explicit_als)
 ) -> dict:
     """WRMF with side info (/root/reference/src/collective.c:9375)."""
     dtype = np.dtype(dtype)
     lam6, l16 = _resolve_lambdas(lambda_, l1_lambda)
     ckpt = FitCheckpointer(checkpoint_path, checkpoint_every, niter)
+    ring = bool(shard_opposing_rows)
+    if ring:
+        if mesh is None:
+            raise ValueError("shard_opposing_rows requires mesh=")
+        if use_cg:
+            raise ValueError(
+                "shard_opposing_rows supports Cholesky/CD solves only "
+                "(truncated CG would cost one ring per matvec); "
+                "pass use_cg=False"
+            )
     if nonneg:
         use_cg = False
 
@@ -1021,6 +1115,19 @@ def fit_collective_implicit_als(
     U_dense_arr = None if (U is None or U.dense is None) else jnp.asarray(U.dense)
     I_dense_arr = None if (I is None or I.dense is None) else jnp.asarray(I.dense)
 
+    mask_A = mask_B = None
+    if ring:
+        (dataA, dataB, dataU, dataI, mask_A, mask_B,
+         U_dense_arr, I_dense_arr) = _ring_setup_collective(
+            RB, CB, dataA, dataB, dataU, dataI, U, I, dtype)
+
+    def _ring_cat(blocks, mask):
+        from .drivers import _ring_shard
+
+        return _ring_shard(
+            jnp.concatenate(blocks, axis=0) * mask[:, None],
+            mesh if ring else None)
+
     def factor_update(main_blocks, plan, main_data, opp_main, lam_vec,
                       l1_vec, method, S, S_aligned, S_dense_slices, C_mat,
                       kx, w_side):
@@ -1064,6 +1171,7 @@ def fit_collective_implicit_als(
             extra_parts=extra, l1_vec=l1_vec, method=method,
             n_steps=max_cg_steps, nonneg=nonneg, max_cd_steps=max_cd_steps,
             precondition=precondition_cg, dtype=dtype,
+            ring_mesh=mesh if ring else None,
         )
 
     def side_factor_update(S, featb_data, blocks, A1, lam_vec, l1_s, w_side,
@@ -1085,6 +1193,7 @@ def fit_collective_implicit_als(
             r0_blocks=r0_blocks, l1_vec=l1_s, method=method,
             n_steps=max_cg_steps, nonneg=nonneg_s, max_cd_steps=max_cd_steps,
             precondition=precondition_cg, dtype=dtype,
+            ring_mesh=mesh if ring else None,
         )
 
     def _one_iteration(method, state, dat):
@@ -1092,10 +1201,14 @@ def fit_collective_implicit_als(
         function — runs under one jit on TPU (see the explicit fit)."""
         A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig = state
         (dA, dB, dU, dI, U_al, I_al, U_ds, I_ds, U_dn, I_dn,
-         U_ms, I_ms, pA, pB, pU, pI) = dat
+         U_ms, I_ms, pA, pB, pU, pI, mkA, mkB) = dat
 
-        A_orig = blocks_to_orig(A_blocks, pA, m_eff)
-        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
+        if ring:
+            A_orig = _ring_cat(A_blocks, mkA)
+            B_orig = _ring_cat(B_blocks, mkB)
+        else:
+            A_orig = blocks_to_orig(A_blocks, pA, m_eff)
+            B_orig = blocks_to_orig(B_blocks, pB, n_eff)
 
         if U is not None:
             A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
@@ -1126,7 +1239,7 @@ def fit_collective_implicit_als(
                 D_orig = blocks_to_orig(D_blocks, pI, I.p)
 
         # B update
-        opp = jnp.zeros((m_eff, kb_pad), dtype)
+        opp = jnp.zeros((A_orig.shape[0], kb_pad), dtype)
         opp = opp.at[:, k_item : k_item + k + k_main].set(
             A_orig[:, k_user : k_user + k + k_main]
         )
@@ -1134,10 +1247,11 @@ def fit_collective_implicit_als(
             B_blocks, plan_B, dB, opp, lam_vec_B, l1_vec_B, method,
             I, I_al, I_ds, D_orig, kd, w_item,
         )
-        B_orig = blocks_to_orig(B_blocks, pB, n_eff)
+        B_orig = (_ring_cat(B_blocks, mkB) if ring
+                  else blocks_to_orig(B_blocks, pB, n_eff))
 
         # A update
-        opp = jnp.zeros((n_eff, ka_pad), dtype)
+        opp = jnp.zeros((B_orig.shape[0], ka_pad), dtype)
         opp = opp.at[:, k_user : k_user + k + k_main].set(
             B_orig[:, k_item : k_item + k + k_main]
         )
@@ -1172,9 +1286,10 @@ def fit_collective_implicit_als(
     state = (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig)
     dat = (dataA, dataB, dataU, dataI, U_aligned, I_aligned,
            U_dense_slices, I_dense_slices, U_dense_arr, I_dense_arr,
-           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I)
+           U_mean_slices, I_mean_slices, perm_A, perm_B, perm_U, perm_I,
+           mask_A, mask_B)
     if mesh is not None:
-        state, dat = _mesh_place_collective(mesh, state, dat)
+        state, dat = _mesh_place_collective(mesh, state, dat, ring=ring)
 
     def _ckpt_state(st):
         (Ab, Bb, _Cb, _Db, Co, Do) = st

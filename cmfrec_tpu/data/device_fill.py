@@ -126,7 +126,7 @@ def build_bucketed_pair_device(
                   and m < np.iinfo(np.int32).max
                   and n < np.iinfo(np.int32).max)
     if raw_upload:
-        # RAW-COO path (default): enqueue the compact uploads FIRST —
+        # RAW-COO path (opt-in): enqueue the compact uploads FIRST —
         # row ids 3B + col ids 3B + bf16 values 2B per entry — and do the
         # CSR sort on DEVICE (_device_sort_coo).  The 1-core host spends
         # seconds on a 10M+-entry counting sort; here it only bincounts

@@ -194,6 +194,9 @@ def solve_bucket(
         and len(parts) > 0
         and all(m == "na0" and p.wgt is None for p, m in zip(parts, modes))
     ):
+        # NOTE: this path ignores defer_solve (the solve is one tiny
+        # Cholesky); callers detect deferral by the tuple-vs-array return
+        # structure, which is static under jit.
         mult = 1.0
         if scale_lam:
             sc_flags = scale_parts if scale_parts else (True,) * len(parts)
@@ -403,11 +406,6 @@ def update_side(
                 modes = modes + (pmode,)
                 n_totals = n_totals + (pn,)
                 scale_parts = scale_parts + (psc,)
-        # The shared-Gram fast path (all parts na0/unweighted) already does
-        # one tiny Cholesky — keep it per-bucket rather than deferring.
-        shared = all(
-            m == "na0" and p.wgt is None for p, m in zip(parts, modes)
-        )
         kw = dict(
             modes=modes,
             method=method,
@@ -432,9 +430,13 @@ def update_side(
             lam_const_vec,
             l1_vec,
         )
-        if defer_ok and not shared:
-            deferred.append((bi,) + solve_bucket(*args, defer_solve=True,
-                                                 **kw))
+        if defer_ok:
+            out = solve_bucket(*args, defer_solve=True, **kw)
+            if isinstance(out, tuple):
+                deferred.append((bi,) + out)
+            else:
+                # shared-Gram fast path solved in place (one tiny Cholesky)
+                new_blocks[bi] = out
         else:
             new_blocks[bi] = solve_bucket(*args, **kw)
     if deferred:

@@ -358,6 +358,8 @@ def fit_collective_explicit_als(
         and not np.any(l16 > 0)
         and not (NA_as_zero or NA_as_zero_user or NA_as_zero_item)
         and k_user == 0 and k_item == 0 and k_main == 0
+        # the fused engine solves the main X part at weight 1
+        and w_main == 1.0
         # implicit features ride the dense engine's binary mask, which only
         # equals Xones when the fit is unweighted
         and (not add_implicit_features or weights is None)
@@ -686,13 +688,9 @@ def fit_collective_explicit_als(
             RB, CB, dataA, dataB, dataU, dataI, U, I, dtype)
 
     def _ring_cat(blocks, mask):
-        """Concat-layout opposing matrix: bucket padding rows carry random
-        init values and would pollute shared Grams — zero them."""
-        from .drivers import _ring_shard
+        from .drivers import _ring_cat_blocks
 
-        return _ring_shard(
-            jnp.concatenate(blocks, axis=0) * mask[:, None],
-            mesh if ring else None)
+        return _ring_cat_blocks(blocks, mask, mesh)
 
     def _one_iteration(method, state, dat):
         """One full collective iteration (C, D, Bi/Ai, B, A updates), a pure
@@ -1122,11 +1120,9 @@ def fit_collective_implicit_als(
             RB, CB, dataA, dataB, dataU, dataI, U, I, dtype)
 
     def _ring_cat(blocks, mask):
-        from .drivers import _ring_shard
+        from .drivers import _ring_cat_blocks
 
-        return _ring_shard(
-            jnp.concatenate(blocks, axis=0) * mask[:, None],
-            mesh if ring else None)
+        return _ring_cat_blocks(blocks, mask, mesh)
 
     def factor_update(main_blocks, plan, main_data, opp_main, lam_vec,
                       l1_vec, method, S, S_aligned, S_dense_slices, C_mat,

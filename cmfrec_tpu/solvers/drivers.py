@@ -562,6 +562,14 @@ def _remap_bucket_ids(data, perm_opp):
     )
 
 
+def _ring_cat_blocks(blocks, mask_real, ring_mesh):
+    """Concat-layout opposing matrix for ring mode: bucket padding rows
+    carry random init values and would pollute shared Grams — zero them,
+    then pin the row-sharded layout."""
+    return _ring_shard(
+        jnp.concatenate(blocks, axis=0) * mask_real[:, None], ring_mesh)
+
+
 def _ring_opp_from_blocks(blocks, mask_real, bias_col, set_ones, ring_mesh):
     """Assemble the opposing matrix for a ring half-step from the factor
     blocks in concat order: zero the padding rows (they carry random init

@@ -21,3 +21,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory_between_modules():
+    """Free compiled executables between test modules: the full suite
+    (~230 tests, 8 virtual devices) accumulates enough XLA-CPU state to
+    segfault late in the run on this 1-core box (observed r4 at
+    test_oracle after ~60% of the suite).  Per-module recompiles cost a
+    couple of minutes total; a green single-process `pytest tests/` is
+    worth it."""
+    yield
+    jax.clear_caches()

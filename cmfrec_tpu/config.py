@@ -58,6 +58,16 @@ def default_mesh() -> jax.sharding.Mesh | None:
     return jax.sharding.Mesh(np.array(devices), ("d",))
 
 
+def exact_dense_enabled() -> bool:
+    """Whether use_cg=False ("Cholesky") fits may ride the fused masked
+    engine in exact mode on TPU (CG run to the per-row 1e-8 freeze under
+    the Krylov step cap — the same per-row systems solved to the f32
+    fixed point at matvec cost instead of the bucketed engine's nnz*k^2
+    Gram assembly).  CMFREC_TPU_NO_EXACT_DENSE=1 keeps exact fits on the
+    per-row-Cholesky bucketed engine."""
+    return os.environ.get("CMFREC_TPU_NO_EXACT_DENSE", "0") != "1"
+
+
 def enable_persistent_compilation_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
         "CMFREC_TPU_CACHE", os.path.expanduser("~/.cache/cmfrec_tpu_xla")

@@ -273,6 +273,17 @@ def _dense_full_solve(A1, U, lam_vec, w, nonneg, l1_vec, max_cd_steps, dtype,
     return out.T
 
 
+def _init_dense_ok(init):
+    """Whether a warm restart may ride the fused dense engine.  The engine
+    seeds A/B/biasA/biasB; C/D/Ai/Bi warm values are trajectory-inert on
+    the bucketed path too (the half-step order re-solves them from A/B
+    before first use, collective.c:8345/8396/8479/8520), but keep fits
+    that pass them on the bucketed path out of caution for niter=0."""
+    if init is None:
+        return True
+    return all(init.get(key) is None for key in ("C", "D", "Ai", "Bi"))
+
+
 # --------------------------------------------------------------------- #
 # explicit collective fit                                                #
 # --------------------------------------------------------------------- #
@@ -347,13 +358,17 @@ def fit_collective_explicit_als(
     budget = int(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
+    from ..config import exact_dense_enabled
+
     use_dense_pallas = (
         mesh is None
         and jax.default_backend() == "tpu"
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
-        and use_cg
-        and init is None  # the fused engine has no warm-start entry point
+        # use_cg=False rides the fused engine in exact mode (Krylov-capped
+        # converged CG, see drivers.fit_explicit_als)
+        and (use_cg or exact_dense_enabled())
+        and _init_dense_ok(init)  # A/B/bias warm restarts ride along
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
         and not (NA_as_zero or NA_as_zero_user or NA_as_zero_item)
@@ -393,7 +408,8 @@ def fit_collective_explicit_als(
             scale_bias_const=scale_bias_const,
             add_implicit_features=add_implicit_features,
             w_implicit=w_implicit,
-            dtype=dtype, seed=seed, verbose=verbose,
+            dtype=dtype, seed=seed, verbose=verbose, exact=not use_cg,
+            init=init,
         )
         res["U_colmeans"] = None if U is None else U.colmeans
         res["I_colmeans"] = None if I is None else I.colmeans
@@ -954,13 +970,17 @@ def fit_collective_implicit_als(
     budget_i = int(
         float(os.environ.get("CMFREC_TPU_DENSE_BUDGET_GB", "6.5")) * (1 << 30)
     )
+    from ..config import exact_dense_enabled
+
     use_dense_pallas = (
         mesh is None
         and jax.default_backend() == "tpu"
         and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
         and np.dtype(dtype) == np.float32
-        and use_cg
-        and init is None  # the fused engine has no warm-start entry point
+        # use_cg=False rides the fused engine in exact mode (Krylov-capped
+        # converged CG, see drivers.fit_explicit_als)
+        and (use_cg or exact_dense_enabled())
+        and _init_dense_ok(init)  # A/B/bias warm restarts ride along
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
         and not (NA_as_zero_user or NA_as_zero_item)
@@ -989,7 +1009,7 @@ def fit_collective_implicit_als(
                                               "16")),
             finalize_chol=finalize_chol, alpha=alpha,
             w_main_multiplier=w_x, dtype=dtype, seed=seed,
-            verbose=verbose,
+            verbose=verbose, exact=not use_cg, init=init,
         )
         res["U_colmeans"] = None if U is None else U.colmeans
         res["I_colmeans"] = None if I is None else I.colmeans

@@ -65,29 +65,61 @@ def _setup(flat_idx, vals, wvals, m_pad, n_pad, weighted):
     return X, W, X.T, W.T, cnt_A, cnt_B
 
 
-def _cg(P, rhs, matvec, n_steps):
+def _cg(P, rhs, matvec, n_steps, dyn_stop=False):
     """Truncated CG with per-row early freeze (masked step size).
 
     Two-tolerance stopping matching the reference exactly
     (/root/reference/src/common.c:1147,1181) and rowsolve.solve_cg /
     dense_engine._masked_cg: rows whose initial residual is <= 1e-12 are
-    skipped; a live row stops once its post-step residual falls <= 1e-8."""
+    skipped; a live row stops once its post-step residual falls <= 1e-8.
+
+    dyn_stop=True (exact mode) additionally stops the whole loop once
+    EVERY row is frozen (lax.while_loop instead of scan).  Frozen rows
+    are exact no-ops in the scan form (alpha = 0), so the result is
+    identical — this only removes wasted matvecs.  Exact mode also adds
+    a RELATIVE stop floor, max(1e-8, (1e-6*|rhs_r|)^2): the absolute
+    1e-8 squared-residual target is unreachable in f32 for rows whose
+    rhs norm is large (f32 CG stagnates around 1e-7*|rhs| relative), and
+    without the floor such rows would never freeze and every half-step
+    would pay the full step cap.  At the floor the solution error is
+    ~1e-6*|rhs|/lam_min — the same noise class as an f32 Cholesky."""
     r = rhs - matvec(P)
     rs0 = jnp.sum(r * r, axis=-1)
     live0 = rs0 > 1e-12
+    if dyn_stop:
+        tol = jnp.maximum(
+            jnp.float32(1e-8), 1e-12 * jnp.sum(rhs * rhs, axis=-1))
+    else:
+        tol = jnp.float32(1e-8)
 
-    def body(carry, _):
-        a, r, p, rs, live = carry
+    def step(a, r, p, rs, live):
         Ap = matvec(p)
         denom = jnp.sum(p * Ap, axis=-1)
         alpha = jnp.where(live, rs / jnp.where(denom == 0, 1, denom), 0.0)
         a = a + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rs_new = jnp.sum(r * r, axis=-1)
-        live = live & (rs_new > 1e-8)
+        live = live & (rs_new > tol)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1, rs), 0.0)
         p = jnp.where(live[:, None], r + beta[:, None] * p, p)
-        return (a, r, p, jnp.where(live, rs_new, rs), live), None
+        return a, r, p, jnp.where(live, rs_new, rs), live
+
+    if dyn_stop:
+        def cond(carry):
+            _, _, _, _, live, i = carry
+            return (i < n_steps) & jnp.any(live)
+
+        def body_w(carry):
+            a, r, p, rs, live, i = carry
+            a, r, p, rs, live = step(a, r, p, rs, live)
+            return (a, r, p, rs, live, i + 1)
+
+        out = jax.lax.while_loop(
+            cond, body_w, (P, r, r, rs0, live0, jnp.int32(0)))
+        return out[0]
+
+    def body(carry, _):
+        return step(*carry), None
 
     (a, _, _, _, _), _ = jax.lax.scan(
         body, (P, r, r, rs0, live0), None, length=n_steps)
@@ -95,7 +127,8 @@ def _cg(P, rhs, matvec, n_steps):
 
 
 def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
-               compute_dtype, interpret, mesh=None, G0=None, R0=None):
+               compute_dtype, interpret, mesh=None, G0=None, R0=None,
+               dyn_stop=False):
     """One side's update: solve (Be^T diag(W_r) Be + G0 + lam_r) a_r =
     rhs_r + R0_r for all rows r at once via fused-kernel CG.  G0/R0 carry
     the collective model's side-info terms (w_u·CtC and w_u·U@C)."""
@@ -115,7 +148,7 @@ def _half_step(P, X, W, Be, mb, lam_row, live, *, block_s, n_steps,
                                  precision=jax.lax.Precision.HIGHEST)
         return mv + v * lam_row
 
-    a = _cg(P, rhs, matvec, n_steps)
+    a = _cg(P, rhs, matvec, n_steps, dyn_stop=dyn_stop)
     return jnp.where(live[:, None], a, 0.0)
 
 
@@ -142,12 +175,13 @@ def _half_step_na0(X, Be, mb, live_opp, lam_diag):
 @partial(
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
-                     "n_steps", "compute", "interpret", "mesh", "na0"),
+                     "n_steps", "compute", "interpret", "mesh", "na0",
+                     "dyn_stop"),
 )
 def _iteration(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute, interpret,
-    mesh=None, na0=False,
+    mesh=None, na0=False, dyn_stop=False,
 ):
     """One full ALS iteration: B half-step then A half-step (the
     reference's in-iteration order, /root/reference/src/collective.c:8614
@@ -166,7 +200,7 @@ def _iteration(
     else:
         B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
                        block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh)
+                       interpret=interpret, mesh=mesh, dyn_stop=dyn_stop)
     Be = B.at[:, k].set(1.0 if user_bias else 0.0)
     mbA = mu * jnp.ones(n_pad, jnp.float32)
     if item_bias:
@@ -177,7 +211,7 @@ def _iteration(
     else:
         A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
                        block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh)
+                       interpret=interpret, mesh=mesh, dyn_stop=dyn_stop)
     return A, B
 
 
@@ -229,12 +263,12 @@ def _device_bias_init(X, W, cnt_A, cnt_B, mu, lam_user, lam_item,
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "n_iters", "mesh",
-                     "na0"),
+                     "na0", "dyn_stop"),
 )
 def _run_iterations(
     A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
     *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
-    interpret, mesh=None, na0=False,
+    interpret, mesh=None, na0=False, dyn_stop=False,
 ):
     """n_iters full ALS iterations in ONE device dispatch (the host<->TPU
     link has per-call latency comparable to a whole iteration)."""
@@ -245,12 +279,25 @@ def _run_iterations(
             A, B, X, W, XT, WT, lam_row_A, lam_row_B, live_A, live_B, mu,
             k=k, user_bias=user_bias, item_bias=item_bias, bs_n=bs_n,
             bs_m=bs_m, n_steps=n_steps, compute=compute, interpret=interpret,
-            mesh=mesh, na0=na0,
+            mesh=mesh, na0=na0, dyn_stop=dyn_stop,
         )
         return (A, B), None
 
     (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
     return A, B
+
+
+def _exact_cap(k_sys):
+    """Step cap for exact mode: twice the Krylov bound (CG on an SPD
+    system of dimension d terminates in d steps in exact arithmetic;
+    f32 rounding delays termination, so allow 2d + 4).  The per-row
+    freeze (see _cg) plus the global all-frozen stop (dyn_stop) means
+    typical data pays far fewer steps; the cap only bounds pathological
+    rows.  CMFREC_TPU_EXACT_STEPS overrides."""
+    import os
+
+    v = int(os.environ.get("CMFREC_TPU_EXACT_STEPS", "0"))
+    return v if v > 0 else 2 * k_sys + 4
 
 
 def fit_explicit_dense_pallas(
@@ -259,7 +306,7 @@ def fit_explicit_dense_pallas(
     user_bias, item_bias, glob_mean,
     scale_lam, scale_bias_const, biasA0, biasB0,
     dtype, seed, verbose, interpret=False, mesh=None, init=None,
-    na_as_zero=False, ckpt=None,
+    na_as_zero=False, ckpt=None, exact=False,
 ) -> dict:
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)  # bs_m streams m (B half-step)
@@ -387,10 +434,27 @@ def fit_explicit_dense_pallas(
         }
 
     checkpointing = ckpt is not None and ckpt.every > 0
-    # NA-as-zero solves are exact closed forms — no f32 polish needed.
-    # The same rule MUST hold on every dispatch strategy below or
-    # checkpointing/verbose would change the fit result.
-    do_polish = finalize_chol and not na_as_zero and niter > 0
+    # Exact mode (the driver's use_cg=False on this engine): every
+    # half-step's CG runs in f32 to the per-row freeze under the Krylov
+    # step cap with the all-frozen early exit — the masked-kernel
+    # equivalent of the bucketed engine's per-row Cholesky (identical
+    # per-row systems, solutions at the f32 fixed point, whole-trajectory
+    # f32 like the reference's Chol path).  Warm-started later iterations
+    # freeze in a handful of steps, so the all-f32 cost is adaptive.
+    exact = exact and not na_as_zero
+    if exact:
+        bulk_steps = polish_steps = _exact_cap(k + 1)
+        bulk_dyn = True
+        bulk_compute = "f32"
+        do_polish = False
+    else:
+        bulk_steps, polish_steps = max_cg_steps, finalize_steps
+        bulk_dyn = False
+        bulk_compute = "bf16"
+        # NA-as-zero solves are exact closed forms — no f32 polish needed.
+        # The same rule MUST hold on every dispatch strategy below or
+        # checkpointing/verbose would change the fit result.
+        do_polish = finalize_chol and not na_as_zero and niter > 0
     n_bulk = niter - 1 if do_polish else niter
     try:
         if verbose or checkpointing:
@@ -403,8 +467,8 @@ def fit_explicit_dense_pallas(
                 n_now = min(step, n_bulk - it)
                 t0 = time.time()
                 A, B = _run_iterations(
-                    A, B, *args, n_iters=n_now, n_steps=max_cg_steps,
-                    compute="bf16", **statics,
+                    A, B, *args, n_iters=n_now, n_steps=bulk_steps,
+                    compute=bulk_compute, dyn_stop=bulk_dyn, **statics,
                 )
                 it += n_now
                 if verbose:
@@ -416,8 +480,8 @@ def fit_explicit_dense_pallas(
             if do_polish:
                 t0 = time.time()
                 A, B = _iteration(
-                    A, B, *args, n_steps=finalize_steps, compute="f32",
-                    **statics,
+                    A, B, *args, n_steps=polish_steps, compute="f32",
+                    dyn_stop=bulk_dyn, **statics,
                 )
                 if verbose:
                     _ = float(jnp.sum(B[-1]))
@@ -427,13 +491,13 @@ def fit_explicit_dense_pallas(
             # all bulk iterations in one dispatch, the f32 polish in another
             if n_bulk > 0:
                 A, B = _run_iterations(
-                    A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
-                    compute="bf16", **statics,
+                    A, B, *args, n_iters=n_bulk, n_steps=bulk_steps,
+                    compute=bulk_compute, dyn_stop=bulk_dyn, **statics,
                 )
             if do_polish:
                 A, B = _iteration(
-                    A, B, *args, n_steps=finalize_steps, compute="f32",
-                    **statics,
+                    A, B, *args, n_steps=polish_steps, compute="f32",
+                    dyn_stop=bulk_dyn, **statics,
                 )
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
@@ -493,14 +557,14 @@ def _shared_na0_solve(Fk, Mask, lam_diag, cdt):
     jax.jit,
     static_argnames=("k", "user_bias", "item_bias", "bs_n", "bs_m",
                      "n_steps", "compute", "interpret", "mesh",
-                     "has_U", "has_I", "has_impl", "n_iters"),
+                     "has_U", "has_I", "has_impl", "n_iters", "dyn_stop"),
 )
 def _run_collective_iterations(
     A, B, Ai, Bi, X, W, XT, WT, Ud, Id, lam_row_A, lam_row_B,
     live_A, live_B, mu, lamC, lamD, w_user, w_item,
     lam_ai, lam_bi, w_imp,
     *, n_iters, k, user_bias, item_bias, bs_n, bs_m, n_steps, compute,
-    interpret, mesh, has_U, has_I, has_impl,
+    interpret, mesh, has_U, has_I, has_impl, dyn_stop=False,
 ):
     """n_iters collective ALS iterations (C, D, Bi, Ai, B, A updates) in
     one dispatch.  Side info must be fully dense (the reference's case-1
@@ -547,7 +611,8 @@ def _run_collective_iterations(
             mbB = mbB + A[:, k]
         B = _half_step(B, XT, WT, Ae, mbB, lam_row_B, live_B,
                        block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh, G0=G0B, R0=R0B)
+                       interpret=interpret, mesh=mesh, G0=G0B, R0=R0B,
+                       dyn_stop=dyn_stop)
 
         G0A = R0A = None
         if has_U or has_impl:
@@ -570,7 +635,8 @@ def _run_collective_iterations(
             mbA = mbA + B[:, k]
         A = _half_step(A, X, W, Be, mbA, lam_row_A, live_A,
                        block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-                       interpret=interpret, mesh=mesh, G0=G0A, R0=R0A)
+                       interpret=interpret, mesh=mesh, G0=G0A, R0=R0A,
+                       dyn_stop=dyn_stop)
         return (A, B, Ai, Bi), None
 
     (A, B, Ai, Bi), _ = jax.lax.scan(body, (A, B, Ai, Bi), None,
@@ -587,12 +653,15 @@ def fit_collective_dense_pallas(
     scale_lam_sideinfo=False,
     scale_bias_const=False, dtype=np.float32, seed=1, verbose=False,
     interpret=False, mesh=None, init=None,
-    add_implicit_features=False, w_implicit=0.5,
+    add_implicit_features=False, w_implicit=0.5, exact=False,
 ) -> dict:
     """Collective explicit ALS with fully-dense side info and/or implicit
     features on the fused masked-kernel engine (k_user = k_item = k_main =
     0, unweighted when add_implicit_features).  Solves the same per-row
-    systems as solvers/collective.py's bucketed path."""
+    systems as solvers/collective.py's bucketed path.  exact=True (the
+    driver's use_cg=False) runs every A/B half-step's CG to the per-row
+    1e-8 freeze under the Krylov cap — Cholesky-quality solutions at
+    masked-matvec cost; C/D/Ai/Bi half-steps are closed-form already."""
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)
     n_pad, bs_n = pad_dim(n, row_mult=n_dev)
@@ -704,17 +773,28 @@ def fit_collective_dense_pallas(
             jnp.float32(w_user), jnp.float32(w_item),
             lam_ai, lam_bi, w_imp)
 
+    if exact:
+        # whole-trajectory f32 converged solves (see fit_explicit_dense_pallas)
+        bulk_steps = final_steps = _exact_cap(k + 1)
+        bulk_dyn = True
+        bulk_compute = "f32"
+        do_final = False
+    else:
+        bulk_steps, final_steps = max_cg_steps, finalize_steps
+        bulk_dyn = False
+        bulk_compute = "bf16"
+        do_final = finalize_chol
     try:
-        n_bulk = niter - 1 if finalize_chol else niter
+        n_bulk = niter - 1 if do_final else niter
         C = D = None
         if n_bulk > 0:
             A, B, C, D, Ai, Bi = _run_collective_iterations(
-                A, B, Ai, Bi, *args, n_iters=n_bulk, n_steps=max_cg_steps,
-                compute="bf16", **statics)
-        if finalize_chol and niter > 0:
+                A, B, Ai, Bi, *args, n_iters=n_bulk, n_steps=bulk_steps,
+                compute=bulk_compute, dyn_stop=bulk_dyn, **statics)
+        if do_final and niter > 0:
             A, B, C, D, Ai, Bi = _run_collective_iterations(
-                A, B, Ai, Bi, *args, n_iters=1, n_steps=finalize_steps,
-                compute="f32", **statics)
+                A, B, Ai, Bi, *args, n_iters=1, n_steps=final_steps,
+                compute="f32", dyn_stop=bulk_dyn, **statics)
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():
@@ -765,7 +845,8 @@ def _setup_implicit(flat_idx, av, m_pad, n_pad):
 
 
 def _half_step_implicit(P, Wx, Xp, M, Be, live, live_opp, lam_vec, w_mult,
-                        *, block_s, n_steps, compute_dtype, interpret, mesh):
+                        *, block_s, n_steps, compute_dtype, interpret, mesh,
+                        dyn_stop=False):
     """WRMF half-step: (w(B^T B + sum_obs alpha*x bb^T) + lam) a =
     w * sum_obs (1+alpha*x) b  (/root/reference/src/common.c:1914)."""
     hp = jax.lax.Precision.HIGHEST
@@ -783,19 +864,20 @@ def _half_step_implicit(P, Wx, Xp, M, Be, live, live_opp, lam_vec, w_mult,
         mv = mv + jnp.einsum("km,rm->rk", G0, v, precision=hp)
         return w_mult * mv + v * lam_vec[None, :]
 
-    a = _cg(P, rhs, matvec, n_steps)
+    a = _cg(P, rhs, matvec, n_steps, dyn_stop=dyn_stop)
     return jnp.where(live[:, None], a, 0.0)
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "bs_n", "bs_m", "n_steps", "compute", "interpret",
-                     "mesh", "n_iters"),
+                     "mesh", "n_iters", "dyn_stop"),
 )
 def _run_implicit_iterations(
     A, B, Wx, Xp, M, WxT, XpT, MT, lam_vec_A, lam_vec_B, live_A, live_B,
     w_mult,
     *, n_iters, k, bs_n, bs_m, n_steps, compute, interpret, mesh=None,
+    dyn_stop=False,
 ):
     cdt = jnp.bfloat16 if compute == "bf16" else jnp.float32
 
@@ -805,11 +887,11 @@ def _run_implicit_iterations(
         B = _half_step_implicit(
             B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B, w_mult,
             block_s=bs_m, n_steps=n_steps, compute_dtype=cdt,
-            interpret=interpret, mesh=mesh)
+            interpret=interpret, mesh=mesh, dyn_stop=dyn_stop)
         A = _half_step_implicit(
             A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, w_mult,
             block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
-            interpret=interpret, mesh=mesh)
+            interpret=interpret, mesh=mesh, dyn_stop=dyn_stop)
         return (A, B), None
 
     (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
@@ -819,11 +901,13 @@ def _run_implicit_iterations(
 def fit_implicit_dense_pallas(
     rows, cols, vals, m, n, *, k, lam6, niter, max_cg_steps, finalize_steps,
     finalize_chol, alpha, w_main_multiplier, dtype, seed, verbose,
-    interpret=False, mesh=None, init=None, ckpt=None,
+    interpret=False, mesh=None, init=None, ckpt=None, exact=False,
 ) -> dict:
     """WRMF on the fused masked kernels (dense confidence form); same
     systems as the bucketed implicit path (optimizeA_implicit,
-    /root/reference/src/common.c:3305)."""
+    /root/reference/src/common.c:3305).  exact=True (use_cg=False) runs
+    each half-step's CG to the per-row 1e-8 freeze under the Krylov cap —
+    Cholesky-quality solutions at masked-matvec cost."""
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)
     n_pad, bs_n = pad_dim(n, row_mult=n_dev)
@@ -877,8 +961,19 @@ def fit_implicit_dense_pallas(
         return {"A": A[:m, :k].astype(dt), "B": B[:n, :k].astype(dt)}
 
     checkpointing = ckpt is not None and ckpt.every > 0
+    if exact:
+        # whole-trajectory f32 converged solves (see fit_explicit_dense_pallas)
+        bulk_steps = final_steps = _exact_cap(k)
+        bulk_dyn = True
+        bulk_compute = "f32"
+        do_final = False
+    else:
+        bulk_steps, final_steps = max_cg_steps, finalize_steps
+        bulk_dyn = False
+        bulk_compute = "bf16"
+        do_final = finalize_chol
     try:
-        n_bulk = niter - 1 if finalize_chol else niter
+        n_bulk = niter - 1 if do_final else niter
         if checkpointing:
             # chunked dispatch: one ~50-65 ms axon round-trip per
             # checkpoint interval, not per iteration
@@ -886,23 +981,23 @@ def fit_implicit_dense_pallas(
             while it < n_bulk:
                 n_now = min(ckpt.every, n_bulk - it)
                 A, B = _run_implicit_iterations(
-                    A, B, *args, n_iters=n_now, n_steps=max_cg_steps,
-                    compute="bf16", **statics)
+                    A, B, *args, n_iters=n_now, n_steps=bulk_steps,
+                    compute=bulk_compute, dyn_stop=bulk_dyn, **statics)
                 it += n_now
                 ckpt.maybe_save(it, _state)
-            if finalize_chol and niter > 0:
+            if do_final and niter > 0:
                 A, B = _run_implicit_iterations(
-                    A, B, *args, n_iters=1, n_steps=finalize_steps,
-                    compute="f32", **statics)
+                    A, B, *args, n_iters=1, n_steps=final_steps,
+                    compute="f32", dyn_stop=bulk_dyn, **statics)
         else:
             if n_bulk > 0:
                 A, B = _run_implicit_iterations(
-                    A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
-                    compute="bf16", **statics)
-            if finalize_chol and niter > 0:
+                    A, B, *args, n_iters=n_bulk, n_steps=bulk_steps,
+                    compute=bulk_compute, dyn_stop=bulk_dyn, **statics)
+            if do_final and niter > 0:
                 A, B = _run_implicit_iterations(
-                    A, B, *args, n_iters=1, n_steps=finalize_steps,
-                    compute="f32", **statics)
+                    A, B, *args, n_iters=1, n_steps=final_steps,
+                    compute="f32", dyn_stop=bulk_dyn, **statics)
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():
@@ -919,13 +1014,13 @@ def fit_implicit_dense_pallas(
 @partial(
     jax.jit,
     static_argnames=("k", "bs_n", "bs_m", "n_steps", "compute", "interpret",
-                     "mesh", "n_iters", "has_U", "has_I"),
+                     "mesh", "n_iters", "has_U", "has_I", "dyn_stop"),
 )
 def _run_collective_implicit_iterations(
     A, B, Wx, Xp, M, WxT, XpT, MT, Ud, Id, lam_vec_A, lam_vec_B,
     live_A, live_B, w_mult, lamC, lamD, w_user, w_item,
     *, n_iters, k, bs_n, bs_m, n_steps, compute, interpret, mesh=None,
-    has_U=False, has_I=False,
+    has_U=False, has_I=False, dyn_stop=False,
 ):
     """Collective WRMF iterations on the fused engine: the implicit
     confidence system plus dense side-info terms (w_u CtC Gram + w_u U@C
@@ -960,7 +1055,7 @@ def _run_collective_implicit_iterations(
             mv = mv + jnp.einsum("km,rm->rk", G0, v, precision=hp)
             return mv + v * lam_vec[None, :]
 
-        a = _cg(P, rhs, matvec, n_steps)
+        a = _cg(P, rhs, matvec, n_steps, dyn_stop=dyn_stop)
         return jnp.where(live[:, None], a, 0.0)
 
     def body(carry, _):
@@ -985,10 +1080,11 @@ def fit_collective_implicit_dense_pallas(
     rows, cols, vals, m, n, *, U_dense, I_dense, k, lam6, w_user, w_item,
     niter, max_cg_steps, finalize_steps, finalize_chol, alpha,
     w_main_multiplier, dtype, seed, verbose, interpret=False, mesh=None,
-    init=None,
+    init=None, exact=False,
 ) -> dict:
     """Collective WRMF with fully-dense side info on the fused engine
-    (k_user = k_item = k_main = 0)."""
+    (k_user = k_item = k_main = 0).  exact=True (use_cg=False) runs each
+    half-step's CG to the per-row 1e-8 freeze under the Krylov cap."""
     n_dev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
     m_pad, bs_m = pad_dim(m, row_mult=n_dev)
     n_pad, bs_n = pad_dim(n, row_mult=n_dev)
@@ -1041,16 +1137,27 @@ def fit_collective_implicit_dense_pallas(
     statics = dict(k=k, bs_n=bs_n, bs_m=bs_m, interpret=interpret, mesh=mesh,
                    has_U=has_U, has_I=has_I)
     C = D = None
+    if exact:
+        # whole-trajectory f32 converged solves (see fit_explicit_dense_pallas)
+        bulk_steps = final_steps = _exact_cap(k)
+        bulk_dyn = True
+        bulk_compute = "f32"
+        do_final = False
+    else:
+        bulk_steps, final_steps = max_cg_steps, finalize_steps
+        bulk_dyn = False
+        bulk_compute = "bf16"
+        do_final = finalize_chol
     try:
-        n_bulk = niter - 1 if finalize_chol else niter
+        n_bulk = niter - 1 if do_final else niter
         if n_bulk > 0:
             A, B, C, D = _run_collective_implicit_iterations(
-                A, B, *args, n_iters=n_bulk, n_steps=max_cg_steps,
-                compute="bf16", **statics)
-        if finalize_chol and niter > 0:
+                A, B, *args, n_iters=n_bulk, n_steps=bulk_steps,
+                compute=bulk_compute, dyn_stop=bulk_dyn, **statics)
+        if do_final and niter > 0:
             A, B, C, D = _run_collective_implicit_iterations(
-                A, B, *args, n_iters=1, n_steps=finalize_steps,
-                compute="f32", **statics)
+                A, B, *args, n_iters=1, n_steps=final_steps,
+                compute="f32", dyn_stop=bulk_dyn, **statics)
     except KeyboardInterrupt:
         from ..config import should_handle_interrupt
         if not should_handle_interrupt():

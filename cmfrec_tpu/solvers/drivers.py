@@ -244,9 +244,25 @@ def fit_explicit_als(
     # unweighted NA-as-zero has a shared-Gram closed form on the dense
     # engine (optimizeA case 3); weighted NA-as-zero stays bucketed
     na0_dense = NA_as_zero and weights is None
+    # use_cg=False fits ride the fused masked engine too on TPU, in exact
+    # mode: each half-step's CG runs to the per-row 1e-8 freeze under the
+    # Krylov step cap (dense_pallas._exact_cap) — Cholesky-quality
+    # solutions at masked-matvec cost instead of the bucketed engine's
+    # nnz*k^2 Gram assembly.  engine="sparse" or
+    # CMFREC_TPU_NO_EXACT_DENSE=1 keeps the per-row Cholesky path.
+    from ..config import exact_dense_enabled
+
+    exact_pallas = (
+        not use_cg
+        and not NA_as_zero
+        and jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
+        and exact_dense_enabled()
+    )
     use_dense = engine == "dense" or (
         engine == "auto"
-        and (use_cg or na0_dense)
+        and (use_cg or na0_dense or exact_pallas)
         and not nonneg
         and not np.any(l16 > 0)
         and (not NA_as_zero or na0_dense)
@@ -316,6 +332,7 @@ def fit_explicit_als(
                 biasA0=biasA0, biasB0=biasB0,
                 dtype=dtype, seed=seed, verbose=verbose, mesh=mesh,
                 init=init, na_as_zero=NA_as_zero, ckpt=ckpt,
+                exact=not use_cg,
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,
@@ -673,11 +690,16 @@ def fit_implicit_als(
 
     # Fused dense-confidence engine when the padded [m, n] form fits HBM
     # (Wx/Xp bf16 + int8 mask, both orientations = 10 bytes/padded entry).
+    # use_cg=False rides it in exact mode (Krylov-capped converged CG,
+    # see fit_explicit_als) unless CMFREC_TPU_NO_EXACT_DENSE=1.
+    from ..config import exact_dense_enabled
+
     if (mesh is None
             and jax.default_backend() == "tpu"
             and np.dtype(dtype) == np.float32
             and os.environ.get("CMFREC_TPU_NO_PALLAS", "0") != "1"
-            and use_cg and not nonneg and not np.any(l16 > 0)):
+            and (use_cg or exact_dense_enabled())
+            and not nonneg and not np.any(l16 > 0)):
         from ..ops.masked_matmul import pad_dim
 
         m_pad = pad_dim(m)[0]
@@ -698,7 +720,7 @@ def fit_implicit_als(
                 ),
                 finalize_chol=finalize_chol, alpha=alpha,
                 w_main_multiplier=w_main, dtype=dtype, seed=seed,
-                verbose=verbose, init=init, ckpt=ckpt,
+                verbose=verbose, init=init, ckpt=ckpt, exact=not use_cg,
             )
 
     RB, CB = _build_pair(rows, cols, vals, m, n, None, dtype,

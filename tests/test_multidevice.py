@@ -212,6 +212,35 @@ def test_dense_pallas_fit_sharded_matches_single(rng):
     np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-3)
 
 
+def test_dense_pallas_exact_sharded_matches_single(rng):
+    """Exact mode under a mesh: the while-loop CG's global all-frozen stop
+    reduces over the sharded live mask — the sharded fit must reproduce
+    the single-device exact fit."""
+    from cmfrec_tpu.solvers.dense_pallas import fit_explicit_dense_pallas
+
+    m, n, k = 96, 64, 4
+    A0 = rng.normal(size=(m, k))
+    B0 = rng.normal(size=(n, k))
+    mask = rng.uniform(size=(m, n)) < 0.5
+    ro, co = np.nonzero(mask)
+    vals = np.round(8 * ((A0 @ B0.T)[ro, co] + 3.0
+                         + 0.05 * rng.normal(size=ro.size))) / 8
+    common = dict(
+        weights=None, k=k, lam6=np.full(6, 0.5), niter=4, max_cg_steps=3,
+        finalize_chol=True, finalize_steps=20, user_bias=True,
+        item_bias=True, glob_mean=float(vals.mean()), scale_lam=False,
+        scale_bias_const=False, biasA0=None, biasB0=None,
+        dtype=np.float32, seed=3, verbose=False, interpret=True,
+        exact=True,
+    )
+    r1 = fit_explicit_dense_pallas(ro, co, vals, m, n, **common)
+    mesh = make_mesh(8)
+    r2 = fit_explicit_dense_pallas(ro, co, vals, m, n, mesh=mesh, **common)
+    for key in ("A", "B", "biasA", "biasB"):
+        np.testing.assert_allclose(np.asarray(r1[key]), np.asarray(r2[key]),
+                                   rtol=0, atol=5e-4, err_msg=key)
+
+
 def test_model_level_mesh_kwarg(problem):
     """CMF.fit(mesh=...) / CMF_implicit.fit(mesh=...) shard the fit and
     reproduce the unsharded model."""

@@ -336,7 +336,11 @@ def fit_explicit_als(
             )
         return _fit_explicit_dense(
             rows, cols, vals_c, m, n, weights=weights,
-            k=k, lam6=lam6, niter=niter, max_cg_steps=max_cg_steps,
+            k=k, lam6=lam6, niter=niter,
+            # explicit engine="dense" request with use_cg=False: run every
+            # iteration's CG to convergence (30 steps == exact on these
+            # k x k ridge systems), the XLA-engine analog of exact mode
+            max_cg_steps=max_cg_steps if use_cg else 30,
             finalize_chol=finalize_chol, user_bias=user_bias,
             item_bias=item_bias, glob_mean=glob_mean,
             scale_lam=scale_lam, scale_bias_const=scale_bias_const,

@@ -149,24 +149,39 @@ def build_bucketed_pair_device(
         vals_dev = _ship_vals(vals)
         wgt_dev = _ship_vals(weights) if weighted else jnp.zeros(0, dt)
     else:
-        csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
-        if csr is not None:
-            counts_r, _, csr_cols, csr_vals, csr_wgt = csr
+        # fused native path: ONE distribution pass emits the wire-ready
+        # buffers (3-byte split ids + bf16 values) — no perm
+        # materialization, no gather pass, no Python astype/shift passes
+        wire = (native.csr_wire_from_coo(rows, cols, vals, weights, m)
+                if (ship_bf16 and n < (1 << 24)) else None)
+        if wire is not None:
+            counts_r, _ip, lo, hi, vb, wb = wire
             row_order_r = native.degree_order(counts_r)
+            ids_dev = (jnp.asarray(lo).astype(jnp.int32)
+                       | (jnp.asarray(hi).astype(jnp.int32) << 16))
+            vals_dev = jnp.asarray(vb.view(jnp.bfloat16))
+            wgt_dev = (jnp.asarray(wb.view(jnp.bfloat16)) if weighted
+                       else jnp.zeros(0, dt))
         else:
-            counts_r = np.bincount(rows, minlength=m).astype(np.int64)
-            order = np.argsort(rows, kind="stable")
-            csr_cols = cols[order].astype(np.int32)
-            csr_vals = np.asarray(vals, dt)[order]
-            csr_wgt = (np.asarray(weights, dt)[order]
-                       if weighted else None)
-            row_order_r = np.argsort(-counts_r, kind="stable").astype(np.int64)
-        # kick off the big uploads NOW — they stream over the slow host
-        # link while the host does degree ordering and planning below
-        ids_dev = _ship_ids(csr_cols, n)
-        vals_dev = _ship_vals(csr_vals)
-        wgt_dev = (_ship_vals(csr_wgt) if csr_wgt is not None
-                   else jnp.zeros(0, dt))
+            csr = native.csr_from_coo(rows, cols, vals, weights, m, dt)
+            if csr is not None:
+                counts_r, _, csr_cols, csr_vals, csr_wgt = csr
+                row_order_r = native.degree_order(counts_r)
+            else:
+                counts_r = np.bincount(rows, minlength=m).astype(np.int64)
+                order = np.argsort(rows, kind="stable")
+                csr_cols = cols[order].astype(np.int32)
+                csr_vals = np.asarray(vals, dt)[order]
+                csr_wgt = (np.asarray(weights, dt)[order]
+                           if weighted else None)
+                row_order_r = np.argsort(-counts_r,
+                                         kind="stable").astype(np.int64)
+            # kick off the big uploads NOW — they stream over the slow
+            # host link while the host does degree ordering and planning
+            ids_dev = _ship_ids(csr_cols, n)
+            vals_dev = _ship_vals(csr_vals)
+            wgt_dev = (_ship_vals(csr_wgt) if csr_wgt is not None
+                       else jnp.zeros(0, dt))
 
     counts_c = np.bincount(cols, minlength=n).astype(np.int64)
     row_order_c = native.degree_order(counts_c)

@@ -57,9 +57,19 @@ def _compile(out: str) -> bool:
         return False
 
 
+_U16 = ctypes.POINTER(ctypes.c_uint16)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
+
+
 def _declare(lib) -> None:
     lib.coo_csr_perm.argtypes = [_I64, ctypes.c_int64, ctypes.c_int64,
                                  _I64, _I64, _I64]
+    lib.coo_csr_fill_wire.argtypes = [
+        _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
+        _I64, _I64, _U16, _U8, _U16, _U16]
+    lib.coo_csr_fill_f32.argtypes = [
+        _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
+        _I64, _I64, _I32, _F32, _F32]
     for name, vt in (("gather_entries_f32", _F32),
                      ("gather_entries_f64", _F64)):
         fn = getattr(lib, name)
@@ -132,6 +142,37 @@ def csr_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
        _ptr(csr_cols, _I32), _ptr(csr_vals, vt),
        _ptr(csr_wgt, vt) if csr_wgt is not None else None)
     return counts, indptr, csr_cols, csr_vals, csr_wgt
+
+
+def csr_wire_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                      weights, n_rows: int):
+    """Fused native COO->CSR producing WIRE-READY buffers in one pass:
+    (counts, indptr, cols_lo u16, cols_hi u8, vals_bf16 u16,
+    wgt_bf16 u16|None) — the 3-byte id split of device_fill._ship_ids
+    plus round-to-nearest-even bf16 values, with no extra host passes.
+    None if the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = rows.shape[0]
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    vals64 = np.ascontiguousarray(vals, np.float64)
+    wgt64 = (None if weights is None
+             else np.ascontiguousarray(weights, np.float64))
+    counts = np.empty(n_rows, np.int64)
+    indptr = np.empty(n_rows + 1, np.int64)
+    lo = np.empty(nnz, np.uint16)
+    hi = np.empty(nnz, np.uint8)
+    vb = np.empty(nnz, np.uint16)
+    wb = np.empty(nnz, np.uint16) if weights is not None else None
+    lib.coo_csr_fill_wire(
+        _ptr(rows, _I64), _ptr(cols, _I64), _ptr(vals64, _F64),
+        _ptr(wgt64, _F64) if wgt64 is not None else None,
+        nnz, n_rows, _ptr(counts, _I64), _ptr(indptr, _I64),
+        _ptr(lo, _U16), _ptr(hi, _U8), _ptr(vb, _U16),
+        _ptr(wb, _U16) if wb is not None else None)
+    return counts, indptr, lo, hi, vb, wb
 
 
 def degree_order(counts: np.ndarray):

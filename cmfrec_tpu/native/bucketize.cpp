@@ -78,6 +78,63 @@ DEFINE_GATHER(gather_entries_f64, double)
 DEFINE_FILL(fill_bucket_f32, float)
 DEFINE_FILL(fill_bucket_f64, double)
 
+// Fused COO->CSR distribution emitting WIRE-READY buffers in one pass.
+//
+// Replaces coo_csr_perm + gather_entries + the Python-side bf16 cast and
+// lo16/hi8 id split (each a full pass over 10M+ entries on a 1-core
+// host): counts, then a single distribution pass that writes, per entry,
+// the split column id (uint16 low half + uint8 high byte — the 3-byte
+// wire format of data/device_fill._ship_ids) and the value rounded to
+// bf16 (round-to-nearest-even, matching XLA/NumPy f32->bf16) straight
+// into the upload buffers.  ~2 random writes per entry instead of the
+// previous write-perm + gather-read pattern.
+static inline uint16_t f32_to_bf16(float x) {
+  uint32_t bits;
+  std::memcpy(&bits, &x, 4);
+  const uint32_t rounding = 0x7FFF + ((bits >> 16) & 1);
+  bits += rounding;
+  return (uint16_t)(bits >> 16);
+}
+
+void coo_csr_fill_wire(const int64_t* rows, const int64_t* cols,
+                       const double* vals, const double* wgt, int64_t nnz,
+                       int64_t n_rows, int64_t* counts, int64_t* indptr,
+                       uint16_t* out_lo, uint8_t* out_hi,
+                       uint16_t* out_vals_bf16, uint16_t* out_wgt_bf16) {
+  std::memset(counts, 0, (size_t)n_rows * sizeof(int64_t));
+  for (int64_t i = 0; i < nnz; ++i) counts[rows[i]]++;
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + counts[r];
+  std::vector<int64_t> head(indptr, indptr + n_rows);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t p = head[rows[i]]++;
+    const uint32_t c = (uint32_t)cols[i];
+    out_lo[p] = (uint16_t)(c & 0xFFFF);
+    out_hi[p] = (uint8_t)(c >> 16);
+    out_vals_bf16[p] = f32_to_bf16((float)vals[i]);
+    if (wgt) out_wgt_bf16[p] = f32_to_bf16((float)wgt[i]);
+  }
+}
+
+// Same single-pass distribution keeping f32 payloads (float64 fits and
+// the CSR-consuming host paths): int32 columns + f32 values/weights.
+void coo_csr_fill_f32(const int64_t* rows, const int64_t* cols,
+                      const double* vals, const double* wgt, int64_t nnz,
+                      int64_t n_rows, int64_t* counts, int64_t* indptr,
+                      int32_t* out_cols, float* out_vals, float* out_wgt) {
+  std::memset(counts, 0, (size_t)n_rows * sizeof(int64_t));
+  for (int64_t i = 0; i < nnz; ++i) counts[rows[i]]++;
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + counts[r];
+  std::vector<int64_t> head(indptr, indptr + n_rows);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t p = head[rows[i]]++;
+    out_cols[p] = (int32_t)cols[i];
+    out_vals[p] = (float)vals[i];
+    if (wgt) out_wgt[p] = (float)wgt[i];
+  }
+}
+
 // Degree-descending stable row order via counting sort over nnz values
 // (keys bounded by max degree).  Equivalent to np.argsort(-counts,
 // kind="stable") in O(n_rows + max_degree).

@@ -41,6 +41,36 @@ def test_csr_from_coo_matches_numpy(rng, weights, dtype):
         np.testing.assert_allclose(c_wgt, wgt[order].astype(dtype), rtol=0)
 
 
+@pytest.mark.parametrize("weights", [False, True])
+def test_csr_wire_from_coo_matches_reference(rng, weights):
+    """The fused wire-ready distribution (single pass emitting split ids
+    + round-to-nearest-even bf16 values) must equal the compose-by-hand
+    reference: stable row sort, lo16/hi8 split, numpy/ml_dtypes bf16."""
+    import jax.numpy as jnp
+
+    m, n, nnz = 300, 70000, 5000  # n > 2**16: exercises the hi byte
+    rows, cols, vals, wgt = _random_coo(rng, m, n, nnz, weights)
+    out = native.csr_wire_from_coo(rows, cols, vals, wgt, m)
+    assert out is not None
+    counts, indptr, lo, hi, vb, wb = out
+    np.testing.assert_array_equal(counts, np.bincount(rows, minlength=m))
+    np.testing.assert_array_equal(indptr, np.concatenate(
+        [[0], np.cumsum(counts)]))
+    order = np.argsort(rows, kind="stable")
+    c32 = cols[order].astype(np.int32)
+    np.testing.assert_array_equal(lo, (c32 & 0xFFFF).astype(np.uint16))
+    np.testing.assert_array_equal(hi, (c32 >> 16).astype(np.uint8))
+    # reassembled ids round-trip
+    np.testing.assert_array_equal(
+        lo.astype(np.int32) | (hi.astype(np.int32) << 16), c32)
+    # bf16 rounding matches ml_dtypes (round-to-nearest-even)
+    ref_v = vals[order].astype(np.float32).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(vb.view(jnp.bfloat16), ref_v)
+    if weights:
+        ref_w = wgt[order].astype(np.float32).astype(jnp.bfloat16)
+        np.testing.assert_array_equal(wb.view(jnp.bfloat16), ref_w)
+
+
 def test_degree_order_matches_numpy(rng):
     counts = rng.integers(0, 50, 1000).astype(np.int64)
     order = native.degree_order(counts)

@@ -107,6 +107,7 @@ def build_bucketed_pair_device(
     # neither a row-id upload nor a sort: one cheap host pass detects it
     # and saves 3 bytes/entry on the wire (the scarcest resource).
     rows_sorted = nnz <= 1 or bool(np.all(rows[1:] >= rows[:-1]))
+    counts_c_native = None  # col histogram from the fused wire pass, if any
 
     def _ship_vals(v):
         """Enqueue values/weights in the wire dtype (bf16 when the compute
@@ -152,10 +153,10 @@ def build_bucketed_pair_device(
         # fused native path: ONE distribution pass emits the wire-ready
         # buffers (3-byte split ids + bf16 values) — no perm
         # materialization, no gather pass, no Python astype/shift passes
-        wire = (native.csr_wire_from_coo(rows, cols, vals, weights, m)
+        wire = (native.csr_wire_from_coo(rows, cols, vals, weights, m, n)
                 if (ship_bf16 and n < (1 << 24)) else None)
         if wire is not None:
-            counts_r, _ip, lo, hi, vb, wb = wire
+            counts_r, _ip, lo, hi, vb, wb, counts_c_native = wire
             row_order_r = native.degree_order(counts_r)
             ids_dev = (jnp.asarray(lo).astype(jnp.int32)
                        | (jnp.asarray(hi).astype(jnp.int32) << 16))
@@ -183,7 +184,9 @@ def build_bucketed_pair_device(
             wgt_dev = (_ship_vals(csr_wgt) if csr_wgt is not None
                        else jnp.zeros(0, dt))
 
-    counts_c = np.bincount(cols, minlength=n).astype(np.int64)
+    counts_c = counts_c_native
+    if counts_c is None:
+        counts_c = np.bincount(cols, minlength=n).astype(np.int64)
     row_order_c = native.degree_order(counts_c)
     if row_order_c is None:
         row_order_c = np.argsort(-counts_c, kind="stable").astype(np.int64)

@@ -66,7 +66,7 @@ def _declare(lib) -> None:
                                  _I64, _I64, _I64]
     lib.coo_csr_fill_wire.argtypes = [
         _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
-        _I64, _I64, _U16, _U8, _U16, _U16]
+        ctypes.c_int64, _I64, _I64, _I64, _U16, _U8, _U16, _U16]
     lib.coo_csr_fill_f32.argtypes = [
         _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
         _I64, _I64, _I32, _F32, _F32]
@@ -145,12 +145,14 @@ def csr_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
 
 def csr_wire_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
-                      weights, n_rows: int):
+                      weights, n_rows: int, n_cols: int = 0):
     """Fused native COO->CSR producing WIRE-READY buffers in one pass:
     (counts, indptr, cols_lo u16, cols_hi u8, vals_bf16 u16,
-    wgt_bf16 u16|None) — the 3-byte id split of device_fill._ship_ids
-    plus round-to-nearest-even bf16 values, with no extra host passes.
-    None if the lib is missing."""
+    wgt_bf16 u16|None, col_counts|None) — the 3-byte id split of
+    device_fill._ship_ids plus round-to-nearest-even bf16 values, with no
+    extra host passes.  n_cols > 0 also histograms the column ids in the
+    same pass (the opposing orientation's degree counts).  None if the
+    lib is missing."""
     lib = get_lib()
     if lib is None:
         return None
@@ -162,6 +164,7 @@ def csr_wire_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
              else np.ascontiguousarray(weights, np.float64))
     counts = np.empty(n_rows, np.int64)
     indptr = np.empty(n_rows + 1, np.int64)
+    col_counts = np.empty(n_cols, np.int64) if n_cols > 0 else None
     lo = np.empty(nnz, np.uint16)
     hi = np.empty(nnz, np.uint8)
     vb = np.empty(nnz, np.uint16)
@@ -169,10 +172,11 @@ def csr_wire_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     lib.coo_csr_fill_wire(
         _ptr(rows, _I64), _ptr(cols, _I64), _ptr(vals64, _F64),
         _ptr(wgt64, _F64) if wgt64 is not None else None,
-        nnz, n_rows, _ptr(counts, _I64), _ptr(indptr, _I64),
+        nnz, n_rows, n_cols, _ptr(counts, _I64), _ptr(indptr, _I64),
+        _ptr(col_counts, _I64) if col_counts is not None else None,
         _ptr(lo, _U16), _ptr(hi, _U8), _ptr(vb, _U16),
         _ptr(wb, _U16) if wb is not None else None)
-    return counts, indptr, lo, hi, vb, wb
+    return counts, indptr, lo, hi, vb, wb, col_counts
 
 
 def degree_order(counts: np.ndarray):

@@ -98,10 +98,13 @@ static inline uint16_t f32_to_bf16(float x) {
 
 void coo_csr_fill_wire(const int64_t* rows, const int64_t* cols,
                        const double* vals, const double* wgt, int64_t nnz,
-                       int64_t n_rows, int64_t* counts, int64_t* indptr,
+                       int64_t n_rows, int64_t n_cols_hist,
+                       int64_t* counts, int64_t* indptr, int64_t* col_counts,
                        uint16_t* out_lo, uint8_t* out_hi,
                        uint16_t* out_vals_bf16, uint16_t* out_wgt_bf16) {
   std::memset(counts, 0, (size_t)n_rows * sizeof(int64_t));
+  if (col_counts)
+    std::memset(col_counts, 0, (size_t)n_cols_hist * sizeof(int64_t));
   for (int64_t i = 0; i < nnz; ++i) counts[rows[i]]++;
   indptr[0] = 0;
   for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + counts[r];
@@ -109,6 +112,7 @@ void coo_csr_fill_wire(const int64_t* rows, const int64_t* cols,
   for (int64_t i = 0; i < nnz; ++i) {
     const int64_t p = head[rows[i]]++;
     const uint32_t c = (uint32_t)cols[i];
+    if (col_counts) col_counts[c]++;  // opposing-orientation histogram
     out_lo[p] = (uint16_t)(c & 0xFFFF);
     out_hi[p] = (uint8_t)(c >> 16);
     out_vals_bf16[p] = f32_to_bf16((float)vals[i]);

@@ -50,10 +50,12 @@ def test_csr_wire_from_coo_matches_reference(rng, weights):
 
     m, n, nnz = 300, 70000, 5000  # n > 2**16: exercises the hi byte
     rows, cols, vals, wgt = _random_coo(rng, m, n, nnz, weights)
-    out = native.csr_wire_from_coo(rows, cols, vals, wgt, m)
+    out = native.csr_wire_from_coo(rows, cols, vals, wgt, m, n)
     assert out is not None
-    counts, indptr, lo, hi, vb, wb = out
+    counts, indptr, lo, hi, vb, wb, col_counts = out
     np.testing.assert_array_equal(counts, np.bincount(rows, minlength=m))
+    np.testing.assert_array_equal(col_counts,
+                                  np.bincount(cols, minlength=n))
     np.testing.assert_array_equal(indptr, np.concatenate(
         [[0], np.cumsum(counts)]))
     order = np.argsort(rows, kind="stable")

@@ -1059,21 +1059,28 @@ def _run_collective_implicit_iterations(
         return jnp.where(live[:, None], a, 0.0)
 
     def body(carry, _):
-        A, B = carry
-        C = (_solve_side_factor(A[:, :k], Ud, w_user, lamC, k)
-             if has_U else None)
-        D = (_solve_side_factor(B[:, :k], Id, w_item, lamD, k)
-             if has_I else None)
-        A = half(A, Wx, Xp, M, B, live_A, live_B, lam_vec_A, C, Ud,
-                 w_user, bs_n)
-        B = half(B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B, D, Id,
-                 w_item, bs_m)
-        return (A, B), None
+        A, B, C, D = carry
+        if has_U:
+            C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k)
+        if has_I:
+            D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k)
+        # Reference half-step order: C, D, then B before A
+        # (collective.c:9927 "Optimize B" -> :9981 "Optimize A"), matching
+        # the bucketed collective-implicit path and the plain-implicit
+        # fused engine.  C/D ride the carry so the RETURNED side factors
+        # are the last-optimized ones (from the final iteration's
+        # start-of-iteration A/B), as the reference stores them.
+        B = half(B, WxT, XpT, MT, A, live_B, live_A, lam_vec_B,
+                 D if has_I else None, Id, w_item, bs_m)
+        A = half(A, Wx, Xp, M, B, live_A, live_B, lam_vec_A,
+                 C if has_U else None, Ud, w_user, bs_n)
+        return (A, B, C, D), None
 
-    (A, B), _ = jax.lax.scan(body, (A, B), None, length=n_iters)
-    C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
-    D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
-    return A, B, C, D
+    C0 = jnp.zeros((Ud.shape[1] if has_U else 0, k), jnp.float32)
+    D0 = jnp.zeros((Id.shape[1] if has_I else 0, k), jnp.float32)
+    (A, B, C, D), _ = jax.lax.scan(body, (A, B, C0, D0), None,
+                                   length=n_iters)
+    return A, B, C if has_U else None, D if has_I else None
 
 
 def fit_collective_implicit_dense_pallas(

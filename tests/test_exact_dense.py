@@ -178,6 +178,87 @@ def test_implicit_exact_one_iter_matches_bucketed_chol(rng):
                                rtol=0, atol=2e-4)
 
 
+def _collective_implicit_pair(rng):
+    """Shared problem for the collective-implicit fused-vs-bucketed pins:
+    every row and column observed (degree-0 rows are handled differently
+    by design — the fused engine zeroes them, the bucketed keeps init)."""
+    m, n, k, p = 40, 28, 4, 5
+    rows = rng.integers(0, m, 600)
+    cols = rng.integers(0, n, 600)
+    rows = np.concatenate([rows, np.arange(m), (np.arange(n) % m)])
+    cols = np.concatenate([cols, np.arange(m) % n, np.arange(n)])
+    pairs = np.unique(rows * n + cols)  # dense scatter dedupes; match it
+    rows, cols = pairs // n, pairs % n
+    vals = rng.integers(1, 17, rows.size).astype(np.float64)
+    U = rng.normal(size=(m, p)).astype(np.float32)
+    A0 = 0.3 * rng.normal(size=(m, k)).astype(np.float32)
+    B0 = 0.3 * rng.normal(size=(n, k)).astype(np.float32)
+    return m, n, k, rows, cols, vals, U, A0, B0
+
+
+def test_collective_implicit_exact_one_iter_matches_bucketed_chol(rng):
+    """Collective-implicit exact mode (use_cg=False on the fused engine):
+    one controlled iteration from shared inits equals the bucketed
+    per-row Cholesky path — pins BOTH the exact solves and the reference
+    half-step order (B before A, collective.c:9927 -> :9981)."""
+    from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
+    from cmfrec_tpu.solvers.dense_pallas import (
+        fit_collective_implicit_dense_pallas,
+    )
+
+    m, n, k, rows, cols, vals, U, A0, B0 = _collective_implicit_pair(rng)
+    lam, wu, alpha = 2.0, 0.7, 0.5
+    res_b = fit_collective_implicit_als(
+        rows, cols, vals, m, n,
+        side_U=(None, None, None, m, U.shape[1], True, U),
+        k=k, lambda_=lam, w_user=wu,
+        alpha=alpha, niter=1, use_cg=False, center_U=False,
+        dtype=np.float32, seed=5, init=dict(A=A0, B=B0))
+    res_p = fit_collective_implicit_dense_pallas(
+        rows, cols, vals, m, n, U_dense=U, I_dense=None, k=k,
+        lam6=np.full(6, lam), w_user=wu, w_item=1.0, niter=1,
+        max_cg_steps=3, finalize_steps=5, finalize_chol=False, alpha=alpha,
+        w_main_multiplier=1.0, dtype=np.float32, seed=1, verbose=False,
+        interpret=INTERP, init=dict(A=A0, B=B0), exact=True)
+    for key, tol in (("C", 1e-4), ("B", 2e-4), ("A", 2e-4)):
+        b = np.asarray(res_b[key], np.float64)[:, :k]
+        p = np.asarray(res_p[key], np.float64)[:, :k]
+        np.testing.assert_allclose(p, b, rtol=0, atol=tol, err_msg=key)
+
+
+def test_collective_implicit_cg_one_iter_matches_bucketed_cg(rng):
+    """Collective-implicit CG mode: one f32 3-step-CG iteration from
+    shared inits follows the bucketed CG trajectory (tolerance =
+    CG-stop noise) — the half-step-order pin for the default CG path."""
+    from cmfrec_tpu.solvers.collective import fit_collective_implicit_als
+    from cmfrec_tpu.solvers.dense_pallas import (
+        fit_collective_implicit_dense_pallas,
+    )
+
+    m, n, k, rows, cols, vals, U, A0, B0 = _collective_implicit_pair(rng)
+    lam, wu, alpha = 2.0, 0.7, 0.5
+    res_b = fit_collective_implicit_als(
+        rows, cols, vals, m, n,
+        side_U=(None, None, None, m, U.shape[1], True, U),
+        k=k, lambda_=lam, w_user=wu,
+        alpha=alpha, niter=1, use_cg=True, max_cg_steps=3,
+        finalize_chol=False, center_U=False, dtype=np.float32, seed=5,
+        init=dict(A=A0, B=B0))
+    # niter=1 + finalize_chol=True runs the single iteration in f32 with
+    # exactly finalize_steps CG steps (no bf16 bulk) — same math as the
+    # bucketed 3-step CG when no row hits the early-stop tolerances
+    res_p = fit_collective_implicit_dense_pallas(
+        rows, cols, vals, m, n, U_dense=U, I_dense=None, k=k,
+        lam6=np.full(6, lam), w_user=wu, w_item=1.0, niter=1,
+        max_cg_steps=3, finalize_steps=3, finalize_chol=True, alpha=alpha,
+        w_main_multiplier=1.0, dtype=np.float32, seed=1, verbose=False,
+        interpret=INTERP, init=dict(A=A0, B=B0), exact=False)
+    for key, tol in (("C", 1e-4), ("B", 5e-4), ("A", 5e-4)):
+        b = np.asarray(res_b[key], np.float64)[:, :k]
+        p = np.asarray(res_p[key], np.float64)[:, :k]
+        np.testing.assert_allclose(p, b, rtol=0, atol=tol, err_msg=key)
+
+
 @pytest.mark.slow
 def test_explicit_exact_multi_iter_quality(rng):
     """Free-running exact-mode fit (bf16 bulk + f32 final, like the TPU

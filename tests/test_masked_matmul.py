@@ -350,7 +350,9 @@ def test_dense_collective_implicit_matches_numpy(rng):
     """Collective WRMF on the fused engine: one exact iteration from a
     common init matches the direct NumPy normal equations (implicit
     confidence + w_u CtC side term,
-    /root/reference/src/collective.c:5971)."""
+    /root/reference/src/collective.c:5971), in the reference half-step
+    order — C from the carried A, then B against the carried A, then A
+    against the UPDATED B (collective.c:9927 -> :9981)."""
     from cmfrec_tpu.solvers.dense_pallas import (
         fit_collective_implicit_dense_pallas,
     )
@@ -366,19 +368,31 @@ def test_dense_collective_implicit_matches_numpy(rng):
     B0 = 0.3 * rng.normal(size=(n, k)).astype(np.float32)
     alpha, lam, wu = 0.5, 2.0, 0.7
 
-    Bf = B0.astype(np.float64)
     Uf = U.astype(np.float64)
     Af = A0.astype(np.float64)
     C = np.linalg.solve(wu * Af.T @ Af + lam * np.eye(k),
                         wu * Af.T @ Uf).T
-    G0 = Bf.T @ Bf
+    # B half-step against the carried A (no item side info here); columns
+    # with no observations stay dead (the engine's live mask zeroes them)
+    GA = Af.T @ Af
+    B1 = np.zeros((n, k))
+    for c in range(n):
+        sel = cols == c
+        rs, xs = rows[sel], vals[sel]
+        if rs.size == 0:
+            continue
+        G = GA + (Af[rs].T * (alpha * xs)) @ Af[rs] + lam * np.eye(k)
+        rhs = Af[rs].T @ (1 + alpha * xs)
+        B1[c] = np.linalg.solve(G, rhs)
+    # A half-step against the UPDATED B
+    GB = B1.T @ B1
     A_ref = np.zeros((m, k))
     for r in range(m):
         sel = rows == r
         cs, xs = cols[sel], vals[sel]
-        G = (G0 + (Bf[cs].T * (alpha * xs)) @ Bf[cs]
+        G = (GB + (B1[cs].T * (alpha * xs)) @ B1[cs]
              + wu * C.T @ C + lam * np.eye(k))
-        rhs = Bf[cs].T @ (1 + alpha * xs) + wu * C.T @ Uf[r]
+        rhs = B1[cs].T @ (1 + alpha * xs) + wu * C.T @ Uf[r]
         A_ref[r] = np.linalg.solve(G, rhs)
 
     rp = fit_collective_implicit_dense_pallas(
@@ -388,5 +402,7 @@ def test_dense_collective_implicit_matches_numpy(rng):
         w_main_multiplier=1.0, dtype=np.float32, seed=1, verbose=False,
         interpret=True, init=dict(A=A0, B=B0),
     )
+    np.testing.assert_allclose(np.asarray(rp["B"], np.float64), B1,
+                               rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(rp["A"], np.float64), A_ref,
                                rtol=0, atol=1e-4)

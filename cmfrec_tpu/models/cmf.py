@@ -180,7 +180,8 @@ class CMF(_BaseModel):
         if (U_bin is not None or I_bin is not None) and self.method != "lbfgs":
             raise ValueError("Binary side info requires method='lbfgs'")
         if self.method == "lbfgs":
-            return self._fit_lbfgs(rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin)
+            return self._fit_lbfgs(rows, cols, vals, wgt, m, n, U, I,
+                                   U_bin, I_bin, mesh=mesh)
 
         if U is None and I is None and not self.add_implicit_features \
                 and self.k_user == 0 and self.k_item == 0 and self.k_main == 0:
@@ -254,7 +255,8 @@ class CMF(_BaseModel):
             self.force_precompute_for_predictions()
         return self
 
-    def _fit_lbfgs(self, rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin):
+    def _fit_lbfgs(self, rows, cols, vals, wgt, m, n, U, I, U_bin, I_bin,
+                   mesh=None):
         from ..solvers.lbfgs import fit_collective_explicit_lbfgs
 
         side_U = self._ingest_side(U, self.user_mapping_, m, "U")
@@ -273,6 +275,7 @@ class CMF(_BaseModel):
             maxiter=self.maxiter, corr_pairs=self.corr_pairs,
             weights=wgt, dtype=self.dtype_, seed=self.random_state,
             verbose=self.verbose, print_every=self.print_every,
+            mesh=mesh,
         )
         self.A_ = res["A"]
         self.B_ = res["B"]

@@ -290,7 +290,7 @@ class OMF_explicit(_OMFBase):
                     "method='als'."
                 )
 
-    def fit(self, X, U=None, I=None, W=None):
+    def fit(self, X, U=None, I=None, W=None, mesh=None):
         self._validate_offsets_params()
         from ..config import set_handle_interrupt
 
@@ -310,6 +310,7 @@ class OMF_explicit(_OMFBase):
                 maxiter=self.maxiter, corr_pairs=self.corr_pairs,
                 weights=wgt, dtype=self.dtype_, seed=self.random_state,
                 verbose=self.verbose, print_every=self.print_every,
+                mesh=mesh,
             )
         else:
             res = offsets_solver.fit_offsets_als(
@@ -321,7 +322,7 @@ class OMF_explicit(_OMFBase):
                 max_cg_steps=self.max_cg_steps,
                 finalize_chol=self.finalize_chol, NA_as_zero=self.NA_as_zero,
                 weights=wgt, dtype=self.dtype_, seed=self.random_state,
-                verbose=self.verbose,
+                verbose=self.verbose, mesh=mesh,
             )
         self._store(res)
         return self
@@ -450,7 +451,7 @@ class OMF_implicit(_OMFBase):
         self.k_main = 0
         self.is_fitted_ = False
 
-    def fit(self, X, U=None, I=None):
+    def fit(self, X, U=None, I=None, mesh=None):
         from ..config import set_handle_interrupt
 
         set_handle_interrupt(bool(self.handle_interrupt))
@@ -466,7 +467,7 @@ class OMF_implicit(_OMFBase):
             add_intercepts=self.add_intercepts, niter=self.niter,
             use_cg=self.use_cg, max_cg_steps=self.max_cg_steps,
             finalize_chol=self.finalize_chol, dtype=self.dtype_,
-            seed=self.random_state, verbose=self.verbose,
+            seed=self.random_state, verbose=self.verbose, mesh=mesh,
         )
         self._store(res)
         self.w_main_multiplier_ = res.get("w_main_multiplier", 1.0)
@@ -563,7 +564,7 @@ class ContentBased(_OMFBase):
     def k_sec(self):
         return self.k
 
-    def fit(self, X, U, I, W=None):
+    def fit(self, X, U, I, W=None, mesh=None):
         if U is None or I is None:
             raise ValueError("ContentBased requires both U and I")
         from ..config import set_handle_interrupt
@@ -582,7 +583,7 @@ class ContentBased(_OMFBase):
                 user_bias=self.user_bias, item_bias=self.item_bias,
                 center=True, add_intercepts=self.add_intercepts,
                 niter=5, weights=wgt, dtype=self.dtype_,
-                seed=self.random_state, verbose=False,
+                seed=self.random_state, verbose=False, mesh=mesh,
             )
             init = {"C": als["C"], "D": als["D"]}
             if als.get("C_bias") is not None:
@@ -597,7 +598,7 @@ class ContentBased(_OMFBase):
             maxiter=self.maxiter, corr_pairs=self.corr_pairs,
             weights=wgt, dtype=self.dtype_, seed=self.random_state,
             verbose=self.verbose, print_every=self.print_every,
-            init_params=init,
+            init_params=init, mesh=mesh,
         )
         self._store(res)
         return self

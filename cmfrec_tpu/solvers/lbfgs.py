@@ -57,13 +57,27 @@ def _term_dense(Amat, Bmat, M):
     return 0.5 * jnp.sum(r * r)
 
 
-def _term_bin(Amat, Cb, rows, cols, vals):
+def _term_bin(Amat, Cb, rows, cols, vals, wgt=None):
     logits = jnp.einsum(
         "nk,nk->n", jnp.take(Amat, rows, axis=0), jnp.take(Cb, cols, axis=0),
         precision=SOLVER_PRECISION,
     )
     r = vals - jax.nn.sigmoid(logits)
+    if wgt is not None:
+        return 0.5 * jnp.sum(wgt * r * r)
     return 0.5 * jnp.sum(r * r)
+
+
+def _pad_rows(x, mult):
+    """Zero-pad axis 0 to a multiple of ``mult`` (mesh divisibility).
+    Padded factor rows are zeros: they contribute nothing to the loss,
+    the regularizer, or any gradient, so the sharded trajectory equals
+    the unsharded one exactly (up to reduction order)."""
+    r = (-x.shape[0]) % mult
+    if r == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((r,) + x.shape[1:], x.dtype)], axis=0)
 
 
 def _side_coo(side, center, dtype):
@@ -100,6 +114,10 @@ def fit_collective_explicit_lbfgs(
     tol=1e-7,
     init=None,  # warm restart: dict with any of A/B/C/D/Cb/Db/biasA/biasB
     # (the reference's reset_values=False)
+    mesh=None,  # jax.sharding.Mesh: row-shard the COO terms and factor
+    # pytrees over the 1-D data axis; GSPMD psums the scalar loss and the
+    # small C/D grads — the device-mesh analog of the reference's
+    # OpenMP-over-observations strategy (common.c:107-123)
 ) -> dict:
     dtype = np.dtype(dtype)
     jdt = jnp.float64 if dtype == np.float64 else jnp.float32
@@ -153,7 +171,58 @@ def fit_collective_explicit_lbfgs(
         else:
             side_data[name] = (
                 "coo", jnp.asarray(r_s), jnp.asarray(c_s), jnp.asarray(v_s),
+                None,  # per-entry weight slot (mesh padding uses it)
             )
+
+    if mesh is not None:
+        # Row-shard everything with a long leading axis (observations,
+        # A/B/bias rows, dense side rows); replicate the small p x k side
+        # matrices.  Under jit, GSPMD turns the loss reductions into psums
+        # and the take() of a sharded factor into an all-gather of m x k /
+        # n x k (small next to the observation data, same layout argument
+        # as parallel/mesh.py).  optax.lbfgs state inherits the params'
+        # shardings (zeros_like / rolling memories follow their leaves).
+        # Leading axes are zero-padded to mesh-size multiples: padded
+        # observations get weight 0 and padded factor rows are zeros, so
+        # loss, gradients, and the L-BFGS inner products are unchanged.
+        from ..parallel.mesh import replicated, row_sharding
+
+        rs, rep = row_sharding(mesh), replicated(mesh)
+        msz = int(mesh.size)
+        if wgt_j is None:
+            wgt_j = jnp.ones_like(vals_c)
+        rows_j = jax.device_put(_pad_rows(rows_j, msz), rs)
+        cols_j = jax.device_put(_pad_rows(cols_j, msz), rs)
+        vals_c = jax.device_put(_pad_rows(vals_c, msz), rs)
+        wgt_j = jax.device_put(_pad_rows(wgt_j, msz), rs)
+        plan = {"A": rs, "B": rs, "biasA": rs, "biasB": rs,
+                "C": rep, "D": rep, "Cb": rep, "Db": rep}
+        params = {
+            name: jax.device_put(
+                _pad_rows(v, msz) if plan[name] is rs else v, plan[name])
+            for name, v in params.items()
+        }
+        sharded_sides = {}
+        for name, t in side_data.items():
+            if t[0] == "dense":
+                M = _pad_rows(t[1], msz)
+                if name in ("Ub", "Ib") and M.shape[0] != t[1].shape[0]:
+                    # bin terms go through a sigmoid: a padded factor row
+                    # predicts sigmoid(0)=0.5, so pad the target with 0.5
+                    # to keep the padded residual (and its grads) at zero
+                    M = M.at[t[1].shape[0]:].set(0.5)
+                sharded_sides[name] = ("dense", jax.device_put(M, rs))
+            else:
+                _, r_s, c_s, v_s, _w = t
+                w_s = _pad_rows(jnp.ones_like(v_s), msz)
+                sharded_sides[name] = (
+                    "coo",
+                    jax.device_put(_pad_rows(r_s, msz), rs),
+                    jax.device_put(_pad_rows(c_s, msz), rs),
+                    jax.device_put(_pad_rows(v_s, msz), rs),
+                    jax.device_put(w_s, rs),
+                )
+        side_data = sharded_sides
 
     lam_map = {"biasA": lam6[0], "biasB": lam6[1], "A": lam6[2], "B": lam6[3],
                "C": lam6[4], "D": lam6[5], "Cb": lam6[4], "Db": lam6[5]}
@@ -169,15 +238,15 @@ def fit_collective_explicit_lbfgs(
             if side_data["U"][0] == "dense":
                 f += w_user * _term_dense(A_u, p["C"], side_data["U"][1])
             else:
-                _, r_s, c_s, v_s = side_data["U"]
-                f += w_user * _term_sparse(A_u, p["C"], r_s, c_s, v_s)
+                _, r_s, c_s, v_s, w_s = side_data["U"]
+                f += w_user * _term_sparse(A_u, p["C"], r_s, c_s, v_s, w_s)
         if "D" in p:
             B_i = B[:, : k_item + k]
             if side_data["I"][0] == "dense":
                 f += w_item * _term_dense(B_i, p["D"], side_data["I"][1])
             else:
-                _, r_s, c_s, v_s = side_data["I"]
-                f += w_item * _term_sparse(B_i, p["D"], r_s, c_s, v_s)
+                _, r_s, c_s, v_s, w_s = side_data["I"]
+                f += w_item * _term_sparse(B_i, p["D"], r_s, c_s, v_s, w_s)
         if "Cb" in p:
             A_u = A[:, : k_user + k]
             if side_data["Ub"][0] == "dense":
@@ -185,8 +254,8 @@ def fit_collective_explicit_lbfgs(
                 rr = M - jax.nn.sigmoid(A_u @ p["Cb"].T)
                 f += w_user * 0.5 * jnp.sum(rr * rr)
             else:
-                _, r_s, c_s, v_s = side_data["Ub"]
-                f += w_user * _term_bin(A_u, p["Cb"], r_s, c_s, v_s)
+                _, r_s, c_s, v_s, w_s = side_data["Ub"]
+                f += w_user * _term_bin(A_u, p["Cb"], r_s, c_s, v_s, w_s)
         if "Db" in p:
             B_i = B[:, : k_item + k]
             if side_data["Ib"][0] == "dense":
@@ -194,8 +263,8 @@ def fit_collective_explicit_lbfgs(
                 rr = M - jax.nn.sigmoid(B_i @ p["Db"].T)
                 f += w_item * 0.5 * jnp.sum(rr * rr)
             else:
-                _, r_s, c_s, v_s = side_data["Ib"]
-                f += w_item * _term_bin(B_i, p["Db"], r_s, c_s, v_s)
+                _, r_s, c_s, v_s, w_s = side_data["Ib"]
+                f += w_item * _term_bin(B_i, p["Db"], r_s, c_s, v_s, w_s)
         for name, mat in p.items():
             f += 0.5 * jnp.asarray(lam_map[name], jdt) * jnp.sum(mat * mat)
         return f.astype(jdt)
@@ -253,15 +322,17 @@ def fit_collective_explicit_lbfgs(
         print("interrupted — returning partially-fit model")
 
     out = {kname: np.asarray(v) for kname, v in params.items()}
+    bA, bB = out.get("biasA"), out.get("biasB")
     return {
-        "A": out["A"],
-        "B": out["B"],
+        # [:m]/[:n] trims the mesh-divisibility zero padding (no-op otherwise)
+        "A": out["A"][:m],
+        "B": out["B"][:n],
         "C": out.get("C"),
         "D": out.get("D"),
         "Cb": out.get("Cb"),
         "Db": out.get("Db"),
-        "biasA": out.get("biasA"),
-        "biasB": out.get("biasB"),
+        "biasA": None if bA is None else bA[:m],
+        "biasB": None if bB is None else bB[:n],
         "glob_mean": float(glob_mean),
         "U_colmeans": None if U is None else U[5],
         "I_colmeans": None if I is None else I[5],

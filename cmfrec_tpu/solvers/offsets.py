@@ -84,6 +84,9 @@ def fit_offsets_explicit_lbfgs(
     maxiter=10000, corr_pairs=7,
     weights=None, dtype=np.float32, seed=1, verbose=False, print_every=100,
     init_params=None, tol=1e-8,
+    mesh=None,  # jax.sharding.Mesh: row-shard observations, A/B/bias rows
+    # and the dense U/I design matrices; replicate the small C/D blocks
+    # (see lbfgs.py — the reference's OpenMP strategy, common.c:107-123)
 ) -> dict:
     dtype = np.dtype(dtype)
     jdt = jnp.float64 if dtype == np.float64 else jnp.float32
@@ -127,6 +130,33 @@ def fit_offsets_explicit_lbfgs(
 
     U_j = None if U is None else jnp.asarray(U, jdt)
     I_j = None if I is None else jnp.asarray(I, jdt)
+    if mesh is not None:
+        # Zero-pad leading axes to mesh-size multiples (padded observations
+        # carry weight 0, padded factor/design rows are zeros — loss and
+        # gradients are unchanged; see lbfgs.py _pad_rows), then row-shard
+        # over the data axis with the small C/D blocks replicated.
+        from ..parallel.mesh import replicated, row_sharding
+        from .lbfgs import _pad_rows
+
+        rs, rep = row_sharding(mesh), replicated(mesh)
+        msz = int(mesh.size)
+        if wgt_j is None:
+            wgt_j = jnp.ones_like(vals_c)
+        rows_j = jax.device_put(_pad_rows(rows_j, msz), rs)
+        cols_j = jax.device_put(_pad_rows(cols_j, msz), rs)
+        vals_c = jax.device_put(_pad_rows(vals_c, msz), rs)
+        wgt_j = jax.device_put(_pad_rows(wgt_j, msz), rs)
+        if U_j is not None:
+            U_j = jax.device_put(_pad_rows(U_j, msz), rs)
+        if I_j is not None:
+            I_j = jax.device_put(_pad_rows(I_j, msz), rs)
+        plan = {"A": rs, "B": rs, "biasA": rs, "biasB": rs,
+                "C": rep, "D": rep, "C_bias": rep, "D_bias": rep}
+        params = {
+            name: jax.device_put(
+                _pad_rows(v, msz) if plan[name] is rs else v, plan[name])
+            for name, v in params.items()
+        }
     lam_map = {"biasA": lam6[0], "biasB": lam6[1], "A": lam6[2], "B": lam6[3],
                "C": lam6[4], "D": lam6[5], "C_bias": lam6[4], "D_bias": lam6[5]}
 
@@ -203,17 +233,21 @@ def fit_offsets_explicit_lbfgs(
 
     Am, Bm = build_sides(params)
     out = {kname: np.asarray(v) for kname, v in params.items()}
+
+    def _trim(x, size):  # drop mesh-divisibility padding (no-op otherwise)
+        return None if x is None else x[:size]
+
     return {
-        "A": out.get("A"),
-        "B": out.get("B"),
+        "A": _trim(out.get("A"), m),
+        "B": _trim(out.get("B"), n),
         "C": out.get("C"),
         "D": out.get("D"),
         "C_bias": out.get("C_bias"),
         "D_bias": out.get("D_bias"),
-        "Am": np.asarray(Am),
-        "Bm": np.asarray(Bm),
-        "biasA": out.get("biasA"),
-        "biasB": out.get("biasB"),
+        "Am": np.asarray(Am)[:m],
+        "Bm": np.asarray(Bm)[:n],
+        "biasA": _trim(out.get("biasA"), m),
+        "biasB": _trim(out.get("biasB"), n),
         "glob_mean": float(glob_mean),
         "U_colmeans": U_colmeans,
         "I_colmeans": I_colmeans,
@@ -243,6 +277,7 @@ def fit_offsets_als(
     niter=10, use_cg=True, max_cg_steps=3, finalize_chol=True,
     NA_as_zero=False, weights=None, dtype=np.float32, seed=1, verbose=False,
     init=None,  # warm restart for the inner Am/Bm ALS (reset_values=False)
+    mesh=None,  # forwarded to the inner ALS fit (row-parallel solves)
 ) -> dict:
     """ALS approximation: regular ALS for Am/Bm, then attribute regression
     (/root/reference/src/offsets.c:1773)."""
@@ -254,7 +289,7 @@ def fit_offsets_als(
             use_cg=use_cg, max_cg_steps=max_cg_steps,
             finalize_chol=finalize_chol, alpha=alpha,
             apply_log_transf=apply_log_transf, dtype=dtype, seed=seed,
-            verbose=verbose, init=init,
+            verbose=verbose, init=init, mesh=mesh,
         )
     else:
         res = fit_explicit_als(
@@ -263,7 +298,7 @@ def fit_offsets_als(
             finalize_chol=finalize_chol, user_bias=user_bias,
             item_bias=item_bias, center=center, NA_as_zero=NA_as_zero,
             weights=weights, dtype=dtype, seed=seed, verbose=verbose,
-            init=init,
+            init=init, mesh=mesh,
         )
     Am, Bm = res["A"], res["B"]
     out = {

@@ -40,6 +40,9 @@ def fence(x):
     return float(jnp.sum(x.astype(jnp.float32)))
 
 
+assert native.get_lib() is not None, (
+    "native layer unavailable — csr_wire_from_coo would return None")
+
 # tiny round-trip first so tunnel/compile setup doesn't pollute stage 2
 _ = fence(jnp.ones((8, 8)))
 

@@ -545,3 +545,68 @@ def test_ring_collective_gates(problem):
     with pytest.raises(ValueError, match="mesh"):
         fit_collective_implicit_als(rows, cols, vals, m, n, k=4,
                                     use_cg=False, shard_opposing_rows=True)
+
+
+def test_lbfgs_collective_mesh_param_parity(problem, rng):
+    """The joint-gradient L-BFGS fit (the only path for binary side info)
+    sharded over 8 devices reproduces the single-device trajectory:
+    observations + factor pytrees row-sharded, loss/grad psum'd by GSPMD
+    (the reference's OpenMP-over-observations strategy, common.c:107-123)."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers.lbfgs import fit_collective_explicit_lbfgs
+
+    U = rng.normal(size=(m, 7))
+    Ub = (rng.uniform(size=(m, 3)) < 0.5).astype(np.float64)
+    Ir = rng.integers(0, n, 200)
+    Ic = rng.integers(0, 4, 200)
+    Iv = rng.normal(size=200)
+    common = dict(
+        side_U=(None, None, None, m, 7, True, U),
+        side_I=(Ir, Ic, Iv, n, 4, False, None),
+        side_Ub=(None, None, None, m, 3, True, Ub),
+        k=4, k_user=1, k_main=1, lambda_=0.8, w_user=0.9,
+        maxiter=25, corr_pairs=4, dtype=np.float64, seed=3,
+    )
+    r1 = fit_collective_explicit_lbfgs(rows, cols, vals, m, n, **common)
+    r2 = fit_collective_explicit_lbfgs(rows, cols, vals, m, n,
+                                       mesh=make_mesh(8), **common)
+    for key in ("A", "B", "C", "D", "Cb", "biasA", "biasB"):
+        np.testing.assert_allclose(np.asarray(r1[key]), np.asarray(r2[key]),
+                                   rtol=1e-6, atol=1e-8, err_msg=key)
+
+
+def test_offsets_lbfgs_mesh_param_parity(problem, rng):
+    """OMF exact fit at k=128 sharded over the mesh (BASELINE config 5)
+    reproduces the single-device fit."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers.offsets import fit_offsets_explicit_lbfgs
+
+    U = rng.normal(size=(m, 6))
+    I = rng.normal(size=(n, 5))
+    common = dict(
+        side_U=(None, None, None, m, 6, True, U),
+        side_I=(None, None, None, n, 5, True, I),
+        k=128, k_sec=2, k_main=1, lambda_=1.0, w_user=0.8,
+        maxiter=25, corr_pairs=5, dtype=np.float64, seed=3,
+    )
+    r1 = fit_offsets_explicit_lbfgs(rows, cols, vals, m, n, **common)
+    r2 = fit_offsets_explicit_lbfgs(rows, cols, vals, m, n,
+                                    mesh=make_mesh(8), **common)
+    for key in ("A", "B", "C", "D", "C_bias", "Am", "Bm", "biasA"):
+        np.testing.assert_allclose(np.asarray(r1[key]), np.asarray(r2[key]),
+                                   rtol=1e-6, atol=1e-8, err_msg=key)
+
+
+def test_offsets_als_mesh_passthrough(problem, rng):
+    """fit_offsets_als(mesh=) forwards to the inner ALS row-parallel fit."""
+    rows, cols, vals, m, n = problem
+    from cmfrec_tpu.solvers.offsets import fit_offsets_als
+
+    U = rng.normal(size=(m, 6))
+    common = dict(side_U=(None, None, None, m, 6, True, U), k=5,
+                  lambda_=0.9, niter=3, seed=3, dtype=np.float32)
+    r1 = fit_offsets_als(rows, cols, vals, m, n, **common)
+    r2 = fit_offsets_als(rows, cols, vals, m, n, mesh=make_mesh(8), **common)
+    for key in ("Am", "C", "A"):
+        np.testing.assert_allclose(np.asarray(r1[key]), np.asarray(r2[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)

@@ -112,7 +112,31 @@ def main():
         )
         return time.time() - t0, res
 
+    # --- cold-start attribution (r4 verdict item 6): fence the tunnel and
+    # the bulk upload separately BEFORE the first fit, and log compiles
+    # during it, so a stalled tunnel is distinguishable from a compile
+    # regression after the fact ---
+    import jax
+
+    cold = {}
+    t0 = time.time()
+    _ = float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    cold["tiny_roundtrip_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    probe_bytes = 64 << 20  # ~ the fit's wire volume at this shape
+    _ = float(jnp.sum(jnp.asarray(
+        np.ones(probe_bytes // 4, np.float32)).astype(jnp.float32)[::4096]))
+    dt_up = time.time() - t0
+    cold["bulk_upload_s"] = round(dt_up, 2)
+    cold["bulk_upload_mb_s"] = round(probe_bytes / dt_up / 2**20, 1)
+    print(f"cold stages: tiny round-trip {cold['tiny_roundtrip_s']}s, "
+          f"64 MB upload {cold['bulk_upload_s']}s "
+          f"({cold['bulk_upload_mb_s']} MB/s)", file=sys.stderr)
+
+    jax.config.update("jax_log_compiles", True)
     warm, prev = one_fit()[0], float("inf")
+    jax.config.update("jax_log_compiles", False)
+    cold["first_fit_s"] = round(warm, 2)
     print(f"warm-up fit (incl. compile): {warm:.2f}s", file=sys.stderr)
     for _ in range(4):
         prev = warm
@@ -140,6 +164,21 @@ def main():
 
     rmse = heldout_rmse(res)
     print(f"fit: {elapsed:.2f}s  heldout RMSE: {rmse:.4f}", file=sys.stderr)
+
+    # --- measured per-iteration time (r4 verdict item 7): difference two
+    # fenced fits at 30 vs 15 iterations — the per-fit host build and
+    # upload cancel exactly, leaving 15 pure iterations ---
+    def fit_niter(ni):
+        t0 = time.time()
+        r = fit_explicit_als(rows[tr], cols[tr], vals[tr], m, n,
+                             **{**kwargs, "niter": ni})
+        _ = float(jnp.sum(r["A"]) + jnp.sum(r["biasA"]))
+        return time.time() - t0
+
+    t30 = min(fit_niter(30), fit_niter(30))
+    iter_s_measured = max(t30 - elapsed, 0.0) / 15
+    print(f"iter_s measured (t30-t15)/15: {iter_s_measured:.4f}s "
+          f"(t30={t30:.2f}s)", file=sys.stderr)
 
     # --- the REST of the reference's explicit baseline table -------------
     # (benchmark/README.md:27-29: ALS-Chol 30.91 s / CG+implicit-features
@@ -191,6 +230,20 @@ def main():
             rows[tr], cols[tr], vals[tr], m, n,
             use_cg=False, **collective_kw), "chol_implicit_feat", 35.35)
 
+    # --- the serving path (r4 verdict item 5): batched topN / predict /
+    # warm factors vs the reference binary's serving routines ---
+    if os.environ.get("CMFREC_TPU_BENCH_NO_SERVING", "0") != "1":
+        try:
+            import bench_serving
+
+            extras["serving"] = bench_serving.run(
+                {**res, "lambda_": kwargs["lambda_"]},
+                rows[tr], cols[tr], vals[tr], m, n, kwargs["k"])
+            print(f"serving: {extras['serving']}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - keep headline numbers
+            print(f"serving leg failed: {e!r}", file=sys.stderr)
+            extras["serving"] = {"error": repr(e)[:300]}
+
     # --- the implicit (WRMF) benchmark, embedded so the driver records it
     # (benchmark/README.md:90: LastFM-360K ALS-CG 31.9 s on the Ryzen).
     # Guarded: a failure in this ~4-minute leg must not discard the
@@ -213,7 +266,9 @@ def main():
         "extra": {"heldout_rmse": round(rmse, 5), "warmup_s": round(warm, 2),
                   "nnz": int(tr.sum()),
                   "rows_solved_per_s_per_chip": round(rows_per_s),
-                  "iter_s": round(elapsed / kwargs["niter"], 4),
+                  "iter_s_derived": round(elapsed / kwargs["niter"], 4),
+                  "iter_s_measured": round(iter_s_measured, 4),
+                  "cold_stages": cold,
                   **extras},
     }))
 

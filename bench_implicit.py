@@ -203,14 +203,41 @@ def run():
     # entries on the 1-core host + 85 MB wire at the tunnel's 10-50 MB/s
     # + device fill ~1.5 s); the iterations run at the measured
     # 4.3 ns/slot gather-entry-rate floor (~0.445 s/iter).
-    t_b = time.time()
+    # measured per-iteration time: difference two fenced fits at 30 vs 15
+    # iterations (build + upload cancel exactly; r4 verdict item 7)
+    def fit_niter(ni):
+        t0 = time.time()
+        r = fit_implicit_als(tr_r, tr_c, tr_v, m, n,
+                             **{**kwargs, "niter": ni})
+        _ = float(jnp.sum(r["A"]) + jnp.sum(jnp.sum(r["B"], axis=0)))
+        return time.time() - t0
+
+    t30 = min(fit_niter(30), fit_niter(30))
+    iter_s_measured = max(t30 - elapsed, 0.0) / 15
+    print(f"iter_s measured (t30-t15)/15: {iter_s_measured:.4f}s "
+          f"(t30={t30:.2f}s)", file=sys.stderr)
+
+    import os
+
     from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
 
+    t_b = time.time()
     RBp, _CBp = build_bucketed_pair_device(
         tr_r, tr_c, tr_v.astype(np.float32), m, n, None, dtype=np.float32)
     _ = float(jnp.sum(RBp.buckets[-1].val.astype(jnp.float32)))
     build_s = time.time() - t_b
-    print(f"stage: bucketed pair build {build_s:.2f}s (warm)",
+    # the r5 chunked wire build enqueues each row-range's upload while the
+    # host fills the next; the serialized variant shows what the overlap
+    # saves at the current tunnel rate
+    os.environ["CMFREC_TPU_NO_WIRE_OVERLAP"] = "1"
+    t_b2 = time.time()
+    RBs, _CBs = build_bucketed_pair_device(
+        tr_r, tr_c, tr_v.astype(np.float32), m, n, None, dtype=np.float32)
+    _ = float(jnp.sum(RBs.buckets[-1].val.astype(jnp.float32)))
+    build_serial_s = time.time() - t_b2
+    os.environ.pop("CMFREC_TPU_NO_WIRE_OVERLAP", None)
+    print(f"stage: bucketed pair build {build_s:.2f}s warm (overlapped "
+          f"chunked wire) vs {build_serial_s:.2f}s serialized",
           file=sys.stderr)
 
     t_q = time.time()
@@ -229,8 +256,10 @@ def run():
                   "rows_solved_per_s_per_chip":
                       round((m + n) * kwargs["niter"] / elapsed),
                   "build_s_warm": round(build_s, 3),
-                  "iter_s_est": round(max(elapsed - build_s, 0.0)
-                                      / kwargs["niter"], 4),
+                  "build_s_warm_serialized": round(build_serial_s, 3),
+                  "iter_s_derived": round(max(elapsed - build_s, 0.0)
+                                          / kwargs["niter"], 4),
+                  "iter_s_measured": round(iter_s_measured, 4),
                   "p_at_10": round(p10, 5),
                   "p_at_10_popularity": round(p10_pop, 5),
                   "map_at_10": round(map10, 5),

@@ -67,6 +67,11 @@ def _declare(lib) -> None:
     lib.coo_csr_fill_wire.argtypes = [
         _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, _I64, _I64, _I64, _U16, _U8, _U16, _U16]
+    lib.coo_hist.argtypes = [_I64, _I64, ctypes.c_int64, ctypes.c_int64,
+                             ctypes.c_int64, _I64, _I64, _I64]
+    lib.coo_fill_wire_range.argtypes = [
+        _I64, _I64, _F64, _F64, ctypes.c_int64, _I64,
+        ctypes.c_int64, ctypes.c_int64, _U16, _U8, _U16, _U16]
     lib.coo_csr_fill_f32.argtypes = [
         _I64, _I64, _F64, _F64, ctypes.c_int64, ctypes.c_int64,
         _I64, _I64, _I32, _F32, _F32]
@@ -177,6 +182,43 @@ def csr_wire_from_coo(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
         _ptr(lo, _U16), _ptr(hi, _U8), _ptr(vb, _U16),
         _ptr(wb, _U16) if wb is not None else None)
     return counts, indptr, lo, hi, vb, wb, col_counts
+
+
+def coo_hist(rows: np.ndarray, cols: np.ndarray, n_rows: int,
+             n_cols: int = 0):
+    """Histogram-only prefix of the wire build: (counts, indptr,
+    col_counts|None).  None if the lib is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nnz = rows.shape[0]
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    counts = np.empty(n_rows, np.int64)
+    indptr = np.empty(n_rows + 1, np.int64)
+    col_counts = np.empty(n_cols, np.int64) if n_cols > 0 else None
+    lib.coo_hist(_ptr(rows, _I64), _ptr(cols, _I64), nnz, n_rows, n_cols,
+                 _ptr(counts, _I64), _ptr(indptr, _I64),
+                 _ptr(col_counts, _I64) if col_counts is not None else None)
+    return counts, indptr, col_counts
+
+
+def wire_fill_range(rows: np.ndarray, cols: np.ndarray, vals64: np.ndarray,
+                    wgt64, indptr: np.ndarray, r0: int, r1: int,
+                    lo: np.ndarray, hi: np.ndarray, vb: np.ndarray,
+                    wb) -> None:
+    """Fill the wire buffers (u16 id-low, u8 id-high, bf16-bits values
+    [, bf16-bits weights]) for rows [r0, r1) at their global CSR
+    positions.  Inputs must be contiguous; the caller slices each buffer
+    at [indptr[r0]:indptr[r1]] for the upload."""
+    lib = get_lib()
+    assert lib is not None, "native layer required for wire_fill_range"
+    lib.coo_fill_wire_range(
+        _ptr(rows, _I64), _ptr(cols, _I64), _ptr(vals64, _F64),
+        _ptr(wgt64, _F64) if wgt64 is not None else None,
+        rows.shape[0], _ptr(indptr, _I64), r0, r1,
+        _ptr(lo, _U16), _ptr(hi, _U8), _ptr(vb, _U16),
+        _ptr(wb, _U16) if wb is not None else None)
 
 
 def degree_order(counts: np.ndarray):

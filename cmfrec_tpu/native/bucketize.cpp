@@ -120,6 +120,53 @@ void coo_csr_fill_wire(const int64_t* rows, const int64_t* cols,
   }
 }
 
+// Histogram-only pass: row counts, CSR indptr, optional opposing-side
+// column histogram.  The cheap prefix of the wire build, split out so the
+// distribution pass can run in row-range chunks whose uploads overlap the
+// host work on later chunks (the tunnel and the 1-core host are the two
+// co-bottlenecks of the build — serializing them costs their sum).
+void coo_hist(const int64_t* rows, const int64_t* cols, int64_t nnz,
+              int64_t n_rows, int64_t n_cols_hist,
+              int64_t* counts, int64_t* indptr, int64_t* col_counts) {
+  std::memset(counts, 0, (size_t)n_rows * sizeof(int64_t));
+  if (col_counts) {
+    std::memset(col_counts, 0, (size_t)n_cols_hist * sizeof(int64_t));
+    for (int64_t i = 0; i < nnz; ++i) {
+      counts[rows[i]]++;
+      col_counts[cols[i]]++;
+    }
+  } else {
+    for (int64_t i = 0; i < nnz; ++i) counts[rows[i]]++;
+  }
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] = indptr[r] + counts[r];
+}
+
+// Distribution pass restricted to rows [r0, r1): writes the same wire
+// buffers as coo_csr_fill_wire (u16 id-low + u8 id-high + bf16 values),
+// at each entry's global CSR position.  For a row range those positions
+// are contiguous in [indptr[r0], indptr[r1]), so the caller can enqueue
+// that slice of each buffer for upload while this function fills the
+// next range.  (An interleaved 5-byte-record variant was tried and
+// reverted: strided uint8 decode is pathological to compile/run on TPU.)
+void coo_fill_wire_range(const int64_t* rows, const int64_t* cols,
+                         const double* vals, const double* wgt, int64_t nnz,
+                         const int64_t* indptr, int64_t r0, int64_t r1,
+                         uint16_t* out_lo, uint8_t* out_hi,
+                         uint16_t* out_vals_bf16, uint16_t* out_wgt_bf16) {
+  std::vector<int64_t> head(indptr + r0, indptr + r1);
+  for (int64_t i = 0; i < nnz; ++i) {
+    const int64_t r = rows[i];
+    if (r < r0 || r >= r1) continue;
+    const int64_t p = head[r - r0]++;
+    const uint32_t c = (uint32_t)cols[i];
+    out_lo[p] = (uint16_t)(c & 0xFFFF);
+    out_hi[p] = (uint8_t)(c >> 16);
+    out_vals_bf16[p] = f32_to_bf16((float)vals[i]);
+    if (wgt) out_wgt_bf16[p] = f32_to_bf16((float)wgt[i]);
+  }
+}
+
 // Same single-pass distribution keeping f32 payloads (float64 fits and
 // the CSR-consuming host paths): int32 columns + f32 values/weights.
 void coo_csr_fill_f32(const int64_t* rows, const int64_t* cols,

@@ -114,10 +114,32 @@ def _u_part(model, U, k_pad, dtype):
         cw = w_user * msk
         cv = w_user * vals * msk
     part = SparsePart(
-        jnp.asarray(Ce, dtype), jnp.asarray(idx), jnp.asarray(cw, dtype),
+        _dev_cached(model, "extC_dev", Ce, dtype), jnp.asarray(idx),
+        jnp.asarray(cw, dtype),
         jnp.asarray(cv, dtype),
     )
     return part, counts, G0x, r0x
+
+
+def _dev_cached(model, name, arr, dtype):
+    """Device-resident dtype-cast copy of a precompute matrix, memoized in
+    the model's precompute dict (dropped with it on refit).  Without this
+    every warm call re-casts and re-uploads the [n, k_pad] extended
+    matrix — at serving batch rates the uploads dominate the solves."""
+    pre = getattr(model, "_precomputed", None)
+    if pre is None:
+        return jnp.asarray(arr, dtype)
+    arr = np.asarray(arr)
+    # small arrays (lam vectors, scalars) key by VALUE — they derive from
+    # mutable model params; big matrices key by shape (refit replaces the
+    # whole precompute dict, taking these entries with it)
+    tag = arr.tobytes() if arr.size <= 256 else arr.shape
+    key = (name, np.dtype(dtype).str, arr.shape, tag)
+    ent = pre.get(key)
+    if ent is None:
+        ent = jnp.asarray(arr, dtype)
+        pre[key] = ent
+    return ent
 
 
 def _pad_sq(M, k_pad):
@@ -144,12 +166,38 @@ def _trans_btb_inv_bt(model):
     return T
 
 
-def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
+@partial(jax.jit, static_argnames=("w_main", "scale_lam"))
+def _warm_plain_kernel(ext, idx, vals, lengths, item_bias, glob_mean,
+                       lam_vec, w_main, scale_lam):
+    """Fused plain-warm solve: mask, residual (mean + item bias), Gram,
+    and batched Cholesky in ONE executable, fed by raw idx/vals uploads.
+    The eager path ships host-computed [R, L] cw/cv (16 B/slot) and pays
+    several dispatches; at serving rates the tunnel bytes and dispatch
+    latency dominate the actual solves."""
+    L = idx.shape[1]
+    dt = ext.dtype
+    msk = (jnp.arange(L)[None, :] < lengths[:, None]).astype(dt)
+    v = vals.astype(dt) - glob_mean - jnp.take(item_bias, idx)
+    cw = w_main * msk
+    cv = cw * v
+    lam_mult = (jnp.maximum(lengths, 1).astype(dt) if scale_lam else None)
+    G, rhs = rowsolve.assemble_system(
+        [SparsePart(ext, idx, cw, cv)], lam_vec, lam_mult=lam_mult)
+    a = rowsolve.solve_chol(G, rhs)
+    return jnp.where(lengths[:, None] == 0, jnp.zeros((), dt), a)
+
+
+def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
+                           return_device=False, _no_fused=False):
     """Closed-form warm factors for a batch of new users.
 
     idx/vals/wgt: [R, L] padded item ids / (raw) values / weights;
     lengths: [R] observation counts; U: optional [R, p] dense side info.
-    Returns (a [R, k_user+k+k_main], bias [R]).
+    Returns (a [R, k_user+k+k_main], bias [R]).  ``return_device=True``
+    keeps the results as device arrays (no sync) so callers batching many
+    sub-calls (factors_explicit_grouped) pay ONE download at the end.
+    ``_no_fused=True`` forces the eager multi-dispatch path (tests pin
+    the fused kernel against it).
     """
     dtype = jnp.float64 if np.dtype(model.dtype_) == np.float64 else jnp.float32
     ext, width, k_pad, user_bias = _ext_B(model)
@@ -185,6 +233,43 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
             a[:, : T.shape[0]] = Uarr @ T.T
             stats["cold_matmul"] = stats.get("cold_matmul", 0) + 1
             return a, np.zeros(Uarr.shape[0])
+    # Fused plain-warm path (the common serving shape): everything the
+    # eager path computes on host over [R, L] float64 — mask, centering,
+    # item-bias gather, cw/cv — moves into one device executable, halving
+    # the wire (raw i32 idx + vals only) and collapsing the dispatches.
+    if (not _no_fused and L > 0 and wgt is None and U is None
+            and not has_bi
+            and not getattr(model, "NA_as_zero", False)
+            and not getattr(model, "nonneg", False)
+            and not np.any(l16 > 0)
+            and not getattr(model, "scale_lam_sideinfo", False)
+            and not (L == ext.shape[0] and "TransBtBinvBt_G" in pre)):
+        ib = (np.zeros(ext.shape[0]) if model.item_bias_ is None
+              else np.asarray(model.item_bias_, np.float64))
+        lam_np = np.ones(k_pad)
+        lam_np[: ku + k + km] = lam6[2]
+        if user_bias:
+            lam_np[width] = lam6[0]
+        vdt = np.float64 if dtype == jnp.float64 else np.float32
+        a = _warm_plain_kernel(
+            _dev_cached(model, "extB_dev", ext, dtype),
+            jnp.asarray(np.ascontiguousarray(idx, np.int32)),
+            jnp.asarray(np.ascontiguousarray(vals, vdt)),
+            jnp.asarray(np.ascontiguousarray(lengths, np.int32)),
+            _dev_cached(model, "item_bias_dev", ib, dtype),
+            _dev_cached(model, "glob_mean_dev",
+                        np.asarray(model.glob_mean_), dtype),
+            _dev_cached(model, "lam_vec_warm_dev", lam_np, dtype),
+            w_main=float(getattr(model, "w_main", 1.0)),
+            scale_lam=bool(getattr(model, "scale_lam", False)))
+        stats["warm_fused"] = stats.get("warm_fused", 0) + 1
+        if return_device:
+            bias = a[:, width] if user_bias else jnp.zeros(R, dtype)
+            return a[:, : ku + k + km], bias
+        a = np.array(a)
+        bias = a[:, width] if user_bias else np.zeros(R)
+        return a[:, : ku + k + km], bias
+
     msk = (np.arange(max(L, 1))[None, :] < lengths[:, None]).astype(np.float64)
     v = np.asarray(vals, np.float64) - model.glob_mean_
     if model.item_bias_ is not None and L > 0:
@@ -228,7 +313,7 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
             cw = w_main * ww * msk
             cv = cw * v
         parts.append(SparsePart(
-            jnp.asarray(ext, dtype), jnp.asarray(idx),
+            _dev_cached(model, "extB_dev", ext, dtype), jnp.asarray(idx),
             jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
         ))
     if na0:
@@ -271,7 +356,8 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
         G0 = Gi if G0 is None else G0 + Gi
         if L > 0:
             parts.append(SparsePart(
-                jnp.asarray(ext_bi, dtype), jnp.asarray(idx),
+                _dev_cached(model, "extBi_dev", ext_bi, dtype),
+                jnp.asarray(idx),
                 jnp.asarray(np.zeros((R, L)), dtype),
                 jnp.asarray(wi * msk, dtype),
             ))
@@ -341,10 +427,13 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
                 rhs = rhs + r0
             Lc = jnp.asarray(pre["BeTBeChol"], dtype)
             y = jax.scipy.linalg.solve_triangular(Lc, rhs.T, lower=True)
-            a = np.array(jax.scipy.linalg.solve_triangular(
-                Lc, y, lower=True, trans=1).T)
+            a = jax.scipy.linalg.solve_triangular(
+                Lc, y, lower=True, trans=1).T
             stats["bechol"] = stats.get("bechol", 0) + 1
-            bias = a[:, width] if user_bias else np.zeros(R)
+            if not return_device:
+                a = np.array(a)
+            bias = a[:, width] if user_bias else (
+                jnp.zeros(R, dtype) if return_device else np.zeros(R))
             return a[:, : ku + k + km], bias
 
     G, rhs = rowsolve.assemble_system(parts, lam_vec, lam_mult=lam_mult,
@@ -360,12 +449,111 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None):
                               max_steps=int(getattr(model, "max_cd_steps", 100)))
     else:
         a = rowsolve.solve_chol(G, rhs)
+    if return_device:
+        # rows with no data anywhere -> zeros (reference zero_out)
+        if not na0 and U is None:
+            a = jnp.where(jnp.asarray(lengths)[:, None] == 0, 0.0, a)
+        bias = a[:, width] if user_bias else jnp.zeros(R, dtype)
+        return a[:, : ku + k + km], bias
     a = np.array(a)
     # rows with no data anywhere -> zeros (reference zero_out)
     if not na0 and U is None:
         a[np.asarray(lengths) == 0] = 0.0
     bias = a[:, width] if user_bias else np.zeros(R)
     return a[:, : ku + k + km], bias
+
+
+def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
+                             row_block=128):
+    """Degree-grouped batched warm factors for serving-scale batches.
+
+    pack_padded_rows pads every row to the batch's MAX degree; with
+    power-law degree profiles (max >> mean) the [R, L] blocks waste
+    10-30x host, wire, and solve work.  This groups rows descending by
+    degree — cutting a new group when the degree falls below half the
+    group's max (padding waste <= 2x, <= ~log2(max_degree) groups) —
+    pads group sizes to ``row_block`` multiples and widths to powers of
+    two (stable executable shapes across calls), runs each group through
+    factors_explicit_batch with device-resident results, and pays ONE
+    download at the end.  Row-for-row identical to the ungrouped call.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.float64)
+    counts = np.bincount(rows, minlength=R)
+    if R == 0:
+        return np.zeros((0, getattr(model, "k_user", 0) + model.k
+                         + getattr(model, "k_main", 0))), np.zeros(0)
+    order = np.argsort(-counts, kind="stable")
+    boundaries = [0]
+    for i in range(1, R):
+        if counts[order[i]] * 2 < counts[order[boundaries[-1]]]:
+            boundaries.append(i)
+    boundaries.append(R)
+
+    eorder = np.argsort(rows, kind="stable")
+    r_s, c_s, v_s = rows[eorder], cols[eorder], vals[eorder]
+    w_s = None if wgt is None else np.asarray(wgt, np.float64)[eorder]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    within_all = np.arange(r_s.size) - starts[r_s]
+    Uarr = None if U is None else np.asarray(U, np.float64)
+
+    kw = getattr(model, "k_user", 0) + model.k + getattr(model, "k_main", 0)
+    # zero-degree rows with nothing else feeding the system are zeros by
+    # definition (the reference's zero_out); groups that still need a
+    # solve (side info / NA-as-zero / implicit features) keep width >= 1
+    plain_zero = (U is None and not getattr(model, "NA_as_zero", False)
+                  and getattr(model, "Bi_", None) is None)
+    a_dev, b_dev, spans = [], [], []
+    for i0, i1 in zip(boundaries[:-1], boundaries[1:]):
+        g_rows = order[i0:i1]
+        Lg = int(counts[g_rows[0]])
+        if Lg == 0 and plain_zero:
+            continue  # outputs pre-zeroed
+        Lg_pad = max(int(1 << max(Lg - 1, 0).bit_length()), 1)
+        Rg = g_rows.size
+        Rg_pad = -(-Rg // row_block) * row_block
+        idx_g = np.zeros((Rg_pad, Lg_pad), np.int64)
+        val_g = np.zeros((Rg_pad, Lg_pad))
+        wgt_g = None if wgt is None else np.zeros((Rg_pad, Lg_pad))
+        lens_g = np.zeros(Rg_pad, np.int64)
+        lens_g[:Rg] = counts[g_rows]
+        if Lg_pad:
+            local = np.full(R, -1, np.int64)
+            local[g_rows] = np.arange(Rg)
+            sel = local[r_s] >= 0
+            li, wi = local[r_s[sel]], within_all[sel]
+            idx_g[li, wi] = c_s[sel]
+            val_g[li, wi] = v_s[sel]
+            if wgt_g is not None:
+                wgt_g[li, wi] = w_s[sel]
+        U_g = None
+        if Uarr is not None:
+            U_g = np.zeros((Rg_pad, Uarr.shape[1]))
+            U_g[:Rg] = Uarr[g_rows]
+        a_g, bias_g = factors_explicit_batch(
+            model, idx_g, val_g, wgt_g, lens_g, U=U_g, return_device=True)
+        a_dev.append(a_g)
+        b_dev.append(bias_g)
+        spans.append((g_rows, Rg))
+
+    a_out = np.zeros((R, kw))
+    bias_out = np.zeros(R)
+    if spans:
+        # one download for ALL groups (each np.asarray is a separate
+        # ~50-65 ms tunnel round-trip otherwise)
+        a_all = np.asarray(jnp.concatenate(
+            [jnp.asarray(a) for a in a_dev], axis=0))
+        b_all = np.asarray(jnp.concatenate(
+            [jnp.asarray(b).reshape(-1) for b in b_dev]))
+        off = 0
+        for (g_rows, Rg), a_g in zip(spans, a_dev):
+            Rg_pad = np.shape(a_g)[0]
+            a_out[g_rows] = a_all[off:off + Rg]
+            bias_out[g_rows] = b_all[off:off + Rg]
+            off += Rg_pad
+        return a_out, bias_out
+    return a_out, bias_out
 
 
 def factors_implicit_batch(model, idx, vals, lengths, U=None):

@@ -789,3 +789,53 @@ def test_new_data_positional_bounds_and_partial_init(rng):
                                     seed=5, use_cg=False, dtype=np.float64,
                                     init={"B": A0[:n] * 0 + 0.5})
     np.testing.assert_allclose(np.asarray(impl["B"]), 0.5, atol=1e-12)
+
+
+def test_factors_grouped_matches_plain_batch(ratings_df, rng):
+    """factors_explicit_grouped (degree-grouped serving path) is row-for-
+    row identical to the plain padded batch, including weights, side info,
+    zero-degree rows, and the model-level factors_multiple routing."""
+    from cmfrec_tpu.models.cmf import CMF
+    from cmfrec_tpu.solvers.warm import (
+        factors_explicit_batch,
+        factors_explicit_grouped,
+        pack_padded_rows,
+    )
+
+    m, n, p = 60, 40, 5
+    rows = rng.integers(0, m, 900)
+    cols = rng.integers(0, n, 900)
+    vals = rng.normal(size=900) + 3.0
+    U = rng.normal(size=(m, p))
+    model = CMF(k=6, lambda_=2.0, niter=3, verbose=False).fit_triplets(
+        rows, cols, vals, m, n, U=U)
+
+    # power-law new-user batch with some zero-degree rows
+    R = 300
+    deg = np.minimum((rng.pareto(1.0, R) * 3).astype(np.int64), n)
+    deg[:5] = 0
+    nr = np.repeat(np.arange(R), deg)
+    nc = np.concatenate([rng.choice(n, size=d, replace=False)
+                         for d in deg]).astype(np.int64) if deg.sum() else \
+        np.zeros(0, np.int64)
+    nv = rng.normal(size=nr.size) + 3.0
+    nw = rng.uniform(0.5, 2.0, size=nr.size)
+    Unew = rng.normal(size=(R, p))
+
+    for wgt, Uu in ((None, None), (nw, Unew)):
+        idx, vv, ww, lens = pack_padded_rows(nr, nc, nv, wgt, R)
+        # _no_fused pins the grouped path (which rides the fused
+        # single-executable kernel when eligible) against the eager
+        # host-side reference math
+        a1, b1 = factors_explicit_batch(model, idx, vv, ww, lens, U=Uu,
+                                        _no_fused=True)
+        a2, b2 = factors_explicit_grouped(model, nr, nc, nv, wgt, R, U=Uu)
+        np.testing.assert_allclose(a2, np.asarray(a1), rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(b2, np.asarray(b1), rtol=2e-4, atol=1e-5)
+    # scale_lam exercises the in-kernel per-row lambda multiplier
+    model.scale_lam = True
+    idx, vv, ww, lens = pack_padded_rows(nr, nc, nv, None, R)
+    a1, _ = factors_explicit_batch(model, idx, vv, ww, lens, _no_fused=True)
+    a2, _ = factors_explicit_grouped(model, nr, nc, nv, None, R)
+    np.testing.assert_allclose(a2, np.asarray(a1), rtol=2e-4, atol=1e-5)
+    model.scale_lam = False

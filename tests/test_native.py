@@ -186,3 +186,42 @@ def test_optimal_boundaries_invariants(rng):
                 assert nxt[0] == e
             assert w % 8 == 0 and w >= 8
             assert w >= deg[s:e].max()
+
+
+@pytest.mark.parametrize("weights", [False, True])
+def test_chunked_wire_build_matches_single_pass(rng, weights, monkeypatch):
+    """The chunked overlapped wire build (coo_hist + per-row-range
+    coo_fill_wire_range + device record decode) produces bitwise the same
+    buckets as the single-pass csr_wire_from_coo path."""
+    from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
+
+    m, n, nnz = 400, 170, 9000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    # unsorted rows so neither run takes the pre-sorted fast path
+    if rows[0] < rows[-1]:
+        rows[0], rows[-1] = rows[-1], rows[0]
+    vals = rng.normal(size=nnz)
+    wgt = rng.uniform(0.5, 2.0, size=nnz) if weights else None
+
+    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "1")
+    R1, C1 = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,
+                                        dtype=np.float32)
+    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "0")
+    # rec bytes = 9000*5 = 45k -> chunk 0.01 MB gives ~4 chunks
+    monkeypatch.setenv("CMFREC_TPU_WIRE_CHUNK_MB", "0.01")
+    R2, C2 = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,
+                                        dtype=np.float32)
+    for B1, B2 in ((R1, R2), (C1, C2)):
+        np.testing.assert_array_equal(B1.perm, B2.perm)
+        assert len(B1.buckets) == len(B2.buckets)
+        for b1, b2 in zip(B1.buckets, B2.buckets):
+            np.testing.assert_array_equal(np.asarray(b1.idx),
+                                          np.asarray(b2.idx))
+            np.testing.assert_array_equal(np.asarray(b1.val),
+                                          np.asarray(b2.val))
+            np.testing.assert_array_equal(np.asarray(b1.length),
+                                          np.asarray(b2.length))
+            if weights:
+                np.testing.assert_array_equal(np.asarray(b1.wgt),
+                                              np.asarray(b2.wgt))

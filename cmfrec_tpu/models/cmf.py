@@ -812,9 +812,21 @@ class CMF_implicit(_BaseModel):
             from ..solvers.warm import factors_cold_implicit
 
             return factors_cold_implicit(self, np.asarray(U, np.float64))
-        idx, vv, _, counts = CMF._pack_new_rows(self, X, None, U)
+        rows, cols, vals, _, m_new, _ = self._ingest_X_new(X, None)
         if self.apply_log_transf:
-            vv = np.where(vv > 0, np.log(np.maximum(vv, 1e-30)), 0.0)
+            vals = np.where(vals > 0, np.log(np.maximum(vals, 1e-30)), 0.0)
+        counts_r = np.bincount(rows, minlength=m_new)
+        waste = m_new * int(counts_r.max(initial=0)) / max(rows.size, 1)
+        if m_new >= 256 and waste > 3.0:
+            # degree-grouped serving path (see CMF.factors_multiple)
+            from ..solvers.warm import factors_implicit_grouped
+
+            return factors_implicit_grouped(
+                self, rows, cols, vals, m_new,
+                U=None if U is None else np.asarray(U, np.float64))
+        from ..solvers.warm import pack_padded_rows
+
+        idx, vv, _, counts = pack_padded_rows(rows, cols, vals, None, m_new)
         return factors_implicit_batch(
             self, idx, vv, counts,
             U=None if U is None else np.asarray(U, np.float64))

@@ -463,8 +463,17 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
     return a[:, : ku + k + km], bias
 
 
-def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
+def factors_implicit_grouped(model, rows, cols, vals, R, U=None,
                              row_block=128):
+    """Degree-grouped implicit-warm factors (see factors_explicit_grouped);
+    returns a [R, k_user+k+k_main]."""
+    a, _ = factors_explicit_grouped(model, rows, cols, vals, None, R, U=U,
+                                    row_block=row_block, implicit=True)
+    return a
+
+
+def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
+                             row_block=128, implicit=False):
     """Degree-grouped batched warm factors for serving-scale batches.
 
     pack_padded_rows pads every row to the batch's MAX degree; with
@@ -502,8 +511,10 @@ def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
     # zero-degree rows with nothing else feeding the system are zeros by
     # definition (the reference's zero_out); groups that still need a
     # solve (side info / NA-as-zero / implicit features) keep width >= 1
-    plain_zero = (U is None and not getattr(model, "NA_as_zero", False)
-                  and getattr(model, "Bi_", None) is None)
+    plain_zero = (U is None
+                  and (implicit
+                       or (not getattr(model, "NA_as_zero", False)
+                           and getattr(model, "Bi_", None) is None)))
     a_dev, b_dev, spans = [], [], []
     for i0, i1 in zip(boundaries[:-1], boundaries[1:]):
         g_rows = order[i0:i1]
@@ -531,8 +542,14 @@ def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
         if Uarr is not None:
             U_g = np.zeros((Rg_pad, Uarr.shape[1]))
             U_g[:Rg] = Uarr[g_rows]
-        a_g, bias_g = factors_explicit_batch(
-            model, idx_g, val_g, wgt_g, lens_g, U=U_g, return_device=True)
+        if implicit:
+            a_g = factors_implicit_batch(
+                model, idx_g, val_g, lens_g, U=U_g, return_device=True)
+            bias_g = jnp.zeros(Rg_pad)
+        else:
+            a_g, bias_g = factors_explicit_batch(
+                model, idx_g, val_g, wgt_g, lens_g, U=U_g,
+                return_device=True)
         a_dev.append(a_g)
         b_dev.append(bias_g)
         spans.append((g_rows, Rg))
@@ -556,7 +573,26 @@ def factors_explicit_grouped(model, rows, cols, vals, wgt, R, U=None,
     return a_out, bias_out
 
 
-def factors_implicit_batch(model, idx, vals, lengths, U=None):
+@partial(jax.jit, static_argnames=("alpha", "w_mult"))
+def _warm_implicit_kernel(ext, idx, vals, lengths, G0, lam_vec, alpha,
+                          w_mult):
+    """Fused plain implicit-warm solve (see _warm_plain_kernel): mask,
+    confidence weighting, Gram, batched Cholesky in one executable fed
+    by raw idx/vals uploads."""
+    L = idx.shape[1]
+    dt = ext.dtype
+    msk = (jnp.arange(L)[None, :] < lengths[:, None]).astype(dt)
+    av = alpha * vals.astype(dt)
+    cw = w_mult * av * msk
+    cv = w_mult * (1.0 + av) * msk
+    G, rhs = rowsolve.assemble_system(
+        [SparsePart(ext, idx, cw, cv)], lam_vec, G0=G0)
+    a = rowsolve.solve_chol(G, rhs)
+    return jnp.where(lengths[:, None] == 0, jnp.zeros((), dt), a)
+
+
+def factors_implicit_batch(model, idx, vals, lengths, U=None,
+                           return_device=False, _no_fused=False):
     """WRMF warm factors: (BtB + sum alpha*x B B^T + lam) a = sum (1+alpha*x) B.
 
     With side info, the w_user * C parts join the system over the
@@ -580,21 +616,40 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None):
     stats = model.__dict__.setdefault("_cache_stats", {})
 
     R, L = idx.shape
+    if "BtBw" in pre:
+        G0 = jnp.asarray(pre["BtBw"], dtype)
+        stats["implicit_gram"] = stats.get("implicit_gram", 0) + 1
+    else:
+        G0 = w_mult * gram_matrix(_dev_cached(model, "extB_dev", ext, dtype))
+    lam_vec = np.ones(k_pad)
+    lam_vec[:width] = lam6[2]
+    nonneg = bool(getattr(model, "nonneg", False))
+
+    # fused serving path (the common implicit-warm shape): confidence
+    # weighting + Gram + Cholesky in one executable, raw idx/vals wire
+    if (not _no_fused and L > 0 and U is None and not nonneg
+            and not np.any(l16 > 0)):
+        vdt = np.float64 if dtype == jnp.float64 else np.float32
+        a = _warm_implicit_kernel(
+            _dev_cached(model, "extB_dev", ext, dtype),
+            jnp.asarray(np.ascontiguousarray(idx, np.int32)),
+            jnp.asarray(np.ascontiguousarray(vals, vdt)),
+            jnp.asarray(np.ascontiguousarray(lengths, np.int32)),
+            G0, _dev_cached(model, "lam_vec_imp_dev", lam_vec, dtype),
+            alpha=float(model.alpha), w_mult=w_mult)
+        stats["warm_fused_implicit"] = stats.get(
+            "warm_fused_implicit", 0) + 1
+        return (a[:, :width] if return_device
+                else np.array(a)[:, :width])
+
     msk = (np.arange(max(L, 1))[None, :] < lengths[:, None]).astype(np.float64)
     av = float(model.alpha) * np.asarray(vals, np.float64)
     cw = w_mult * av * msk
     cv = w_mult * (1.0 + av) * msk
     part = SparsePart(
-        jnp.asarray(ext, dtype), jnp.asarray(idx),
+        _dev_cached(model, "extB_dev", ext, dtype), jnp.asarray(idx),
         jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
     )
-    if "BtBw" in pre:
-        G0 = jnp.asarray(pre["BtBw"], dtype)
-        stats["implicit_gram"] = stats.get("implicit_gram", 0) + 1
-    else:
-        G0 = w_mult * gram_matrix(jnp.asarray(ext, dtype))
-    lam_vec = np.ones(k_pad)
-    lam_vec[:width] = lam6[2]
     parts = [part]
     r0 = None
     if U is not None and getattr(model, "C_", None) is not None:
@@ -607,7 +662,6 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None):
             r0 = r0x[None, :] * jnp.ones((R, 1), dtype)
     G, rhs = rowsolve.assemble_system(parts, jnp.asarray(lam_vec, dtype),
                                       G0=G0, r0=r0)
-    nonneg = bool(getattr(model, "nonneg", False))
     if nonneg or np.any(l16 > 0):
         l1v = np.zeros(k_pad)
         l1v[:width] = l16[2]
@@ -615,6 +669,10 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None):
                               max_steps=int(getattr(model, "max_cd_steps", 100)))
     else:
         a = rowsolve.solve_chol(G, rhs)
+    if return_device:
+        if U is None:
+            a = jnp.where(jnp.asarray(lengths)[:, None] == 0, 0.0, a)
+        return a[:, :width]
     a = np.array(a)
     if U is None:
         # no X observations and no side info -> zero factors; with U the

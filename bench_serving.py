@@ -193,6 +193,110 @@ def run(res, tr_rows, tr_cols, tr_vals, m, n, k):
     return out
 
 
+def run_implicit(tr_rows, tr_cols, tr_vals, m, n, k=50, lam=5.0,
+                 alpha=1.0, seed=11):
+    """Implicit (WRMF) serving at LastFM scale: batched topN over the
+    full 160k-item catalog and degree-grouped warm factors, head-to-head
+    against topN_old_collective_implicit (cmfrec.h:2117) and
+    factors_collective_implicit_multiple (collective.c:11176).  Factor
+    values are random at the model's shapes — serving throughput does not
+    depend on them."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    A = (0.3 * rng.normal(size=(m, k))).astype(np.float32)
+    B = (0.3 * rng.normal(size=(n, k))).astype(np.float32)
+    Bj = jnp.asarray(B)
+
+    def fence(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    out = {}
+    Q = 256  # users per dispatch: scores are Q x n = 256 x 160k f32
+    users = rng.choice(m, size=Q, replace=False)
+    u_index = {u: i for i, u in enumerate(users)}
+    sel = np.isin(tr_rows, users)
+    ex_u = np.fromiter((u_index[u] for u in tr_rows[sel]), np.int64,
+                       sel.sum())
+    ex_i = tr_cols[sel].astype(np.int64)
+
+    @jax.jit
+    def topn_batch(Au, Bm, ex_u, ex_i):
+        scores = Au @ Bm.T
+        scores = scores.at[ex_u, ex_i].set(-jnp.inf)
+        vals, idx = jax.lax.top_k(scores, N_TOP)
+        return idx, vals
+
+    args = (jnp.asarray(A[users]), Bj, jnp.asarray(ex_u), jnp.asarray(ex_i))
+    idx, _ = topn_batch(*args)
+    _ = fence(idx)
+    idx, _ = topn_batch(*args)
+    _ = fence(idx)
+    t0 = time.time()
+    for _ in range(NB_TOPN):
+        idx, _ = topn_batch(*args)
+    _ = fence(idx)
+    el = time.time() - t0
+    out["topn_qps"] = round(NB_TOPN * Q / el, 1)
+    out["topn_batch_ms"] = round(1e3 * el / NB_TOPN, 2)
+
+    ref = _ref()
+    if ref is not None:
+        A64, B64 = A.astype(np.float64), B.astype(np.float64)
+        ex_by_u = {}
+        for u, i in zip(ex_u[:100000], ex_i[:100000]):
+            ex_by_u.setdefault(int(u), []).append(int(i))
+        n_ref = 16  # each call scans the full 160k catalog
+        t0 = time.time()
+        for q in range(n_ref):
+            exc = np.asarray(ex_by_u.get(q, []), np.int32)
+            ref.ref_topn_old_collective_implicit(
+                a_vec=A64[users[q]], B=B64, k=k, n_top=N_TOP, n=n,
+                exclude=exc if exc.size else None)
+        el_ref = time.time() - t0
+        out["topn_qps_ref_binary"] = round(n_ref / el_ref, 1)
+        out["topn_vs_binary"] = round(
+            out["topn_qps"] / out["topn_qps_ref_binary"], 2)
+
+    # warm implicit factors, degree-grouped
+    from cmfrec_tpu.models.cmf import CMF_implicit
+    from cmfrec_tpu.solvers.warm import factors_implicit_grouped
+
+    Qw = 2048
+    wusers = rng.choice(m, size=Qw, replace=False)
+    w_index = {u: i for i, u in enumerate(wusers)}
+    selw = np.isin(tr_rows, wusers)
+    wr = np.fromiter((w_index[u] for u in tr_rows[selw]), np.int64,
+                     selw.sum())
+    wc, wv = tr_cols[selw], tr_vals[selw]
+
+    model = CMF_implicit.from_model_matrices(
+        A=A, B=B, lambda_=lam, alpha=alpha, precompute=True)
+
+    a = factors_implicit_grouped(model, wr, wc, wv, Qw)
+    t0 = time.time()
+    for _ in range(4):
+        a = factors_implicit_grouped(model, wr, wc, wv, Qw)
+    _ = float(np.sum(a))
+    el = time.time() - t0
+    out["warm_factors_users_per_s"] = round(4 * Qw / el)
+
+    if ref is not None:
+        qr = 128
+        sub = wr < qr
+        t0 = time.time()
+        ref.ref_factors_collective_implicit_multiple(
+            m_new=qr, rows=wr[sub], cols=wc[sub], vals=wv[sub],
+            n=n, B=B.astype(np.float64), k=k, lam=lam, alpha=alpha)
+        el_ref = time.time() - t0
+        out["warm_factors_users_per_s_ref_binary"] = round(qr / el_ref)
+        out["warm_vs_binary"] = round(
+            out["warm_factors_users_per_s"]
+            / out["warm_factors_users_per_s_ref_binary"], 2)
+    return out
+
+
 def main():
     """Standalone: random factors at the flagship (ML10M) shape."""
     from cmfrec_tpu.config import enable_persistent_compilation_cache

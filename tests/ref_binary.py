@@ -986,6 +986,40 @@ def ref_precompute_collective_implicit(
             "CtUbias": CtUbias}
 
 
+def ref_topn_old_collective_implicit(
+    *, a_vec, B, k, n_top, n,
+    k_user=0, k_item=0, k_main=0, include=None, exclude=None,
+):
+    """topN_old_collective_implicit (cmfrec.h:2117) on a caller-supplied
+    factor vector — the implicit serving ranking path."""
+    lib = get_lib()
+    assert lib is not None
+    av = np.ascontiguousarray(a_vec, np.float64)
+    Bc = np.ascontiguousarray(B, np.float64)
+    inc = (None if include is None
+           else np.ascontiguousarray(include, np.int32))
+    exc = (None if exclude is None
+           else np.ascontiguousarray(exclude, np.int32))
+    out_ix = np.zeros(n_top, np.int32)
+    out_sc = np.zeros(n_top, np.float64)
+
+    fn = lib.topN_old_collective_implicit
+    fn.restype = c_int_t
+    ret = fn(
+        _ptr(av),
+        None, c_int_t(-1),                  # A, row_index
+        _ptr(Bc),
+        c_int_t(k), c_int_t(k_user), c_int_t(k_item), c_int_t(k_main),
+        _iptr(inc), c_int_t(0 if include is None else len(include)),
+        _iptr(exc), c_int_t(0 if exclude is None else len(exclude)),
+        _iptr(out_ix), _ptr(out_sc),
+        c_int_t(n_top), c_int_t(n),
+        ct.c_int(1),
+    )
+    assert ret == 0, f"topN_old_collective_implicit returned {ret}"
+    return out_ix, out_sc
+
+
 def ref_predict_X_old_collective_explicit(
     *, row, col, A, B, biasA=None, biasB=None, glob_mean=0.0,
     k, k_user=0, k_item=0, k_main=0, m, n_max,

@@ -1023,6 +1023,32 @@ def test_topn_vs_binary():
     np.testing.assert_array_equal(np.asarray(ours_inc), ref_inc)
 
 
+def test_topn_implicit_vs_binary():
+    """CMF_implicit.topN matches topN_old_collective_implicit
+    (cmfrec.h:2117) on the same factors, incl. exclude lists — the
+    implicit serving ranking path (bench_serving.run_implicit)."""
+    from cmfrec_tpu import CMF_implicit
+    from .ref_binary import ref_topn_old_collective_implicit
+
+    rng, rows, cols, vals, m, n = _data(seed=43)
+    model = CMF_implicit(k=5, lambda_=1.0, niter=4, use_cg=False,
+                         use_float=False).fit_triplets(
+        rows, cols, np.abs(vals) + 1.0, m, n)
+    u = 3
+    a_vec = np.asarray(model.A_, np.float64)[u]
+    ours = model.topN(u, n=8)
+    ref_ix, _ = ref_topn_old_collective_implicit(
+        a_vec=a_vec, B=np.asarray(model.B_, np.float64), k=5, n_top=8, n=n)
+    np.testing.assert_array_equal(np.asarray(ours), ref_ix)
+
+    exc = np.array([int(ref_ix[0]), int(ref_ix[3])])
+    ours_exc = model.topN(u, n=8, exclude=exc)
+    ref_exc, _ = ref_topn_old_collective_implicit(
+        a_vec=a_vec, B=np.asarray(model.B_, np.float64), k=5, n_top=8,
+        n=n, exclude=exc)
+    np.testing.assert_array_equal(np.asarray(ours_exc), ref_exc)
+
+
 def test_lbfgs_objective_quality_vs_binary():
     """method='lbfgs': optimizer internals differ (optax + zoom vs the
     reference's vendored libLBFGS), so trajectories are not comparable —

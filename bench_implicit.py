@@ -227,8 +227,8 @@ def run():
     # congestion bursts would otherwise be attributed to whichever mode
     # ran during one (observed: a burst made 'overlapped' read 9.4 s vs
     # 'serialized' 5.6 s in one run, reversing the steady-state order)
-    def _one_build(no_overlap):
-        os.environ["CMFREC_TPU_NO_WIRE_OVERLAP"] = no_overlap
+    def _one_build(overlap):
+        os.environ["CMFREC_TPU_WIRE_OVERLAP"] = overlap
         t0 = time.time()
         RB, _CB = build_bucketed_pair_device(
             tr_r, tr_c, tr_v.astype(np.float32), m, n, None,
@@ -236,9 +236,9 @@ def run():
         _ = float(jnp.sum(RB.buckets[-1].val.astype(jnp.float32)))
         return time.time() - t0
 
-    build_s = min(_one_build("0"), _one_build("0"))
-    build_serial_s = min(_one_build("1"), _one_build("1"))
-    os.environ.pop("CMFREC_TPU_NO_WIRE_OVERLAP", None)
+    build_s = min(_one_build("1"), _one_build("1"))
+    build_serial_s = min(_one_build("0"), _one_build("0"))
+    os.environ.pop("CMFREC_TPU_WIRE_OVERLAP", None)
     print(f"stage: bucketed pair build {build_s:.2f}s warm (overlapped "
           f"chunked wire) vs {build_serial_s:.2f}s serialized "
           f"(best of 2 each)", file=sys.stderr)

@@ -9,7 +9,11 @@ at the same shapes.
 The reference serves one query per call (OpenMP gemv + argpartition);
 the TPU path batches queries into one fused matmul + top_k dispatch
 (ops/predict.py), so the comparison is throughput (queries/s), each side
-driven the way its API is meant to be used.  Run standalone
+driven the way its API is meant to be used.  The timed loops deliberately
+let batches PIPELINE on device (repeat dispatches, one trailing fence) —
+that is serving semantics, not a latency microbenchmark, hence the
+*_pipelined naming; CLAUDE.md's chain-the-dependencies rule is for
+latency measurements.  Run standalone
 (`python bench_serving.py`, fits nothing — random factors at flagship
 shape) or embedded by bench.py with the actually-fitted model.
 """
@@ -100,7 +104,7 @@ def run(res, tr_rows, tr_cols, tr_vals, m, n, k):
     _ = fence(idx)
     el = time.time() - t0
     out["topn_qps"] = round(NB_TOPN * Q_TOPN / el, 1)
-    out["topn_batch_ms"] = round(1e3 * el / NB_TOPN, 2)
+    out["topn_batch_ms_pipelined"] = round(1e3 * el / NB_TOPN, 2)
 
     ref = _ref()
     if ref is not None:
@@ -239,7 +243,7 @@ def run_implicit(tr_rows, tr_cols, tr_vals, m, n, k=50, lam=5.0,
     _ = fence(idx)
     el = time.time() - t0
     out["topn_qps"] = round(NB_TOPN * Q / el, 1)
-    out["topn_batch_ms"] = round(1e3 * el / NB_TOPN, 2)
+    out["topn_batch_ms_pipelined"] = round(1e3 * el / NB_TOPN, 2)
 
     ref = _ref()
     if ref is not None:

@@ -91,6 +91,24 @@ def _combine_wire_chunks(lo_c, hi_c, vb_c, wb_c, weighted):
     return ids, vals, wgt
 
 
+def plan_wire_chunks(nnz: int, per_entry: int, *, opt_in_env=None,
+                     opt_out_env=None) -> int:
+    """Shared planning for chunk-overlapped uploads: number of chunks
+    (1 = no chunking), honoring CMFREC_TPU_WIRE_CHUNK_MB and the gate
+    env — either an opt-in flag (must be "1" to chunk) or an opt-out
+    flag ("1" disables).  Used by the bucketed wire build here and the
+    dense engines' _ship_interactions."""
+    chunk_bytes = max(1, int(float(os.environ.get(
+        "CMFREC_TPU_WIRE_CHUNK_MB", "16")) * (1 << 20)))
+    if opt_in_env is not None:
+        enabled = os.environ.get(opt_in_env, "0") == "1"
+    else:
+        enabled = os.environ.get(opt_out_env, "0") != "1"
+    if not enabled or nnz * per_entry < 2 * chunk_bytes:
+        return 1
+    return int(min(16, (nnz * per_entry) // chunk_bytes))
+
+
 def _ship_ids(x: np.ndarray, dim: int):
     """Upload int ids compactly: 3 bytes/entry (uint16 lo + uint8 hi) when
     the id space allows, re-assembled on device."""
@@ -170,18 +188,19 @@ def build_bucketed_pair_device(
     else:
         wire_ok = ship_bf16 and n < (1 << 24) and native.get_lib() is not None
         rec = 7 if weighted else 5
-        # Chunked overlapped wire build (default for big fits): histogram
-        # pass, then the distribution pass runs per row-range chunk and
-        # each finished chunk's upload is ENQUEUED (device_put is async —
-        # measured: 20 MB enqueues in 0.09 s) while the host fills the
-        # next — the wire host time and the tunnel time overlap instead
-        # of adding.
-        chunk_bytes = max(1, int(float(os.environ.get(
-            "CMFREC_TPU_WIRE_CHUNK_MB", "16")) * (1 << 20)))
-        chunked = (wire_ok
-                   and os.environ.get("CMFREC_TPU_NO_WIRE_OVERLAP", "0") != "1"
-                   and nnz * rec >= 2 * chunk_bytes)
-        if chunked:
+        # Chunked overlapped wire build (OPT-IN via CMFREC_TPU_WIRE_OVERLAP=1):
+        # histogram pass, then the distribution pass runs per row-range
+        # chunk and each finished chunk's upload is ENQUEUED (device_put
+        # is async — measured: 20 MB enqueues in 0.09 s) while the host
+        # fills the next.  Measured a WASH at this host's fill speed (the
+        # G range-rescans and extra enqueue RPCs offset the overlap;
+        # bench_implicit prints both modes), so the simpler single-pass
+        # build is the default — flip the default if the host:tunnel
+        # ratio changes.  The DENSE engines' upload chunking
+        # (dense_pallas._ship_interactions) is separate and default-ON.
+        G = plan_wire_chunks(nnz, rec, opt_in_env="CMFREC_TPU_WIRE_OVERLAP") \
+            if wire_ok else 1
+        if G > 1:
             rows_c = np.ascontiguousarray(rows)
             cols_c = np.ascontiguousarray(cols)
             vals64 = np.ascontiguousarray(vals, np.float64)
@@ -193,7 +212,6 @@ def build_bucketed_pair_device(
             hi = np.empty(nnz, np.uint8)
             vb = np.empty(nnz, np.uint16)
             wb = np.empty(nnz, np.uint16) if weighted else None
-            G = max(1, min(16, (nnz * rec) // chunk_bytes))
             targets = (np.arange(1, G) * nnz) // G
             bnds = [0, *np.searchsorted(indptr_r, targets).tolist(), m]
             lo_c, hi_c, vb_c, wb_c = [], [], [], []
@@ -214,16 +232,12 @@ def build_bucketed_pair_device(
                 weighted=weighted)
             if not weighted:
                 wgt_dev = jnp.zeros(0, dt)
-            wire = None
-        else:
-            # fused native path: ONE distribution pass emits the
-            # wire-ready buffers (3-byte split ids + bf16 values) — no
-            # perm materialization, no gather or Python astype passes
-            wire = (native.csr_wire_from_coo(rows, cols, vals, weights,
-                                             m, n) if wire_ok else None)
-        if chunked:
-            pass  # built above, uploads already streaming
-        elif wire is not None:
+        elif wire_ok:
+            # fused native path (default): ONE distribution pass emits
+            # the wire-ready buffers (3-byte split ids + bf16 values) —
+            # no perm materialization, no gather or Python astype passes
+            wire = native.csr_wire_from_coo(rows, cols, vals, weights,
+                                            m, n)
             counts_r, _ip, lo, hi, vb, wb, counts_c_native = wire
             row_order_r = native.degree_order(counts_r)
             ids_dev = (jnp.asarray(lo).astype(jnp.int32)

@@ -20,6 +20,18 @@ from ..solvers.warm import factors_explicit_batch, factors_implicit_batch
 from .base import _BaseModel
 
 
+def _route_grouped(rows, m_new, min_rows=256, max_waste=3.0):
+    """Serving-batch routing: use the degree-grouped warm path when
+    padding every row to the batch max degree would waste > max_waste x
+    the entry count (power-law request batches).  Small or uniform
+    batches keep the plain padded path and its full-observation caches."""
+    if m_new < min_rows:
+        return False
+    counts = np.bincount(rows, minlength=m_new)
+    waste = m_new * int(counts.max(initial=0)) / max(rows.size, 1)
+    return waste > max_waste
+
+
 def _check_lambda(lambda_, name="lambda_"):
     arr = np.atleast_1d(np.asarray(lambda_, np.float64))
     if arr.size not in (1, 6):
@@ -513,11 +525,10 @@ class CMF(_BaseModel):
             )
             return (a, bias) if return_bias else a
         if X is not None:
+            from ..solvers.warm import pack_padded_rows
+
             rows, cols, vals, wgt, m_new, _ = self._ingest_X_new(X, W)
-            counts_r = np.bincount(rows, minlength=m_new)
-            waste = (m_new * int(counts_r.max(initial=0))
-                     / max(rows.size, 1))
-            if m_new >= 256 and waste > 3.0:
+            if _route_grouped(rows, m_new):
                 # degree-grouped serving path: avoids padding every row
                 # to the batch max degree (power-law batches waste
                 # 10-30x otherwise); uniform batches keep the plain path
@@ -529,7 +540,10 @@ class CMF(_BaseModel):
                     U=np.asarray(U, np.float64) if U is not None else None,
                 )
                 return (a, bias) if return_bias else a
-        idx, vv, ww, counts = self._pack_new_rows(X, W, U)
+            idx, vv, ww, counts = pack_padded_rows(rows, cols, vals, wgt,
+                                                   m_new)
+        else:
+            idx, vv, ww, counts = self._pack_new_rows(X, W, U)
         a, bias = factors_explicit_batch(
             self, idx, vv, ww, counts,
             U=np.asarray(U, np.float64) if U is not None else None,
@@ -815,9 +829,7 @@ class CMF_implicit(_BaseModel):
         rows, cols, vals, _, m_new, _ = self._ingest_X_new(X, None)
         if self.apply_log_transf:
             vals = np.where(vals > 0, np.log(np.maximum(vals, 1e-30)), 0.0)
-        counts_r = np.bincount(rows, minlength=m_new)
-        waste = m_new * int(counts_r.max(initial=0)) / max(rows.size, 1)
-        if m_new >= 256 and waste > 3.0:
+        if _route_grouped(rows, m_new):
             # degree-grouped serving path (see CMF.factors_multiple)
             from ..solvers.warm import factors_implicit_grouped
 

@@ -52,17 +52,14 @@ def _ship_interactions(rows, cols, vals_raw, weights, n_pad, *, scale=None):
     dominant per-call cost at flagship scale (iter_s_measured 0.0435 vs
     0.14 derived, bench r5).  Returns (flat, vals_bf16, wgt_f32|empty).
     ``scale`` premultiplies values (the implicit alpha)."""
+    from ..data.device_fill import plan_wire_chunks
+
     rows64 = np.asarray(rows, np.int64)
     cols64 = np.asarray(cols, np.int64)
     nnz = rows64.shape[0]
     weighted = weights is not None
-    chunk_bytes = max(1, int(float(os.environ.get(
-        "CMFREC_TPU_WIRE_CHUNK_MB", "16")) * (1 << 20)))
-    per_entry = 6 + (4 if weighted else 0)
-    ch = 1
-    if (os.environ.get("CMFREC_TPU_NO_WIRE_OVERLAP", "0") != "1"
-            and nnz * per_entry >= 2 * chunk_bytes):
-        ch = int(min(16, (nnz * per_entry) // chunk_bytes))
+    ch = plan_wire_chunks(nnz, 6 + (4 if weighted else 0),
+                          opt_out_env="CMFREC_TPU_NO_WIRE_OVERLAP")
     bnds = [(i * nnz) // ch for i in range(ch + 1)]
     vsrc = np.asarray(vals_raw, np.float64)
     f_c, v_c, w_c = [], [], []

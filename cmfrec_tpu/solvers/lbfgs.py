@@ -80,6 +80,31 @@ def _pad_rows(x, mult):
         [x, jnp.zeros((r,) + x.shape[1:], x.dtype)], axis=0)
 
 
+def _mesh_shard_obs_and_params(mesh, rows_j, cols_j, vals_c, wgt_j, params,
+                               row_names):
+    """Shared mesh placement for the joint-gradient (L-BFGS) fits: pad the
+    observation arrays and the row-keyed params to mesh-size multiples
+    (padded observations get weight 0, padded factor rows are zeros — see
+    _pad_rows) and row-shard them; replicate everything else.  Returns
+    (rows, cols, vals, wgt, params, rs, rep, msz)."""
+    from ..parallel.mesh import replicated, row_sharding
+
+    rs, rep = row_sharding(mesh), replicated(mesh)
+    msz = int(mesh.size)
+    if wgt_j is None:
+        wgt_j = jnp.ones_like(vals_c)
+    rows_j, cols_j, vals_c, wgt_j = (
+        jax.device_put(_pad_rows(x, msz), rs)
+        for x in (rows_j, cols_j, vals_c, wgt_j))
+    params = {
+        name: jax.device_put(
+            _pad_rows(v, msz) if name in row_names else v,
+            rs if name in row_names else rep)
+        for name, v in params.items()
+    }
+    return rows_j, cols_j, vals_c, wgt_j, params, rs, rep, msz
+
+
 def _side_coo(side, center, dtype):
     """Ingested side tuple -> (rows, cols, vals(centered), p, colmeans, dense)."""
     if side is None:
@@ -185,23 +210,10 @@ def fit_collective_explicit_lbfgs(
         # Leading axes are zero-padded to mesh-size multiples: padded
         # observations get weight 0 and padded factor rows are zeros, so
         # loss, gradients, and the L-BFGS inner products are unchanged.
-        from ..parallel.mesh import replicated, row_sharding
-
-        rs, rep = row_sharding(mesh), replicated(mesh)
-        msz = int(mesh.size)
-        if wgt_j is None:
-            wgt_j = jnp.ones_like(vals_c)
-        rows_j = jax.device_put(_pad_rows(rows_j, msz), rs)
-        cols_j = jax.device_put(_pad_rows(cols_j, msz), rs)
-        vals_c = jax.device_put(_pad_rows(vals_c, msz), rs)
-        wgt_j = jax.device_put(_pad_rows(wgt_j, msz), rs)
-        plan = {"A": rs, "B": rs, "biasA": rs, "biasB": rs,
-                "C": rep, "D": rep, "Cb": rep, "Db": rep}
-        params = {
-            name: jax.device_put(
-                _pad_rows(v, msz) if plan[name] is rs else v, plan[name])
-            for name, v in params.items()
-        }
+        rows_j, cols_j, vals_c, wgt_j, params, rs, rep, msz = (
+            _mesh_shard_obs_and_params(
+                mesh, rows_j, cols_j, vals_c, wgt_j, params,
+                row_names=("A", "B", "biasA", "biasB")))
         sharded_sides = {}
         for name, t in side_data.items():
             if t[0] == "dense":

@@ -133,30 +133,18 @@ def fit_offsets_explicit_lbfgs(
     if mesh is not None:
         # Zero-pad leading axes to mesh-size multiples (padded observations
         # carry weight 0, padded factor/design rows are zeros — loss and
-        # gradients are unchanged; see lbfgs.py _pad_rows), then row-shard
-        # over the data axis with the small C/D blocks replicated.
-        from ..parallel.mesh import replicated, row_sharding
-        from .lbfgs import _pad_rows
+        # gradients are unchanged), then row-shard over the data axis with
+        # the small C/D blocks replicated (shared helper in lbfgs.py).
+        from .lbfgs import _mesh_shard_obs_and_params, _pad_rows
 
-        rs, rep = row_sharding(mesh), replicated(mesh)
-        msz = int(mesh.size)
-        if wgt_j is None:
-            wgt_j = jnp.ones_like(vals_c)
-        rows_j = jax.device_put(_pad_rows(rows_j, msz), rs)
-        cols_j = jax.device_put(_pad_rows(cols_j, msz), rs)
-        vals_c = jax.device_put(_pad_rows(vals_c, msz), rs)
-        wgt_j = jax.device_put(_pad_rows(wgt_j, msz), rs)
+        rows_j, cols_j, vals_c, wgt_j, params, rs, _rep, msz = (
+            _mesh_shard_obs_and_params(
+                mesh, rows_j, cols_j, vals_c, wgt_j, params,
+                row_names=("A", "B", "biasA", "biasB")))
         if U_j is not None:
             U_j = jax.device_put(_pad_rows(U_j, msz), rs)
         if I_j is not None:
             I_j = jax.device_put(_pad_rows(I_j, msz), rs)
-        plan = {"A": rs, "B": rs, "biasA": rs, "biasB": rs,
-                "C": rep, "D": rep, "C_bias": rep, "D_bias": rep}
-        params = {
-            name: jax.device_put(
-                _pad_rows(v, msz) if plan[name] is rs else v, plan[name])
-            for name, v in params.items()
-        }
     lam_map = {"biasA": lam6[0], "biasB": lam6[1], "A": lam6[2], "B": lam6[3],
                "C": lam6[4], "D": lam6[5], "C_bias": lam6[4], "D_bias": lam6[5]}
 

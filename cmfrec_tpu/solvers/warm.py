@@ -114,27 +114,32 @@ def _u_part(model, U, k_pad, dtype):
         cw = w_user * msk
         cv = w_user * vals * msk
     part = SparsePart(
-        _dev_cached(model, "extC_dev", Ce, dtype), jnp.asarray(idx),
+        _dev_cached(model, "extC_dev", Ce, dtype,
+                    token=id(model.C_)), jnp.asarray(idx),
         jnp.asarray(cw, dtype),
         jnp.asarray(cv, dtype),
     )
     return part, counts, G0x, r0x
 
 
-def _dev_cached(model, name, arr, dtype):
+def _dev_cached(model, name, arr, dtype, token=None):
     """Device-resident dtype-cast copy of a precompute matrix, memoized in
     the model's precompute dict (dropped with it on refit).  Without this
     every warm call re-casts and re-uploads the [n, k_pad] extended
-    matrix — at serving batch rates the uploads dominate the solves."""
+    matrix — at serving batch rates the uploads dominate the solves.
+
+    Staleness: small arrays (lam vectors, scalars) key by VALUE; big
+    matrices key by the id() of the model attribute they derive from
+    (``token``), so replacing e.g. ``model.B_`` post-fit invalidates the
+    device copy even without a refit (a refit replaces the whole
+    precompute dict anyway)."""
     pre = getattr(model, "_precomputed", None)
     if pre is None:
         return jnp.asarray(arr, dtype)
     arr = np.asarray(arr)
-    # small arrays (lam vectors, scalars) key by VALUE — they derive from
-    # mutable model params; big matrices key by shape (refit replaces the
-    # whole precompute dict, taking these entries with it)
-    tag = arr.tobytes() if arr.size <= 256 else arr.shape
-    key = (name, np.dtype(dtype).str, arr.shape, tag)
+    if token is None:
+        token = arr.tobytes() if arr.size <= 256 else id(arr)
+    key = (name, np.dtype(dtype).str, arr.shape, token)
     ent = pre.get(key)
     if ent is None:
         ent = jnp.asarray(arr, dtype)
@@ -252,11 +257,14 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
             lam_np[width] = lam6[0]
         vdt = np.float64 if dtype == jnp.float64 else np.float32
         a = _warm_plain_kernel(
-            _dev_cached(model, "extB_dev", ext, dtype),
+            _dev_cached(model, "extB_dev", ext, dtype,
+                        token=id(model.B_)),
             jnp.asarray(np.ascontiguousarray(idx, np.int32)),
             jnp.asarray(np.ascontiguousarray(vals, vdt)),
             jnp.asarray(np.ascontiguousarray(lengths, np.int32)),
-            _dev_cached(model, "item_bias_dev", ib, dtype),
+            _dev_cached(model, "item_bias_dev", ib, dtype,
+                        token=(0 if model.item_bias_ is None
+                               else id(model.item_bias_))),
             _dev_cached(model, "glob_mean_dev",
                         np.asarray(model.glob_mean_), dtype),
             _dev_cached(model, "lam_vec_warm_dev", lam_np, dtype),
@@ -313,7 +321,8 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
             cw = w_main * ww * msk
             cv = cw * v
         parts.append(SparsePart(
-            _dev_cached(model, "extB_dev", ext, dtype), jnp.asarray(idx),
+            _dev_cached(model, "extB_dev", ext, dtype,
+                        token=id(model.B_)), jnp.asarray(idx),
             jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
         ))
     if na0:
@@ -356,7 +365,8 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
         G0 = Gi if G0 is None else G0 + Gi
         if L > 0:
             parts.append(SparsePart(
-                _dev_cached(model, "extBi_dev", ext_bi, dtype),
+                _dev_cached(model, "extBi_dev", ext_bi, dtype,
+                        token=id(model.Bi_)),
                 jnp.asarray(idx),
                 jnp.asarray(np.zeros((R, L)), dtype),
                 jnp.asarray(wi * msk, dtype),
@@ -620,7 +630,8 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None,
         G0 = jnp.asarray(pre["BtBw"], dtype)
         stats["implicit_gram"] = stats.get("implicit_gram", 0) + 1
     else:
-        G0 = w_mult * gram_matrix(_dev_cached(model, "extB_dev", ext, dtype))
+        G0 = w_mult * gram_matrix(_dev_cached(
+            model, "extB_dev", ext, dtype, token=id(model.B_)))
     lam_vec = np.ones(k_pad)
     lam_vec[:width] = lam6[2]
     nonneg = bool(getattr(model, "nonneg", False))
@@ -631,7 +642,8 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None,
             and not np.any(l16 > 0)):
         vdt = np.float64 if dtype == jnp.float64 else np.float32
         a = _warm_implicit_kernel(
-            _dev_cached(model, "extB_dev", ext, dtype),
+            _dev_cached(model, "extB_dev", ext, dtype,
+                        token=id(model.B_)),
             jnp.asarray(np.ascontiguousarray(idx, np.int32)),
             jnp.asarray(np.ascontiguousarray(vals, vdt)),
             jnp.asarray(np.ascontiguousarray(lengths, np.int32)),
@@ -647,7 +659,8 @@ def factors_implicit_batch(model, idx, vals, lengths, U=None,
     cw = w_mult * av * msk
     cv = w_mult * (1.0 + av) * msk
     part = SparsePart(
-        _dev_cached(model, "extB_dev", ext, dtype), jnp.asarray(idx),
+        _dev_cached(model, "extB_dev", ext, dtype,
+                    token=id(model.B_)), jnp.asarray(idx),
         jnp.asarray(cw, dtype), jnp.asarray(cv, dtype),
     )
     parts = [part]

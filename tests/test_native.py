@@ -204,10 +204,10 @@ def test_chunked_wire_build_matches_single_pass(rng, weights, monkeypatch):
     vals = rng.normal(size=nnz)
     wgt = rng.uniform(0.5, 2.0, size=nnz) if weights else None
 
-    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "1")
+    monkeypatch.setenv("CMFREC_TPU_WIRE_OVERLAP", "0")
     R1, C1 = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,
                                         dtype=np.float32)
-    monkeypatch.setenv("CMFREC_TPU_NO_WIRE_OVERLAP", "0")
+    monkeypatch.setenv("CMFREC_TPU_WIRE_OVERLAP", "1")
     # rec bytes = 9000*5 = 45k -> chunk 0.01 MB gives ~4 chunks
     monkeypatch.setenv("CMFREC_TPU_WIRE_CHUNK_MB", "0.01")
     R2, C2 = build_bucketed_pair_device(rows, cols, vals, m, n, wgt,

@@ -64,11 +64,17 @@ class _BaseModel:
     __str__ = __repr__
 
     def get_params(self, deep=True):
-        return {
-            k: v
-            for k, v in self.__dict__.items()
-            if not k.endswith("_") and not k.startswith("_")
-        }
+        # sklearn semantics: the constructor's parameters by introspection
+        # (a name filter on __dict__ would drop `lambda_`, whose trailing
+        # underscore is a keyword-escape, not a fitted-attribute marker —
+        # that silently reset lambda_ to its default through save/load
+        # and sklearn clone())
+        import inspect
+
+        names = [p for p in
+                 inspect.signature(type(self).__init__).parameters
+                 if p != "self"]
+        return {nm: getattr(self, nm) for nm in names if hasattr(self, nm)}
 
     def set_params(self, **params):
         if getattr(self, "is_fitted_", False):
@@ -110,6 +116,8 @@ class _BaseModel:
         self.user_bias_ = None
         self.item_bias_ = None
         self.glob_mean_ = 0.0
+        self.scaling_biasA_ = 0.0
+        self.scaling_biasB_ = 0.0
         self.U_colmeans_ = None
         self.I_colmeans_ = None
         self.user_mapping_ = np.array([], dtype=object)
@@ -542,6 +550,8 @@ class _BaseModel:
             "w_main_multiplier": float(
                 getattr(self, "w_main_multiplier_", 1.0)
             ),
+            "scaling_biasA": float(getattr(self, "scaling_biasA_", 0.0)),
+            "scaling_biasB": float(getattr(self, "scaling_biasB_", 0.0)),
             # X's fit-time dims, pre side-info expansion (include_all_X)
             "m_orig": getattr(self, "_m_orig", None),
             "n_orig": getattr(self, "_n_orig", None),
@@ -571,6 +581,8 @@ class _BaseModel:
         model.reindex_ = meta["reindex"]
         model.is_fitted_ = meta["is_fitted"]
         model.w_main_multiplier_ = meta["w_main_multiplier"]
+        model.scaling_biasA_ = float(meta.get("scaling_biasA", 0.0))
+        model.scaling_biasB_ = float(meta.get("scaling_biasB", 0.0))
         if meta.get("m_orig") is not None:
             model._m_orig = int(meta["m_orig"])
         if meta.get("n_orig") is not None:

@@ -189,6 +189,14 @@ class CMF(_BaseModel):
         self._reset()
         self.dtype_ = resolve_dtype(self.use_float)
         rows, cols, vals, wgt, m, n = self._ingest_X(X, W)
+        if self.scale_lam and self.scale_bias_const:
+            # the constant bias-penalty scaling = mean observation weight
+            # per row/column (common.c:3787 wsum/m); warm-factor solves
+            # need it to hold the bias coordinate's penalty constant
+            wsum = (float(len(vals)) if wgt is None
+                    else float(np.sum(wgt)))
+            self.scaling_biasA_ = wsum / max(m, 1)
+            self.scaling_biasB_ = wsum / max(n, 1)
         if (U_bin is not None or I_bin is not None) and self.method != "lbfgs":
             raise ValueError("Binary side info requires method='lbfgs'")
         if self.method == "lbfgs":
@@ -624,6 +632,12 @@ class CMF(_BaseModel):
         model.user_bias_ = None if user_bias is None else np.asarray(user_bias)
         model.item_bias_ = None if item_bias is None else np.asarray(item_bias)
         model.glob_mean_ = float(glob_mean)
+        if scaling_biasA is not None:
+            model.scale_bias_const = True
+            model.scaling_biasA_ = float(scaling_biasA)
+        if scaling_biasB is not None:
+            model.scale_bias_const = True
+            model.scaling_biasB_ = float(scaling_biasB)
         model.is_fitted_ = True
         if precompute:
             model.force_precompute_for_predictions()
@@ -733,6 +747,7 @@ class CMF_implicit(_BaseModel):
                 adjust_weight=self.downweight,
                 niter=self.niter, use_cg=self.use_cg,
                 max_cg_steps=self.max_cg_steps,
+                precondition_cg=self.precondition_cg,
                 finalize_chol=self.finalize_chol,
                 center_U=self.center_U, center_I=self.center_I,
                 NA_as_zero_user=self.NA_as_zero_user,
@@ -828,7 +843,7 @@ class CMF_implicit(_BaseModel):
             return factors_cold_implicit(self, np.asarray(U, np.float64))
         rows, cols, vals, _, m_new, _ = self._ingest_X_new(X, None)
         if self.apply_log_transf:
-            vals = np.where(vals > 0, np.log(np.maximum(vals, 1e-30)), 0.0)
+            vals = np.log(vals)  # same contract as fit/factors_warm
         if _route_grouped(rows, m_new):
             # degree-grouped serving path (see CMF.factors_multiple)
             from ..solvers.warm import factors_implicit_grouped

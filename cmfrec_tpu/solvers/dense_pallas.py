@@ -615,9 +615,13 @@ def _run_collective_iterations(
     hp = jax.lax.Precision.HIGHEST
 
     def body(carry, _):
-        A, B, Ai, Bi = carry
+        A, B, Ai, Bi, _C, _D = carry
         # Reference in-iteration order: C, D, Bi, Ai, then B, then A
         # (/root/reference/src/collective.c:8345,8396,8479,8520,8614,8802).
+        # C/D ride the carry so the RETURNED side factors are the ones
+        # computed at the final iteration's start (from the pre-update
+        # A/B), exactly what the bucketed path and the reference store —
+        # NOT a recompute against the post-update factors.
         C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
         D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
         if has_impl:
@@ -673,13 +677,14 @@ def _run_collective_iterations(
                        block_s=bs_n, n_steps=n_steps, compute_dtype=cdt,
                        interpret=interpret, mesh=mesh, G0=G0A, R0=R0A,
                        dyn_stop=dyn_stop)
-        return (A, B, Ai, Bi), None
+        return (A, B, Ai, Bi,
+                C if has_U else _C, D if has_I else _D), None
 
-    (A, B, Ai, Bi), _ = jax.lax.scan(body, (A, B, Ai, Bi), None,
-                                     length=n_iters)
-    C = _solve_side_factor(A[:, :k], Ud, w_user, lamC, k) if has_U else None
-    D = _solve_side_factor(B[:, :k], Id, w_item, lamD, k) if has_I else None
-    return A, B, C, D, Ai, Bi
+    C0 = jnp.zeros((Ud.shape[1] if has_U else 0, k), jnp.float32)
+    D0 = jnp.zeros((Id.shape[1] if has_I else 0, k), jnp.float32)
+    (A, B, Ai, Bi, C, D), _ = jax.lax.scan(
+        body, (A, B, Ai, Bi, C0, D0), None, length=n_iters)
+    return A, B, C if has_U else None, D if has_I else None, Ai, Bi
 
 
 def fit_collective_dense_pallas(

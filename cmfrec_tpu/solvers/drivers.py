@@ -226,7 +226,16 @@ def fit_explicit_als(
         # nonneg models center like any other, but clamp the global mean
         # at zero (common.c:3599 `*glob_mean = fmax(*glob_mean, 0)`)
         glob_mean = max(glob_mean, 0.0)
-    vals_c = (vals - glob_mean).astype(dtype)
+    # (vals - glob_mean) is computed LAZILY: the pallas engine ships RAW
+    # vals and folds the mean into its rhs kernel, so this full host pass
+    # over nnz entries (seconds at 10M+ on the 1-core host) would be dead
+    # work on the default TPU path
+    _vc = [None]
+
+    def _centered_vals():
+        if _vc[0] is None:
+            _vc[0] = (vals - glob_mean).astype(dtype)
+        return _vc[0]
 
     # Engine selection: the dense-masked engine turns the CG half-iterations
     # into whole-matrix MXU products (see dense_engine.py) — dramatically
@@ -306,7 +315,7 @@ def fit_explicit_als(
     if (user_bias or item_bias) and not use_pallas:
         # (the pallas engine computes starting biases on device)
         biasA0, biasB0 = preprocess.initialize_biases(
-            rows, cols, vals_c, m, n,
+            rows, cols, _centered_vals(), m, n,
             lam_user=lam6[0], lam_item=lam6[1],
             wgt=weights,
             user_bias=user_bias, item_bias=item_bias,
@@ -335,7 +344,7 @@ def fit_explicit_als(
                 exact=not use_cg,
             )
         return _fit_explicit_dense(
-            rows, cols, vals_c, m, n, weights=weights,
+            rows, cols, _centered_vals(), m, n, weights=weights,
             k=k, lam6=lam6, niter=niter,
             # explicit engine="dense" request with use_cg=False: run every
             # iteration's CG to convergence (30 steps == exact on these
@@ -349,8 +358,8 @@ def fit_explicit_als(
             precondition_cg=precondition_cg, ckpt=ckpt,
         )
 
-    RB, CB = _build_pair(rows, cols, vals_c, m, n, weights, dtype,
-                         row_block=_mesh_row_block(mesh))
+    RB, CB = _build_pair(rows, cols, _centered_vals(), m, n, weights,
+                         dtype, row_block=_mesh_row_block(mesh))
     if mesh is None:
         RB.device_put()
         CB.device_put()
@@ -404,9 +413,6 @@ def fit_explicit_als(
             v[k] = lam6[1] * (wsum_total / max(n, 1))
             lam_const_B = jnp.asarray(v, dtype)
             lam_vec_B = lam_vec_B.at[k].set(0.0)
-
-    plan_A = SidePlan(RB, "na0" if NA_as_zero else "explicit", n)
-    plan_B = SidePlan(CB, "na0" if NA_as_zero else "explicit", m)
 
     # bf16 MXU operands on TPU for the CG iterations (f32 accumulate);
     # Cholesky/final iterations stay f32 (exact polish, finalize_chol).
@@ -753,9 +759,6 @@ def fit_implicit_als(
     lam_vec_B = _make_lam_vec(k, k_pad, lam6[3], 0.0, False, dtype)
     l1_vec_A = _make_l1_vec(k, k_pad, l16[2], 0.0, False, dtype)
     l1_vec_B = _make_l1_vec(k, k_pad, l16[3], 0.0, False, dtype)
-
-    plan_A = SidePlan(RB, "implicit", n)
-    plan_B = SidePlan(CB, "implicit", m)
 
     bf16_ok = (
         jax.default_backend() == "tpu"

@@ -173,7 +173,7 @@ def _trans_btb_inv_bt(model):
 
 @partial(jax.jit, static_argnames=("w_main", "scale_lam"))
 def _warm_plain_kernel(ext, idx, vals, lengths, item_bias, glob_mean,
-                       lam_vec, w_main, scale_lam):
+                       lam_vec, lam_const, w_main, scale_lam):
     """Fused plain-warm solve: mask, residual (mean + item bias), Gram,
     and batched Cholesky in ONE executable, fed by raw idx/vals uploads.
     The eager path ships host-computed [R, L] cw/cv (16 B/slot) and pays
@@ -188,6 +188,10 @@ def _warm_plain_kernel(ext, idx, vals, lengths, item_bias, glob_mean,
     lam_mult = (jnp.maximum(lengths, 1).astype(dt) if scale_lam else None)
     G, rhs = rowsolve.assemble_system(
         [SparsePart(ext, idx, cw, cv)], lam_vec, lam_mult=lam_mult)
+    # scale_bias_const: the bias coordinate's penalty stays at
+    # lam_bias * scaling_biasA regardless of the per-row multiplier
+    # (common.c:717-722); zeros when unused
+    G = G + jnp.diag(lam_const)[None, :, :]
     a = rowsolve.solve_chol(G, rhs)
     return jnp.where(lengths[:, None] == 0, jnp.zeros((), dt), a)
 
@@ -253,8 +257,17 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
               else np.asarray(model.item_bias_, np.float64))
         lam_np = np.ones(k_pad)
         lam_np[: ku + k + km] = lam6[2]
+        lam_const_np = np.zeros(k_pad)
         if user_bias:
             lam_np[width] = lam6[0]
+            if (getattr(model, "scale_lam", False)
+                    and getattr(model, "scale_bias_const", False)):
+                # hold the bias penalty at lam_bias * scaling_biasA
+                # constant (common.c:717-722; scaling = fit-time wsum/m,
+                # collective.c:3787)
+                lam_np[width] = 0.0
+                lam_const_np[width] = lam6[0] * float(
+                    getattr(model, "scaling_biasA_", 0.0))
         vdt = np.float64 if dtype == jnp.float64 else np.float32
         a = _warm_plain_kernel(
             _dev_cached(model, "extB_dev", ext, dtype,
@@ -268,6 +281,7 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
             _dev_cached(model, "glob_mean_dev",
                         np.asarray(model.glob_mean_), dtype),
             _dev_cached(model, "lam_vec_warm_dev", lam_np, dtype),
+            _dev_cached(model, "lam_const_warm_dev", lam_const_np, dtype),
             w_main=float(getattr(model, "w_main", 1.0)),
             scale_lam=bool(getattr(model, "scale_lam", False)))
         stats["warm_fused"] = stats.get("warm_fused", 0) + 1
@@ -410,6 +424,18 @@ def factors_explicit_batch(model, idx, vals, wgt, lengths, U=None,
     lam_vec[: ku + k + km] = lam6[2]
     if user_bias:
         lam_vec[width] = lam6[0]
+    if (lam_mult is not None and user_bias
+            and bool(getattr(model, "scale_bias_const", False))):
+        # scale_bias_const: the bias coordinate's penalty is
+        # lam_bias * scaling_biasA, CONSTANT across rows — not scaled by
+        # the per-row multiplier (common.c:717-722; the scaling constant
+        # is the fit-time mean observation weight, collective.c:3787)
+        bias_const = np.zeros((k_pad, k_pad))
+        bias_const[width, width] = lam6[0] * float(
+            getattr(model, "scaling_biasA_", 0.0))
+        lam_vec[width] = 0.0
+        Gc = jnp.asarray(bias_const, dtype)
+        G0 = Gc if G0 is None else G0 + Gc
     lam_vec = jnp.asarray(lam_vec, dtype)
 
     nonneg = bool(getattr(model, "nonneg", False))

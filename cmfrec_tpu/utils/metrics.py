@@ -58,6 +58,6 @@ def map_at_k(model, test_user_items: dict, k: int = 10,
         if not hits.any():
             aps.append(0.0)
             continue
-        prec = np.cumsum(hits) / (np.arange(k) + 1)
+        prec = np.cumsum(hits) / (np.arange(hits.size) + 1)
         aps.append(float((prec * hits).sum() / min(len(items), k)))
     return float(np.mean(aps)) if aps else 0.0

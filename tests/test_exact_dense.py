@@ -308,3 +308,43 @@ def test_explicit_exact_multi_iter_quality(rng):
     rmse_b = np.sqrt(np.mean((pred(rb) - vals) ** 2))
     rmse_p = np.sqrt(np.mean((pred(rp) - vals) ** 2))
     assert abs(rmse_p - rmse_b) < 2e-3, (rmse_p, rmse_b)
+
+
+def test_collective_side_info_one_iter_pins_C_and_D(rng):
+    """Fused collective-explicit with dense side info, one controlled
+    iteration from shared inits: A/B AND the returned C/D equal the
+    bucketed path's — pinning that C/D are the side factors computed at
+    the final iteration's START (from the pre-update A/B, the
+    reference's stored values, collective.c:8345/8396) and NOT a
+    recompute against the post-update factors."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+    from cmfrec_tpu.solvers.dense_pallas import fit_collective_dense_pallas
+
+    m, n, k, p, q = 34, 22, 3, 5, 4
+    mask = rng.uniform(size=(m, n)) < 0.6
+    ro, co = np.nonzero(mask)
+    vals = np.round(2 * (rng.normal(size=ro.size) + 3.0)) / 2
+    U = rng.normal(size=(m, p))
+    I = rng.normal(size=(n, q))
+    A0 = rng.normal(size=(m, k)).astype(np.float32)
+    B0 = rng.normal(size=(n, k)).astype(np.float32)
+
+    kw = dict(k=k, niter=1, user_bias=False, item_bias=False,
+              dtype=np.float32, seed=5)
+    res_b = fit_collective_explicit_als(
+        ro, co, vals, m, n, lambda_=0.5, use_cg=False, finalize_chol=True,
+        center=False, w_user=0.8, w_item=0.7,
+        side_U=(None, None, None, m, p, True, U),
+        side_I=(None, None, None, n, q, True, I),
+        center_U=False, center_I=False,
+        init=dict(A=A0, B=B0), **kw)
+    res_p = fit_collective_dense_pallas(
+        ro, co, vals, m, n, U_dense=U, I_dense=I, weights=None,
+        lam6=np.full(6, 0.5), w_user=0.8, w_item=0.7, max_cg_steps=3,
+        finalize_chol=True, finalize_steps=5, glob_mean=0.0,
+        scale_lam=False, scale_bias_const=False, verbose=False,
+        interpret=INTERP, init=dict(A=A0, B=B0), exact=True, **kw)
+    for key, tol in (("C", 1e-4), ("D", 1e-4), ("B", 2e-4), ("A", 2e-4)):
+        b = np.asarray(res_b[key], np.float64)[:, :k]
+        pp = np.asarray(res_p[key], np.float64)[:, :k]
+        np.testing.assert_allclose(pp, b, rtol=0, atol=tol, err_msg=key)

@@ -886,3 +886,59 @@ def test_implicit_factors_grouped_matches_plain(rng):
     seen = np.unique(nr[live])
     np.testing.assert_allclose(a_big[: seen.size], a_small[: seen.size],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_warm_factors_scale_bias_const(rng):
+    """scale_lam + scale_bias_const warm factors: the k factor coords'
+    penalty scales with the row's observation count but the bias
+    coordinate's penalty stays at lam_bias * scaling_biasA (the fit-time
+    mean observation weight) — common.c:717-722 / collective.c:3787.
+    Pinned against a direct NumPy solve, on both the fused kernel and
+    the eager path, and scaling_biasA_ survives save/load."""
+    m, n, k = 60, 40, 4
+    rows = rng.integers(0, m, 900)
+    cols = rng.integers(0, n, 900)
+    vals = np.round(2 * (rng.normal(size=900) + 3.0)) / 2
+    model = CMF(k=k, lambda_=2.0, niter=4, scale_lam=True,
+                scale_bias_const=True, use_float=False).fit_triplets(
+        rows, cols, vals, m, n)
+    assert model.scaling_biasA_ == 900 / m
+    assert model.scaling_biasB_ == 900 / n
+
+    obs = np.arange(0, n, 3, dtype=np.int64)
+    xv = np.linspace(1.0, 5.0, obs.size)
+    from cmfrec_tpu.solvers.warm import factors_explicit_batch
+
+    # direct NumPy oracle with the constant bias penalty
+    B = np.asarray(model.B_, np.float64)
+    bB = np.asarray(model.item_bias_, np.float64)
+    mu = model.glob_mean_
+    Be = np.concatenate([B[obs], np.ones((obs.size, 1))], axis=1)
+    cnt = float(obs.size)
+    lam_diag = np.full(k + 1, 2.0 * cnt)
+    lam_diag[k] = 2.0 * model.scaling_biasA_
+    G = Be.T @ Be + np.diag(lam_diag)
+    rhs = Be.T @ (xv - mu - bB[obs])
+    sol = np.linalg.solve(G, rhs)
+
+    idx = obs[None, :]
+    vv = xv[None, :]
+    lens = np.array([obs.size], np.int64)
+    for no_fused in (False, True):
+        a, bias = factors_explicit_batch(model, idx, vv, None, lens,
+                                         _no_fused=no_fused)
+        np.testing.assert_allclose(np.asarray(a)[0], sol[:k], rtol=1e-6,
+                                   atol=1e-8, err_msg=f"fused={not no_fused}")
+        np.testing.assert_allclose(float(np.asarray(bias)[0]), sol[k],
+                                   rtol=1e-6, atol=1e-8)
+    assert model._cache_stats.get("warm_fused", 0) >= 1
+
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        path = _os.path.join(td, "m.npz")
+        model.save(path)
+        m2 = CMF.load(path)
+        assert m2.scaling_biasA_ == model.scaling_biasA_
+        a2, b2 = factors_explicit_batch(m2, idx, vv, None, lens)
+        np.testing.assert_allclose(np.asarray(a2)[0], sol[:k], rtol=1e-6,
+                                   atol=1e-8)

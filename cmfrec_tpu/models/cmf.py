@@ -135,7 +135,9 @@ class CMF(_BaseModel):
         self.center = center
         self.add_implicit_features = add_implicit_features
         self.scale_lam = scale_lam
-        self.scale_lam_sideinfo = scale_lam_sideinfo
+        # the reference's Python class couples the flags: scale_lam
+        # implies scale_lam_sideinfo (/root/reference/cmfrec/__init__.py:208)
+        self.scale_lam_sideinfo = bool(scale_lam_sideinfo) or bool(scale_lam)
         self.scale_bias_const = scale_bias_const
         self.k_user = k_user
         self.k_item = k_item
@@ -192,7 +194,9 @@ class CMF(_BaseModel):
         if self.scale_lam and self.scale_bias_const:
             # the constant bias-penalty scaling = mean observation weight
             # per row/column (common.c:3787 wsum/m); warm-factor solves
-            # need it to hold the bias coordinate's penalty constant
+            # need it to hold the bias coordinate's penalty constant.
+            # Collective fits overwrite these below with the
+            # side-count-inclusive values they computed (collective.c:8070)
             wsum = (float(len(vals)) if wgt is None
                     else float(np.sum(wgt)))
             self.scaling_biasA_ = wsum / max(m, 1)
@@ -268,6 +272,10 @@ class CMF(_BaseModel):
         self.user_bias_ = res["biasA"]
         self.item_bias_ = res["biasB"]
         self.glob_mean_ = res["glob_mean"]
+        if res.get("scaling_biasA") is not None:
+            self.scaling_biasA_ = float(res["scaling_biasA"])
+        if res.get("scaling_biasB") is not None:
+            self.scaling_biasB_ = float(res["scaling_biasB"])
         self.is_fitted_ = True
         self.niter_ = self.niter
         self._build_dicts()

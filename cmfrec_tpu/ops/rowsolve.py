@@ -119,7 +119,15 @@ def assemble_system(
     G = jnp.zeros((R, K, K), dt)
     rhs = jnp.zeros((R, K), dt)
     for p in parts:
-        if ring_mesh is not None:
+        # Ring assembly exists to avoid materializing a BIG opposing
+        # matrix on every chip; small opposing matrices (side-info C/D,
+        # a few hundred rows) are cheaper to gather directly — the ring
+        # would pay ~mesh-size masked passes to avoid replicating a few
+        # hundred KB (GSPMD inserts the all-gather when the matrix is
+        # sharded, which is fine at that size).
+        ring_this = (ring_mesh is not None
+                     and p.mat.shape[0] >= 8 * int(ring_mesh.size))
+        if ring_this:
             from ..parallel.ring import pad_rows_to, ring_part_system
 
             Gp, rp = ring_part_system(

@@ -389,7 +389,10 @@ def update_side(
             idx=b_idx,
             val=jnp.ones_like(b_val) if ones_val else b_val,
             length=b_len,
-            wgt=b_wgt,
+            # Xones (implicit-feature) solves are UNWEIGHTED even on
+            # weighted fits: the reference's Bi/Ai optimizeA calls pass
+            # weight = NULL (collective.c:8458-8530)
+            wgt=None if ones_val else b_wgt,
             opp=opp,
             opp_bias=opp_bias,
             w=w_arr,

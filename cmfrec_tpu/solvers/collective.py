@@ -289,6 +289,23 @@ def _init_dense_ok(init):
 # --------------------------------------------------------------------- #
 
 
+def _sparsify_short_dense_side(side, xdim):
+    """A DENSE side matrix with fewer rows than the main dimension
+    (m_u < m) is re-expressed as sparse triplets over its rows: the
+    dense fast paths assume every main row has a side row (shared CtC
+    Gram + whole-matrix solves), but entities beyond n_ent must get NO
+    side contribution at all (the reference solves them X-only).  The
+    sparse machinery's per-row gathers handle that naturally."""
+    if side is None:
+        return side
+    rows, cols, vals, n_ent, p, is_dense, dense = side
+    if not is_dense or n_ent >= xdim:
+        return side
+    dense = np.asarray(dense, np.float64)
+    rr, cc = np.nonzero(~np.isnan(dense))
+    return (rr, cc, dense[rr, cc], n_ent, p, False, None)
+
+
 @profiled_fit
 def fit_collective_explicit_als(
     rows, cols, vals, m, n, *,
@@ -331,6 +348,8 @@ def fit_collective_explicit_als(
     if nonneg:
         use_cg = False
 
+    side_U = _sparsify_short_dense_side(side_U, m)
+    side_I = _sparsify_short_dense_side(side_I, n)
     U = prepare_side(side_U, center_U, NA_as_zero_user, dtype)
     I = prepare_side(side_I, center_I, NA_as_zero_item, dtype)
 
@@ -368,6 +387,9 @@ def fit_collective_explicit_als(
         # use_cg=False rides the fused engine in exact mode (Krylov-capped
         # converged CG, see drivers.fit_explicit_als)
         and (use_cg or exact_dense_enabled())
+        # the fused kernels implement plain CG only (same exclusion as
+        # drivers.fit_explicit_als) — PCG fits stay on the bucketed path
+        and not (use_cg and precondition_cg)
         and _init_dense_ok(init)  # A/B/bias warm restarts ride along
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
@@ -472,7 +494,7 @@ def fit_collective_explicit_als(
                 B_blocks, CB, np.asarray(init["biasB"]), kb, dtype)
 
     # --- side-info structures ---
-    def setup_side(S: Optional[PreparedSide], main_bucketed, kx_pad):
+    def setup_side(S: Optional[PreparedSide], main_bucketed):
         """feat bucketing (for C/D update) + alignment to the main bucketing."""
         if S is None:
             return None, None, None, None
@@ -494,8 +516,8 @@ def fit_collective_explicit_als(
                 mean_slices.append(jnp.asarray(ms))
         return feat_b, aligned, None, mean_slices
 
-    U_featb, U_aligned, U_dense_slices, U_mean_slices = setup_side(U, RB, kc_pad)
-    I_featb, I_aligned, I_dense_slices, I_mean_slices = setup_side(I, CB, kd_pad)
+    U_featb, U_aligned, U_dense_slices, U_mean_slices = setup_side(U, RB)
+    I_featb, I_aligned, I_dense_slices, I_mean_slices = setup_side(I, CB)
 
     key2 = jax.random.PRNGKey(seed + 1)
     C_blocks = D_blocks = None
@@ -560,14 +582,51 @@ def fit_collective_explicit_als(
     l1_vec_C = _make_l1_vec(kc, kc_pad, l16[4], 0.0, False, dtype)
     l1_vec_D = _make_l1_vec(kd, kd_pad, l16[5], 0.0, False, dtype)
 
+    # scale_bias_const: the bias coordinate's penalty scales with the
+    # AVERAGE observation count instead of the per-row count (same as
+    # drivers.fit_explicit_als; common.c:717-722, reference gate
+    # scale_lam || scale_lam_sideinfo)
+    lam_const_A = lam_const_B = None
+    scaling_biasA = scaling_biasB = None
+    if (scale_lam or scale_lam_sideinfo) and scale_bias_const:
+        wsum_total = (float(np.sum(weights)) if weights is not None
+                      else float(len(vals)))
+
+        def _side_wsum(S, lim):
+            # side-entry mass landing in the first `lim` rows: the
+            # scaling mean runs over the X dimension (collective.c:8114)
+            # and, under scale_lam_sideinfo, includes side counts
+            # (collective.c:8070)
+            if S is None or not scale_lam_sideinfo:
+                return 0.0
+            if S.na0:
+                return float(S.p) * lim
+            if S.dense is not None:
+                return float(min(S.n_ent, lim)) * S.p
+            r_s = np.asarray(S.coo[0])
+            return float(np.count_nonzero(r_s < lim))
+
+        if user_bias:
+            scaling_biasA = (wsum_total + _side_wsum(U, m)) / max(m, 1)
+            v = np.zeros(ka_pad)
+            v[ka] = lam6[0] * scaling_biasA
+            lam_const_A = jnp.asarray(v, dtype)
+            lam_vec_A = lam_vec_A.at[ka].set(0.0)
+        if item_bias:
+            scaling_biasB = (wsum_total + _side_wsum(I, n)) / max(n, 1)
+            v = np.zeros(kb_pad)
+            v[kb] = lam6[1] * scaling_biasB
+            lam_const_B = jnp.asarray(v, dtype)
+            lam_vec_B = lam_vec_B.at[kb].set(0.0)
+
     plan_A = SidePlan(None, "na0" if NA_as_zero else "explicit", n)
     plan_B = SidePlan(None, "na0" if NA_as_zero else "explicit", m)
 
     def factor_update(
         main_blocks, plan, main_data, opp_main, opp_bias, lam_vec, l1_vec,
         method, S: Optional[PreparedSide], S_aligned, S_dense_slices,
-        C_mat, kx, kx_pad_side, w_side, Xones_opp, side_is_user,
-        mu_main, G0_extra=None,
+        C_mat, kx, w_side, Xones_opp, side_is_user,
+        mu_main, lam_const_vec=None,
     ):
         """One A- or B-style update with optional side-info and implicit
         feature parts.  main_data carries the bucket arrays explicitly so
@@ -647,6 +706,7 @@ def fit_collective_explicit_als(
             buckets_data=main_data,
             w=w_main, mu=mu_main if main_na0 else None,
             G0=G0, r0_vec=r0_vec, r0_blocks=r0_blocks, extra_parts=extra,
+            lam_const_vec=lam_const_vec,
             l1_vec=l1_vec, method=method, n_steps=max_cg_steps,
             nonneg=nonneg, max_cd_steps=max_cd_steps, scale_lam=scale_lam,
             lam_mult_add=lam_mult_add,
@@ -708,6 +768,29 @@ def fit_collective_explicit_als(
 
         return _ring_cat_blocks(blocks, mask, mesh)
 
+    # X-dimension opposing-row masks: the shared Gram/rhs bases of the
+    # B/A (and Bi/Ai, C/D) systems must sum over the X (or side)
+    # dimension only — with extra side-only entities (m_u > m or
+    # n_i > n, _supports_extra_side_rows) the factor matrices carry live
+    # rows beyond the X dims which the reference's opposing row counts
+    # exclude (optimizeA calls pass m/n, collective.c:8461/9924).
+    # All-ones (an exact no-op) in the common m_u == m case.
+    _npdt = np.float64 if np.dtype(dtype) == np.float64 else np.float32
+
+    def _xdim_mask(limit, total, perm_np, concat_mask):
+        if not ring:
+            return jnp.asarray((np.arange(total) < limit).astype(_npdt))
+        v = np.zeros(int(concat_mask.shape[0]), _npdt)
+        v[np.asarray(perm_np)[:limit]] = 1.0
+        return jnp.asarray(v)
+
+    xmask_A = _xdim_mask(m, m_eff, RB.perm, mask_A)
+    xmask_B = _xdim_mask(n, n_eff, CB.perm, mask_B)
+    xmask_AU = (None if U is None or U.n_ent >= m_eff
+                else _xdim_mask(U.n_ent, m_eff, RB.perm, mask_A))
+    xmask_BI = (None if I is None or I.n_ent >= n_eff
+                else _xdim_mask(I.n_ent, n_eff, CB.perm, mask_B))
+
     def _one_iteration(method, state, dat):
         """One full collective iteration (C, D, Bi/Ai, B, A updates), a pure
         function of (state, dat) so the whole thing can run under ONE jit:
@@ -733,12 +816,20 @@ def fit_collective_explicit_als(
         if U is not None:
             A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
             if U_dn is not None:
+                # side matrix shorter than the factor matrix (m_u < m):
+                # only the side-covered rows enter C's system
+                A1u = (A1[:U.n_ent] if (not ring and U.n_ent < A1.shape[0])
+                       else A1)
                 C_orig = _dense_full_solve(
-                    A1, U_dn, lam_vec_C, w_user, nonneg_C,
+                    A1u, U_dn, lam_vec_C, w_user, nonneg_C,
                     l1_vec_C, max_cd_steps, dtype,
                     lam_scale=float(U.n_ent) if scale_lam else 1.0,
                 )
             else:
+                if xmask_AU is not None and not U.na0:
+                    # under NA_as_zero_U the rows beyond the side matrix
+                    # are genuine all-zero side rows (include them)
+                    A1 = A1 * xmask_AU[:, None]
                 C_blocks = side_factor_update(
                     U, dU, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
                     nonneg_C, method, U_ms,
@@ -749,12 +840,16 @@ def fit_collective_explicit_als(
         if I is not None:
             B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
             if I_dn is not None:
+                B1i = (B1[:I.n_ent] if (not ring and I.n_ent < B1.shape[0])
+                       else B1)
                 D_orig = _dense_full_solve(
-                    B1, I_dn, lam_vec_D, w_item, nonneg_D,
+                    B1i, I_dn, lam_vec_D, w_item, nonneg_D,
                     l1_vec_D, max_cd_steps, dtype,
                     lam_scale=float(I.n_ent) if scale_lam else 1.0,
                 )
             else:
+                if xmask_BI is not None and not I.na0:
+                    B1 = B1 * xmask_BI[:, None]
                 D_blocks = side_factor_update(
                     I, dI, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
                     nonneg_D, method, I_ms,
@@ -767,6 +862,7 @@ def fit_collective_explicit_als(
         # the NA0 shared-Gram solve is the cheap path anyway.
         if add_implicit_features:
             A_x = _pad_cols(A_orig[:, k_user : k_user + ki_w], ki_pad, 0, dtype)
+            A_x = A_x * xmask_A[:, None]  # Gram over the X rows only
             plan_bi = SidePlan(None, "na0", m)
             Bi_blocks = update_side(
                 plan_bi, Bi_blocks, A_x, None, lam_vec_Bi,
@@ -780,6 +876,7 @@ def fit_collective_explicit_als(
                        else blocks_to_orig(Bi_blocks, pB, n_eff))
 
             B_x = _pad_cols(B_orig[:, k_item : k_item + ki_w], ki_pad, 0, dtype)
+            B_x = B_x * xmask_B[:, None]
             plan_ai = SidePlan(None, "na0", n)
             Ai_blocks = update_side(
                 plan_ai, Ai_blocks, B_x, None, lam_vec_Ai,
@@ -800,11 +897,19 @@ def fit_collective_explicit_als(
         if item_bias:
             # concat layout: the bias-ones column must stay 0 on padding
             opp = opp.at[:, kb].set(mkA if ring else 1.0)
+        if not NA_as_zero:
+            # shared bases sum the X rows only — EXCEPT under NA_as_zero,
+            # where extra side-only entities are genuine all-zero X rows
+            # and the reference includes them (verified vs the binary)
+            opp = opp * xmask_A[:, None]
         opp_bias = A_orig[:, ka] if user_bias else None
         B_blocks = factor_update(
             B_blocks, plan_B, dB, opp, opp_bias, lam_vec_B, l1_vec_B, method,
-            I, I_al, I_ds, D_orig, kd, kd_pad,
-            w_item, Ai_orig, side_is_user=False, mu_main=glob_mean,
+            I, I_al, I_ds, D_orig, kd,
+            w_item,
+            None if Ai_orig is None else Ai_orig * xmask_A[:, None],
+            side_is_user=False, mu_main=glob_mean,
+            lam_const_vec=lam_const_B,
         )
         B_orig = (_ring_cat(B_blocks, mkB) if ring
                   else blocks_to_orig(B_blocks, pB, n_eff))
@@ -816,11 +921,16 @@ def fit_collective_explicit_als(
         )
         if user_bias:
             opp = opp.at[:, ka].set(mkB if ring else 1.0)
+        if not NA_as_zero:
+            opp = opp * xmask_B[:, None]
         opp_bias = B_orig[:, kb] if item_bias else None
         A_blocks = factor_update(
             A_blocks, plan_A, dA, opp, opp_bias, lam_vec_A, l1_vec_A, method,
-            U, U_al, U_ds, C_orig, kc, kc_pad,
-            w_user, Bi_orig, side_is_user=True, mu_main=glob_mean,
+            U, U_al, U_ds, C_orig, kc,
+            w_user,
+            None if Bi_orig is None else Bi_orig * xmask_B[:, None],
+            side_is_user=True, mu_main=glob_mean,
+            lam_const_vec=lam_const_A,
         )
         return (A_blocks, B_blocks, C_blocks, D_blocks, C_orig, D_orig,
                 Ai_blocks, Bi_blocks)
@@ -902,6 +1012,7 @@ def fit_collective_explicit_als(
     out.update({
         "U_colmeans": None if U is None else U.colmeans,
         "I_colmeans": None if I is None else I.colmeans,
+        "scaling_biasA": scaling_biasA, "scaling_biasB": scaling_biasB,
         "glob_mean": float(glob_mean),
         "k": k,
     })
@@ -959,6 +1070,8 @@ def fit_collective_implicit_als(
         w_mult = len(vals) / (float(m) * float(n))
     w_x = w_main * w_mult
 
+    side_U = _sparsify_short_dense_side(side_U, m)
+    side_I = _sparsify_short_dense_side(side_I, n)
     U = prepare_side(side_U, center_U, NA_as_zero_user, dtype)
     I = prepare_side(side_I, center_I, NA_as_zero_item, dtype)
     m_eff = max(m, U.n_ent if U else 0)
@@ -980,6 +1093,9 @@ def fit_collective_implicit_als(
         # use_cg=False rides the fused engine in exact mode (Krylov-capped
         # converged CG, see drivers.fit_explicit_als)
         and (use_cg or exact_dense_enabled())
+        # the fused kernels implement plain CG only (same exclusion as
+        # drivers.fit_explicit_als) — PCG fits stay on the bucketed path
+        and not (use_cg and precondition_cg)
         and _init_dense_ok(init)  # A/B/bias warm restarts ride along
         and not (nonneg or nonneg_C or nonneg_D)
         and not np.any(l16 > 0)
@@ -1144,6 +1260,29 @@ def fit_collective_implicit_als(
 
         return _ring_cat_blocks(blocks, mask, mesh)
 
+    # X-dimension opposing-row masks: the shared Gram/rhs bases of the
+    # B/A (and Bi/Ai, C/D) systems must sum over the X (or side)
+    # dimension only — with extra side-only entities (m_u > m or
+    # n_i > n, _supports_extra_side_rows) the factor matrices carry live
+    # rows beyond the X dims which the reference's opposing row counts
+    # exclude (optimizeA calls pass m/n, collective.c:8461/9924).
+    # All-ones (an exact no-op) in the common m_u == m case.
+    _npdt = np.float64 if np.dtype(dtype) == np.float64 else np.float32
+
+    def _xdim_mask(limit, total, perm_np, concat_mask):
+        if not ring:
+            return jnp.asarray((np.arange(total) < limit).astype(_npdt))
+        v = np.zeros(int(concat_mask.shape[0]), _npdt)
+        v[np.asarray(perm_np)[:limit]] = 1.0
+        return jnp.asarray(v)
+
+    xmask_A = _xdim_mask(m, m_eff, RB.perm, mask_A)
+    xmask_B = _xdim_mask(n, n_eff, CB.perm, mask_B)
+    xmask_AU = (None if U is None or U.n_ent >= m_eff
+                else _xdim_mask(U.n_ent, m_eff, RB.perm, mask_A))
+    xmask_BI = (None if I is None or I.n_ent >= n_eff
+                else _xdim_mask(I.n_ent, n_eff, CB.perm, mask_B))
+
     def factor_update(main_blocks, plan, main_data, opp_main, lam_vec,
                       l1_vec, method, S, S_aligned, S_dense_slices, C_mat,
                       kx, w_side):
@@ -1229,11 +1368,17 @@ def fit_collective_implicit_als(
         if U is not None:
             A1 = _pad_cols(A_orig[:, :kc], kc_pad, 0, dtype)
             if U_dn is not None:
+                A1u = (A1[:U.n_ent] if (not ring and U.n_ent < A1.shape[0])
+                       else A1)
                 C_orig = _dense_full_solve(
-                    A1, U_dn, lam_vec_C, w_user, nonneg_C,
+                    A1u, U_dn, lam_vec_C, w_user, nonneg_C,
                     l1_vec_C, max_cd_steps, dtype,
                 )
             else:
+                if xmask_AU is not None and not U.na0:
+                    # under NA_as_zero_U the rows beyond the side matrix
+                    # are genuine all-zero side rows (include them)
+                    A1 = A1 * xmask_AU[:, None]
                 C_blocks = side_factor_update(
                     U, dU, C_blocks, A1, lam_vec_C, l1_vec_C, w_user,
                     nonneg_C, method, U_ms,
@@ -1243,11 +1388,15 @@ def fit_collective_implicit_als(
         if I is not None:
             B1 = _pad_cols(B_orig[:, :kd], kd_pad, 0, dtype)
             if I_dn is not None:
+                B1i = (B1[:I.n_ent] if (not ring and I.n_ent < B1.shape[0])
+                       else B1)
                 D_orig = _dense_full_solve(
-                    B1, I_dn, lam_vec_D, w_item, nonneg_D,
+                    B1i, I_dn, lam_vec_D, w_item, nonneg_D,
                     l1_vec_D, max_cd_steps, dtype,
                 )
             else:
+                if xmask_BI is not None and not I.na0:
+                    B1 = B1 * xmask_BI[:, None]
                 D_blocks = side_factor_update(
                     I, dI, D_blocks, B1, lam_vec_D, l1_vec_D, w_item,
                     nonneg_D, method, I_ms,
@@ -1259,6 +1408,7 @@ def fit_collective_implicit_als(
         opp = opp.at[:, k_item : k_item + k + k_main].set(
             A_orig[:, k_user : k_user + k + k_main]
         )
+        opp = opp * xmask_A[:, None]  # shared Gram sums the X rows only
         B_blocks = factor_update(
             B_blocks, plan_B, dB, opp, lam_vec_B, l1_vec_B, method,
             I, I_al, I_ds, D_orig, kd, w_item,
@@ -1271,6 +1421,7 @@ def fit_collective_implicit_als(
         opp = opp.at[:, k_user : k_user + k + k_main].set(
             B_orig[:, k_item : k_item + k + k_main]
         )
+        opp = opp * xmask_B[:, None]
         A_blocks = factor_update(
             A_blocks, plan_A, dA, opp, lam_vec_A, l1_vec_A, method,
             U, U_al, U_ds, C_orig, kc, w_user,

@@ -236,6 +236,8 @@ def ref_fit_explicit_als(
         "A": A[:, :], "B": B, "C": C, "D": D, "Ai": Ai, "Bi": Bi,
         "biasA": biasA, "biasB": biasB,
         "glob_mean": float(glob_mean.value),
+        "scaling_biasA": float(scaling_biasA.value),
+        "scaling_biasB": float(scaling_biasB.value),
         "U_colmeans": U_colmeans, "I_colmeans": I_colmeans,
     }
 

@@ -1307,6 +1307,301 @@ def test_explicit_dense_weighted_vs_binary():
     np.testing.assert_allclose(np.asarray(ours["B"]), ref["B"], atol=1e-9)
 
 
+def test_collective_short_dense_side_vs_binary():
+    """DENSE side matrix with FEWER rows than the main dimension
+    (m_u < m, supported by the reference): entities beyond m_u must get
+    NO side contribution (X-only systems) — previously the dense fast
+    paths crashed or fed every row the shared CtC base.  Short dense
+    sides are re-expressed as sparse triplets
+    (collective._sparsify_short_dense_side); pinned for the explicit and
+    implicit collective fits."""
+    from cmfrec_tpu.solvers.collective import (
+        fit_collective_explicit_als,
+        fit_collective_implicit_als,
+    )
+    from .ref_binary import ref_fit_implicit_als
+
+    rng = np.random.default_rng(11)
+    m, n, m_u, p, k = 24, 15, 17, 4, 3
+    rows = rng.integers(0, m, 160)
+    cols = rng.integers(0, n, 160)
+    pairs = np.unique(rows * n + cols)
+    rows, cols = pairs // n, pairs % n
+    vals = rng.normal(size=rows.size) + 3
+    U = rng.normal(size=(m_u, p))
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.6
+    side_U = (None, None, None, m_u, p, True, U)
+
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=2,
+        A0=A0, B0=B0, C0=C0, U=U, use_cg=False, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=False)
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, side_U=side_U, k=k, lambda_=lam,
+        niter=2, use_cg=False, finalize_chol=False, user_bias=False,
+        item_bias=False, center=False, center_U=False,
+        dtype=np.float64, seed=5, init=dict(A=A0, B=B0, C=C0))
+    for key in ("A", "B", "C"):
+        np.testing.assert_allclose(np.asarray(ours[key])[:, :k],
+                                   ref[key][:, :k], atol=1e-12, err_msg=key)
+
+    vi = rng.integers(1, 9, rows.size).astype(np.float64)
+    ref = ref_fit_implicit_als(
+        rows, cols, vi, m, n, k=k, lam=lam, niter=2, alpha=0.7,
+        A0=A0, B0=B0, C0=C0, U=U, center_U=False, use_cg=False)
+    ours = fit_collective_implicit_als(
+        rows, cols, vi, m, n, side_U=side_U, k=k, lambda_=lam,
+        alpha=0.7, niter=2, use_cg=False, center_U=False,
+        dtype=np.float64, seed=5, init=dict(A=A0, B=B0, C=C0))
+    for key in ("A", "B", "C"):
+        np.testing.assert_allclose(np.asarray(ours[key])[:, :k],
+                                   ref[key][:, :k], atol=1e-12, err_msg=key)
+
+
+def test_collective_scale_bias_const_defect_replica():
+    """Reference defect #6 (replica-pinned, not copied): under
+    scale_lam + scale_bias_const the COLLECTIVE closed form double-scales
+    the bias penalty — collective_closed_form_block multiplies lam_last
+    by the per-row multiplier unconditionally (collective.c:1349-1355;
+    the scale_bias_const gate there protects only the L1 lambdas), on
+    top of the fit-level lam *= scaling_biasA (collective.c:8151) — so
+    the side-info path applies lam * scaling * row_count while the plain
+    path (common.c:717-722) and the reference's own docs hold the bias
+    penalty CONSTANT at lam * scaling.  This test replica-pins the
+    binary's double-scaled A half-step exactly, pins the plain-path B
+    half-step at the constant form, and pins OUR fit at the intended
+    constant form on both sides."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng = np.random.default_rng(9)
+    m, n, p, k = 22, 16, 5, 3
+    rows = rng.integers(0, m, 160)
+    cols = rng.integers(0, n, 160)
+    pairs = np.unique(rows * n + cols)
+    rows, cols = pairs // n, pairs % n
+    vals = rng.normal(size=rows.size) + 3
+    U = rng.normal(size=(m, p))
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.5
+    ref = ref_fit_explicit_als(
+        rows, cols, vals, m, n, k=k, lam=lam, niter=1,
+        A0=A0, B0=B0, C0=C0, U=U, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=False, center_U=False,
+        scale_lam=True, scale_bias_const=True)
+    sA, sB = ref["scaling_biasA"], ref["scaling_biasB"]
+
+    # replica: C (dense, scaled by per-feature count m), then B (plain
+    # path: CONSTANT bias penalty), then A (collective path:
+    # DOUBLE-scaled bias penalty)
+    C1 = np.linalg.solve(A0.T @ A0 + lam * m * np.eye(k), A0.T @ U).T
+    B1 = np.zeros((n, k))
+    bB1 = np.zeros(n)
+    for c in range(n):
+        sel = cols == c
+        rs, xs = rows[sel], vals[sel]
+        Ae = np.concatenate([A0[rs], np.ones((rs.size, 1))], axis=1)
+        G = Ae.T @ Ae + np.diag([lam * rs.size] * k + [lam * sB])
+        sol = np.linalg.solve(G, Ae.T @ xs)
+        B1[c], bB1[c] = sol[:k], sol[k]
+    np.testing.assert_allclose(B1, ref["B"][:, :k], atol=1e-12)
+    np.testing.assert_allclose(bB1, ref["biasB"], atol=1e-12)
+    A1 = np.zeros((m, k))
+    bA1 = np.zeros(m)
+    for r in range(m):
+        sel = rows == r
+        cs, xs = cols[sel], vals[sel]
+        Be = np.concatenate([B1[cs], np.ones((cs.size, 1))], axis=1)
+        G = Be.T @ Be
+        G[:k, :k] += C1.T @ C1
+        G += np.diag([lam * cs.size] * k
+                     + [lam * sA * max(cs.size, 1)])  # the defect
+        rhs = Be.T @ (xs - bB1[cs])
+        rhs[:k] += C1.T @ U[r]
+        sol = np.linalg.solve(G, rhs)
+        A1[r], bA1[r] = sol[:k], sol[k]
+    np.testing.assert_allclose(A1, ref["A"][:, :k], atol=1e-12)
+    np.testing.assert_allclose(bA1, ref["biasA"], atol=1e-12)
+
+    # OURS: intended constant form on BOTH sides
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, side_U=(None, None, None, m, p, True, U),
+        k=k, lambda_=lam, niter=1, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=False, center_U=False,
+        scale_lam=True, scale_bias_const=True, dtype=np.float64, seed=5,
+        init=dict(A=A0, B=B0, C=C0, biasA=np.zeros(m), biasB=np.zeros(n)))
+    A1c = np.zeros((m, k))
+    bA1c = np.zeros(m)
+    for r in range(m):
+        sel = rows == r
+        cs, xs = cols[sel], vals[sel]
+        Be = np.concatenate([B1[cs], np.ones((cs.size, 1))], axis=1)
+        G = Be.T @ Be
+        G[:k, :k] += C1.T @ C1
+        G += np.diag([lam * cs.size] * k + [lam * sA])  # intended form
+        rhs = Be.T @ (xs - bB1[cs])
+        rhs[:k] += C1.T @ U[r]
+        sol = np.linalg.solve(G, rhs)
+        A1c[r], bA1c[r] = sol[:k], sol[k]
+    np.testing.assert_allclose(np.asarray(ours["B"])[:, :k], B1, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours["biasB"]), bB1, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours["A"])[:, :k], A1c, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), bA1c, atol=1e-10)
+
+
+def test_collective_extra_side_rows_vs_binary():
+    """Side info with EXTRA entities (m_u > m): the shared Gram/rhs bases
+    of the B/A systems must sum over the X dimension only — side-only
+    users have live factor rows that the reference's opposing row counts
+    exclude (optimizeA_collective_implicit passes m, collective.c:9924) —
+    EXCEPT under NA_as_zero, where extra entities are genuine all-zero X
+    rows and the reference includes them (both verified here).  Pins the
+    implicit fit, the explicit NA0 fit, and the plain explicit fit with
+    biases, all at m_u > m."""
+    from cmfrec_tpu.solvers.collective import (
+        fit_collective_explicit_als,
+        fit_collective_implicit_als,
+    )
+    from .ref_binary import ref_fit_implicit_als
+
+    rng = np.random.default_rng(7)
+    m, n, m_u, p, k = 20, 14, 26, 5, 3
+    rows = rng.integers(0, m, 150)
+    cols = rng.integers(0, n, 150)
+    pairs = np.unique(rows * n + cols)
+    rows, cols = pairs // n, pairs % n
+    U = rng.normal(size=(m_u, p))
+    A0 = rng.normal(size=(m_u, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    C0 = rng.normal(size=(p, k)) * 0.1
+    lam = 0.8
+    side_U = (None, None, None, m_u, p, True, U)
+
+    # implicit (WRMF): Gram over the first m rows of A only
+    vals_i = rng.integers(1, 9, rows.size).astype(np.float64)
+    ref = ref_fit_implicit_als(
+        rows, cols, vals_i, m, n, k=k, lam=lam, niter=2, alpha=0.7,
+        A0=A0, B0=B0, C0=C0, U=U, w_user=0.9, center_U=False, use_cg=False)
+    ours = fit_collective_implicit_als(
+        rows, cols, vals_i, m, n, side_U=side_U, k=k, lambda_=lam,
+        w_user=0.9, alpha=0.7, niter=2, use_cg=False, center_U=False,
+        dtype=np.float64, seed=5, init=dict(A=A0, B=B0, C=C0))
+    for key in ("A", "B", "C"):
+        np.testing.assert_allclose(np.asarray(ours[key])[:, :k],
+                                   ref[key][:, :k], atol=1e-12, err_msg=key)
+
+    # explicit NA_as_zero: extra rows ARE included (all-zero X rows)
+    vals_e = rng.normal(size=rows.size) + 3
+    ref = ref_fit_explicit_als(
+        rows, cols, vals_e, m, n, k=k, lam=lam, niter=2,
+        A0=A0, B0=B0, C0=C0, U=U, use_cg=False, finalize_chol=False,
+        user_bias=False, item_bias=False, center=False, center_U=False,
+        NA_as_zero=True)
+    ours = fit_collective_explicit_als(
+        rows, cols, vals_e, m, n, side_U=side_U, k=k, lambda_=lam,
+        niter=2, use_cg=False, finalize_chol=False, user_bias=False,
+        item_bias=False, center=False, center_U=False, NA_as_zero=True,
+        dtype=np.float64, seed=5, init=dict(A=A0, B=B0, C=C0))
+    for key in ("A", "B", "C"):
+        np.testing.assert_allclose(np.asarray(ours[key])[:, :k],
+                                   ref[key][:, :k], atol=1e-12, err_msg=key)
+
+    # plain explicit with biases and centering
+    ref = ref_fit_explicit_als(
+        rows, cols, vals_e, m, n, k=k, lam=lam, niter=2,
+        A0=A0, B0=B0, C0=C0, U=U, use_cg=False, finalize_chol=False,
+        user_bias=True, item_bias=True, center=True, center_U=False)
+    ours = fit_collective_explicit_als(
+        rows, cols, vals_e, m, n, side_U=side_U, k=k, lambda_=lam,
+        niter=2, use_cg=False, finalize_chol=False, user_bias=True,
+        item_bias=True, center=True, center_U=False,
+        dtype=np.float64, seed=5,
+        init=dict(A=A0, B=B0, C=C0, biasA=np.zeros(m_u),
+                  biasB=np.zeros(n)))
+    for key in ("A", "B", "C"):
+        np.testing.assert_allclose(np.asarray(ours[key])[:, :k],
+                                   ref[key][:, :k], atol=1e-12, err_msg=key)
+    np.testing.assert_allclose(np.asarray(ours["biasA"]), ref["biasA"],
+                               atol=1e-12)
+
+
+def test_collective_weighted_implicit_features_vs_binary():
+    """WEIGHTED fit with add_implicit_features.  The Bi/Ai (Xones)
+    half-steps must be UNWEIGHTED even though X is weighted — the
+    reference's Bi/Ai optimizeA calls pass weight = NULL
+    (collective.c:8458-8530); pinned exactly against the binary on BOTH
+    its sparse and dense code paths.
+
+    The main A/B half-steps cannot be pinned head-to-head in this
+    combination on either path: the sparse path has the documented CSC
+    weight-misalignment defect (collective.c:8642), and the binary's
+    DENSE path with add_implicit_features disagrees with its own sparse
+    path even UNWEIGHTED (measured ~1.1 max-abs after one iteration on
+    identical data/inits — there is no transposed Xones copy, see the
+    TODO at collective.c:7639, so the B update indexes the user-major
+    Xones in a layout the sparse path does not reproduce).  A/B are
+    therefore pinned against the direct NumPy normal equations of the
+    intended model instead."""
+    from cmfrec_tpu.solvers.collective import fit_collective_explicit_als
+
+    rng, rows, cols, vals, m, n = _data(seed=23)
+    wgt = rng.uniform(0.5, 2.0, rows.size)
+    k, lam, w_imp = 4, 0.5, 0.5
+    A0 = rng.normal(size=(m, k)) * 0.1
+    B0 = rng.normal(size=(n, k)) * 0.1
+    Ai0 = rng.normal(size=(m, k)) * 0.1
+    Bi0 = rng.normal(size=(n, k)) * 0.1
+    Xfull = np.full((m, n), np.nan)
+    Xfull[rows, cols] = vals
+    Wfull = np.ones((m, n))
+    Wfull[rows, cols] = wgt
+
+    ours = fit_collective_explicit_als(
+        rows, cols, vals, m, n, k=k, lambda_=lam, niter=1,
+        use_cg=False, finalize_chol=False,
+        add_implicit_features=True, w_implicit=w_imp,
+        user_bias=False, item_bias=False, center=False,
+        weights=wgt, dtype=np.float64,
+        init={"A": A0, "B": B0, "Ai": Ai0, "Bi": Bi0})
+
+    for Xf, Wf, coo in ((Xfull, Wfull, (None, None, None)),
+                        (None, wgt, (rows, cols, vals))):
+        ref = ref_fit_explicit_als(
+            coo[0], coo[1], coo[2], m, n, k=k, lam=lam, niter=1,
+            A0=A0, B0=B0, use_cg=False, weights=Wf, finalize_chol=False,
+            add_implicit_features=True, Ai0=Ai0, Bi0=Bi0, w_implicit=w_imp,
+            user_bias=False, item_bias=False, center=False, Xfull=Xf)
+        np.testing.assert_allclose(np.asarray(ours["Bi"]), ref["Bi"],
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(ours["Ai"]), ref["Ai"],
+                                   atol=1e-12)
+
+    # A/B: direct NumPy oracle of the intended weighted system with the
+    # UNWEIGHTED implicit parts (reference order: Bi, Ai, then B, then A)
+    Ai1 = np.asarray(ours["Ai"], np.float64)
+    Bi1 = np.asarray(ours["Bi"], np.float64)
+    B1 = np.zeros((n, k))
+    for c in range(n):
+        sel = cols == c
+        rs, xs, ws = rows[sel], vals[sel], wgt[sel]
+        G = (A0[rs].T * ws) @ A0[rs] + w_imp * (Ai1.T @ Ai1)             + lam * np.eye(k)
+        rhs = A0[rs].T @ (ws * xs) + w_imp * Ai1[rs].sum(axis=0)
+        B1[c] = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(np.asarray(ours["B"]), B1, atol=1e-10)
+    A1 = np.zeros((m, k))
+    for r in range(m):
+        sel = rows == r
+        cs, xs, ws = cols[sel], vals[sel], wgt[sel]
+        G = (B1[cs].T * ws) @ B1[cs] + w_imp * (Bi1.T @ Bi1)             + lam * np.eye(k)
+        rhs = B1[cs].T @ (ws * xs) + w_imp * Bi1[cs].sum(axis=0)
+        A1[r] = np.linalg.solve(G, rhs)
+    np.testing.assert_allclose(np.asarray(ours["A"]), A1, atol=1e-10)
+
+
 def test_explicit_dense_plain_vs_binary():
     """Unweighted dense-Xfull fit == our COO fit == the binary's sparse
     fit: anchors that our single engine covers BOTH reference input
